@@ -1,10 +1,13 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry(), queries(), oracle_sql().
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every query is expressed through the kaskada_spark engine (Timeline /
+operators / functions) and paired with an ANSI-SQL oracle DuckDB runs on
+the same parquet tables. Numeric conventions for exact (hashable)
+equality across engines:
+- money-like doubles are summed as DECIMAL(18,2) (exact, order-free)
+  and cast back to double for output;
+- mean/variance are derived from exact decimal component sums;
+- all aggregate/computed columns are aliased identically on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +15,462 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kaskada_spark import Since, Sliding, Timeline
+from kaskada_spark.prepare import KEY, SUBSORT, TIME
+from kaskada_spark.sources.readers import read_table
+from kaskada_spark.sources.tokens import TOKENS_ORACLE_CTE, tokenize_documents
+from kaskada_spark.windows import daily
 
 
+# ----------------------------------------------------------------------
+# shared timeline constructors
+# ----------------------------------------------------------------------
+def _events(spark: SparkSession, sf_dir: str) -> Timeline:
+    return Timeline.from_events(
+        read_table(spark, sf_dir, "events"), time_col="ts", key_col="user_id", subsort_col="event_id"
+    )
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> Timeline:
+    return Timeline.from_events(
+        read_table(spark, sf_dir, "orders"),
+        time_col="o_orderdate",
+        key_col="o_custkey",
+        subsort_col="o_orderkey",
+    )
+
+
+def _dec():
+    # Column construction needs an active SparkContext, so keep it lazy.
+    return F.col("value").cast("decimal(18,2)")
+
+
+_EVENTS_ORDER = "PARTITION BY user_id ORDER BY ts, event_id"
+_RUN = f"OVER ({_EVENTS_ORDER} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+
+
+# ----------------------------------------------------------------------
+# core running aggregations (reference InstOp aggregations, §2.2)
+# ----------------------------------------------------------------------
+def q_running_sum(spark, sf_dir):
+    tl = _events(spark, sf_dir).sum(_dec(), alias="__s")
+    return tl.df.select(
+        "event_id", "user_id", F.col("__s").cast("double").alias("sum_value")
+    )
+
+
+def q_running_stats(spark, sf_dir):
+    tl = (
+        _events(spark, sf_dir)
+        .count("value", alias="cnt_value")
+        .min("value", alias="min_value")
+        .max("value", alias="max_value")
+    )
+    return tl.df.select("event_id", "user_id", "cnt_value", "min_value", "max_value")
+
+
+def q_running_mean_var(spark, sf_dir):
+    # mean/variance from exact decimal component sums (sum, sum of squares)
+    tl = (
+        _events(spark, sf_dir)
+        .sum(_dec(), alias="__s")
+        .sum((_dec() * _dec()), alias="__q")
+        .count("value", alias="__c")
+    )
+    mean = F.col("__s").cast("double") / F.col("__c")
+    var = F.col("__q").cast("double") / F.col("__c") - mean * mean
+    return tl.df.select(
+        "event_id", "user_id", mean.alias("mean_value"), var.alias("var_value")
+    )
+
+
+def q_running_first_last(spark, sf_dir):
+    pval = F.when(F.col("event_type") == "purchase", F.col("value"))
+    tl = (
+        _events(spark, sf_dir)
+        .extend(__p=pval)
+        .first("__p", alias="first_purchase")
+        .last("__p", alias="last_purchase")
+    )
+    return tl.df.select("event_id", "user_id", "first_purchase", "last_purchase")
+
+
+def q_lag(spark, sf_dir):
+    pval = F.when(F.col("event_type") == "purchase", F.col("value"))
+    tl = _events(spark, sf_dir).extend(__p=pval).lag("__p", 1, alias="prev_purchase")
+    return tl.df.select("event_id", "user_id", "prev_purchase")
+
+
+# ----------------------------------------------------------------------
+# row operators: when / with_key / shift (§2.1)
+# ----------------------------------------------------------------------
+def q_select_when(spark, sf_dir):
+    tl = _events(spark, sf_dir).when(
+        (F.col("value") > 150) & (F.col("event_type") == "click")
+    )
+    return tl.df.select("event_id", "user_id", "value")
+
+
+def q_with_key(spark, sf_dir):
+    tl = _events(spark, sf_dir).with_key("event_type").count("value", alias="cnt")
+    return tl.df.select("event_id", F.col(KEY).alias("event_type"), "cnt")
+
+
+def q_shift_by(spark, sf_dir):
+    tl = _events(spark, sf_dir).shift_by(F.expr("interval 1 hour"))
+    return tl.df.select("event_id", F.col(TIME).alias("shifted_ts"))
+
+
+def q_shift_until(spark, sf_dir):
+    tl = _events(spark, sf_dir).shift_until(F.col("event_type") == "error")
+    return tl.df.select("event_id", "user_id", F.col(TIME).alias("emitted_ts"))
+
+
+# ----------------------------------------------------------------------
+# windowed aggregations: since / sliding (§2.2 windows)
+# ----------------------------------------------------------------------
+def q_since_daily_sum(spark, sf_dir):
+    tl = _events(spark, sf_dir).sum(_dec(), window=Since(daily()), alias="__s")
+    return tl.df.select(
+        "event_id", "user_id", F.col("__s").cast("double").alias("sum_today")
+    )
+
+
+def q_sliding_rows(spark, sf_dir):
+    # sliding(3, <every row>) == last-3-rows window
+    tl = _events(spark, sf_dir).sum(
+        _dec(), window=Sliding(3, F.lit(True)), alias="__s"
+    )
+    return tl.df.select(
+        "event_id", "user_id", F.col("__s").cast("double").alias("sum_last3")
+    )
+
+
+def q_sliding_cond(spark, sf_dir):
+    # last 2 windows demarcated by purchase events
+    tl = _events(spark, sf_dir).sum(
+        _dec(), window=Sliding(2, F.col("event_type") == "purchase"), alias="__s"
+    )
+    return tl.df.select(
+        "event_id", "user_id", F.col("__s").cast("double").alias("sum_win2")
+    )
+
+
+def q_sliding_minmax(spark, sf_dir):
+    tl = _events(spark, sf_dir)
+    tl = tl.min("value", window=Sliding(2, F.col("event_type") == "purchase"), alias="min_win2")
+    tl = tl.max("value", window=Sliding(2, F.col("event_type") == "purchase"), alias="max_win2")
+    return tl.df.select("event_id", "user_id", "min_win2", "max_win2")
+
+
+# ----------------------------------------------------------------------
+# ticks & per-entity behaviors (§2.1 Tick/FinalTick, §3 decorations)
+# ----------------------------------------------------------------------
+def q_tick_daily(spark, sf_dir):
+    from kaskada_spark.operators.tick import TICK_COL
+
+    tl = _events(spark, sf_dir).with_ticks(daily())
+    tl = tl.count("value", window=Since(F.col(TICK_COL)), alias="cnt")
+    tl = tl.sum(_dec(), window=Since(F.col(TICK_COL)), alias="__s")
+    out = tl.df.filter(F.col(TICK_COL)).select(
+        F.col(KEY).alias("user_id"),
+        F.col(TIME).alias("tick_time"),
+        "cnt",
+        F.col("__s").cast("double").alias("sum_value"),
+    )
+    return out
+
+
+def q_final_last(spark, sf_dir):
+    fin = _events(spark, sf_dir).final()
+    return fin.select("event_id", "user_id", "value")
+
+
+# ----------------------------------------------------------------------
+# temporal joins: lookup (as-of) & merge-align (§2.1)
+# ----------------------------------------------------------------------
+def q_lookup_asof(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    od = _orders(spark, sf_dir)
+    tl = ev.lookup(od, key=F.col("user_id").cast("long"), values=["o_orderkey", "o_totalprice"])
+    return tl.df.select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
+def q_merge_align(spark, sf_dir):
+    ev = _events(spark, sf_dir).select_fields("value")
+    od = _orders(spark, sf_dir).select_fields("o_totalprice")
+    ev = Timeline(ev.df.withColumn(KEY, F.col(KEY).cast("long")))
+    merged = ev.merge(od, as_of=["o_totalprice"])
+    return merged.df.select(
+        F.col(KEY).alias("k"),
+        F.col(TIME).alias("t"),
+        F.col(SUBSORT).alias("s"),
+        "value",
+        "o_totalprice",
+    )
+
+
+# ----------------------------------------------------------------------
+# driver contract
+# ----------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: windowed temporal aggregation over the pre-tokenized
+    sequence stream (north-rule input shape) at sf0.001."""
+    return q_tokens_windowed(spark, "/root/testdata/sf0.001")
+
+
+def q_tokens_table(spark, sf_dir):
+    toks = tokenize_documents(spark, sf_dir)
+    return toks.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.element_at("tokens", 1).alias("tok_first"),
+        F.element_at("tokens", -1).alias("tok_last"),
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")).alias("tok_sum"),
+    )
+
+
+def q_tokens_windowed(spark, sf_dir):
+    toks = tokenize_documents(spark, sf_dir)
+    out = (
+        toks.groupBy("source", F.date_trunc("minute", F.col("_time")).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_seq"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum(
+                F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x.cast("long"))
+            ).alias("tok_checksum"),
+        )
+    )
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "running_sum": q_running_sum,
+        "running_stats": q_running_stats,
+        "running_mean_var": q_running_mean_var,
+        "running_first_last": q_running_first_last,
+        "lag": q_lag,
+        "select_when": q_select_when,
+        "with_key": q_with_key,
+        "shift_by": q_shift_by,
+        "shift_until": q_shift_until,
+        "since_daily_sum": q_since_daily_sum,
+        "sliding_rows": q_sliding_rows,
+        "sliding_cond": q_sliding_cond,
+        "sliding_minmax": q_sliding_minmax,
+        "tick_daily": q_tick_daily,
+        "final_last": q_final_last,
+        "lookup_asof": q_lookup_asof,
+        "merge_align": q_merge_align,
+        "tokens_table": q_tokens_table,
+        "tokens_windowed": q_tokens_windowed,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    dec = "CAST(value AS DECIMAL(18,2))"
+    return {
+        "running_sum": f"""
+            SELECT event_id, user_id,
+                   CAST(SUM({dec}) {_RUN} AS DOUBLE) AS sum_value
+            FROM events
+        """,
+        "running_stats": f"""
+            SELECT event_id, user_id,
+                   COUNT(value) {_RUN} AS cnt_value,
+                   MIN(value) {_RUN} AS min_value,
+                   MAX(value) {_RUN} AS max_value
+            FROM events
+        """,
+        "running_mean_var": f"""
+            WITH c AS (
+              SELECT event_id, user_id,
+                     CAST(SUM({dec}) {_RUN} AS DOUBLE) AS s,
+                     CAST(SUM({dec} * {dec}) {_RUN} AS DOUBLE) AS q,
+                     COUNT(value) {_RUN} AS n
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   s / n AS mean_value,
+                   q / n - (s / n) * (s / n) AS var_value
+            FROM c
+        """,
+        "running_first_last": f"""
+            WITH b AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN event_type = 'purchase' THEN value END AS p
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   FIRST_VALUE(p IGNORE NULLS) {_RUN} AS first_purchase,
+                   LAST_VALUE(p IGNORE NULLS) {_RUN} AS last_purchase
+            FROM b
+        """,
+        "lag": """
+            WITH nn AS (
+              SELECT event_id, user_id, ts, value,
+                     LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_purchase
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT e.event_id, e.user_id, nn.prev_purchase
+            FROM events e LEFT JOIN nn ON e.event_id = nn.event_id
+        """,
+        "select_when": """
+            SELECT event_id, user_id, value FROM events
+            WHERE value > 150 AND event_type = 'click'
+        """,
+        "with_key": """
+            SELECT event_id, event_type,
+                   COUNT(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt
+            FROM events
+        """,
+        "shift_by": """
+            SELECT event_id, ts + INTERVAL 1 HOUR AS shifted_ts FROM events
+        """,
+        "shift_until": f"""
+            WITH b AS (
+              SELECT event_id, user_id,
+                     FIRST_VALUE(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+                       OVER ({_EVENTS_ORDER} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS emitted_ts
+              FROM events
+            )
+            SELECT event_id, user_id, emitted_ts FROM b WHERE emitted_ts IS NOT NULL
+        """,
+        "since_daily_sum": f"""
+            SELECT event_id, user_id,
+                   CAST(SUM({dec}) OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_today
+            FROM events
+        """,
+        "sliding_rows": f"""
+            SELECT event_id, user_id,
+                   CAST(SUM({dec}) OVER ({_EVENTS_ORDER}
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_last3
+            FROM events
+        """,
+        "sliding_cond": f"""
+            WITH b AS (
+              SELECT *, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS f FROM events
+            ), w AS (
+              SELECT *,
+                     COALESCE(SUM(f) OVER ({_EVENTS_ORDER}
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wid,
+                     SUM({dec}) {_RUN} AS cumall
+              FROM b
+            ), fires AS (
+              SELECT user_id, wid, cumall FROM w WHERE f = 1
+            )
+            SELECT w.event_id, w.user_id,
+                   CAST(w.cumall - COALESCE(fx.cumall, 0) AS DOUBLE) AS sum_win2
+            FROM w LEFT JOIN fires fx ON fx.user_id = w.user_id AND fx.wid = w.wid - 2
+        """,
+        "sliding_minmax": f"""
+            WITH b AS (
+              SELECT *, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS f FROM events
+            ), w AS (
+              SELECT *,
+                     COALESCE(SUM(f) OVER ({_EVENTS_ORDER}
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wid
+              FROM b
+            ), cur AS (
+              SELECT *,
+                     MIN(value) OVER (PARTITION BY user_id, wid ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur_min,
+                     MAX(value) OVER (PARTITION BY user_id, wid ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur_max
+              FROM w
+            ), closed AS (
+              SELECT user_id, wid, MIN(value) AS win_min, MAX(value) AS win_max
+              FROM w GROUP BY user_id, wid
+            ), prevw AS (
+              SELECT user_id, wid,
+                     MIN(win_min) OVER (PARTITION BY user_id ORDER BY wid
+                        RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS prev_min,
+                     MAX(win_max) OVER (PARTITION BY user_id ORDER BY wid
+                        RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS prev_max
+              FROM closed
+            )
+            SELECT cur.event_id, cur.user_id,
+                   LEAST(prevw.prev_min, cur.cur_min) AS min_win2,
+                   GREATEST(prevw.prev_max, cur.cur_max) AS max_win2
+            FROM cur JOIN prevw ON cur.user_id = prevw.user_id AND cur.wid = prevw.wid
+        """,
+        "tick_daily": """
+            WITH bnds AS (
+              SELECT user_id, date_trunc('day', MIN(ts)) + INTERVAL 1 DAY AS start FROM events GROUP BY user_id
+            ), g AS (
+              SELECT date_trunc('day', MAX(ts)) AS fin FROM events
+            ), ticks AS (
+              SELECT user_id, UNNEST(generate_series(start, (SELECT fin FROM g), INTERVAL 1 DAY)) AS tick_time
+              FROM bnds
+            ), ev AS (
+              SELECT user_id, date_trunc('day', ts) + INTERVAL 1 DAY AS tick_time,
+                     COUNT(value) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS s
+              FROM events GROUP BY 1, 2
+            )
+            SELECT t.user_id, t.tick_time,
+                   COALESCE(ev.n, 0) AS cnt, CAST(ev.s AS DOUBLE) AS sum_value
+            FROM ticks t LEFT JOIN ev ON t.user_id = ev.user_id AND t.tick_time = ev.tick_time
+        """,
+        "final_last": """
+            SELECT event_id, user_id, value FROM events
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "lookup_asof": """
+            WITH u AS (
+              SELECT o_custkey AS k, o_orderdate AS t, o_orderkey AS s, FALSE AS is_req,
+                     NULL::BIGINT AS event_id, NULL::BIGINT AS user_id,
+                     struct_pack(ok := o_orderkey, tp := o_totalprice) AS snap
+              FROM orders
+              UNION ALL
+              SELECT user_id, ts, event_id, TRUE, event_id, user_id, NULL
+              FROM events
+            ), f AS (
+              SELECT *, LAST_VALUE(snap IGNORE NULLS) OVER (
+                       PARTITION BY k ORDER BY t, s, is_req
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+              FROM u
+            )
+            SELECT event_id, user_id, filled.ok AS o_orderkey, filled.tp AS o_totalprice
+            FROM f WHERE is_req
+        """,
+        "merge_align": """
+            WITH l AS (
+              SELECT CAST(user_id AS BIGINT) AS k, ts AS t, event_id AS s, value FROM events
+            ), r AS (
+              SELECT o_custkey AS k, o_orderdate AS t, o_orderkey AS s, o_totalprice FROM orders
+            ), j AS (
+              SELECT COALESCE(l.k, r.k) AS k, COALESCE(l.t, r.t) AS t, COALESCE(l.s, r.s) AS s,
+                     l.value, r.o_totalprice
+              FROM l FULL OUTER JOIN r ON l.k = r.k AND l.t = r.t AND l.s = r.s
+            )
+            SELECT k, t, s, value,
+                   LAST_VALUE(o_totalprice IGNORE NULLS) OVER (
+                     PARTITION BY k ORDER BY t, s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS o_totalprice
+            FROM j
+        """,
+        "tokens_table": f"""
+            WITH {TOKENS_ORACLE_CTE.strip()}
+            SELECT doc_id, source, len(tokens) AS n_tok,
+                   tokens[1] AS tok_first, tokens[-1] AS tok_last,
+                   list_aggregate(list_transform(tokens, t -> CAST(t AS BIGINT)), 'sum') AS tok_sum
+            FROM tokens_tbl
+        """,
+        "tokens_windowed": f"""
+            WITH {TOKENS_ORACLE_CTE.strip()}
+            SELECT source, date_trunc('minute', _time) AS bucket,
+                   COUNT(*) AS n_seq,
+                   SUM(len(tokens)) AS total_tokens,
+                   SUM(list_aggregate(list_transform(tokens, t -> CAST(t AS BIGINT)), 'sum')) AS tok_checksum
+            FROM tokens_tbl
+            GROUP BY 1, 2
+        """,
+    }

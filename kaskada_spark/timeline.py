@@ -1,0 +1,443 @@
+"""Timeline: the core abstraction — entity-keyed, event-time-ordered values.
+
+A ``Timeline`` wraps a DataFrame in the universal shape ``(_time,
+_subsort, _key, payload…)`` and exposes the reference engine's query
+surface (aggregations with since/sliding windows, when/filter, re-key,
+lag, shift, merge-align, lookup — reference operator inventory:
+crates/sparrow-plan/src/inst.rs:50-207 and
+crates/sparrow-runtime/src/execute/operation.rs:385-419) as *plan
+builders*: every method declares DataFrame transformations and returns a
+new Timeline; nothing executes until an action runs. Catalyst therefore
+sees the whole plan — filters push to the parquet scan, common window
+specs share a single shuffle+sort, and AQE re-plans at runtime.
+
+Scale notes (100 TB posture):
+- All per-entity computation lowers to ``Window.partitionBy(_key)``,
+  i.e. ONE hash shuffle on the entity key; every aggregation over the
+  same timeline reuses that exchange (Catalyst `ReusedExchange`).
+- Aggregations are running/cumulative per entity (the reference's
+  semantics — aggregations are timelines, not collapse-to-one-row:
+  crates/sparrow-compiler/src/functions/aggregation.rs), so no
+  whole-table collapse; skew on hot entities is handled by AQE and, for
+  decomposable aggs, by the salting helpers in operators/skew.py.
+- Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from kaskada_spark.prepare import KEY, META, SUBSORT, TIME, prepare
+from kaskada_spark.windows import Since, Sliding, Tick, WindowSpec
+
+# Per-window closed-aggregate components used by the sliding lowering.
+_WID = "__wid"
+_BUCKET_IDX = "__wid_idx"
+
+
+class Timeline:
+    """An entity-keyed, event-time-ordered stream of records."""
+
+    def __init__(self, df: DataFrame):
+        missing = [c for c in META if c not in df.columns]
+        if missing:
+            raise ValueError(f"not a timeline frame; missing {missing}")
+        self._df = df
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_events(
+        cls,
+        df: DataFrame,
+        time_col: str | Column,
+        key_col: str | Column,
+        subsort_col: str | Column | None = None,
+    ) -> "Timeline":
+        return cls(prepare(df, time_col, key_col, subsort_col))
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    @property
+    def value_columns(self) -> list[str]:
+        return [c for c in self._df.columns if c not in META]
+
+    # ------------------------------------------------------------------
+    # ordering / window specs
+    # ------------------------------------------------------------------
+    def order_window(self) -> W:
+        """Per-entity event order — the Spark rendering of the reference's
+        global (time, subsort, key_hash) total order
+        (crates/sparrow-core/src/key_triple.rs:512-519)."""
+        return W.partitionBy(KEY).orderBy(F.col(TIME), F.col(SUBSORT))
+
+    def running_frame(self) -> W:
+        return self.order_window().rowsBetween(W.unboundedPreceding, W.currentRow)
+
+    # ------------------------------------------------------------------
+    # row operators (reference "operations", plan.proto:33-161)
+    # ------------------------------------------------------------------
+    def when(self, cond: Column) -> "Timeline":
+        """Filter rows — the reference's Select operation / Fenl ``when``
+        (crates/sparrow-runtime/src/execute/operation/select.rs:19-40)."""
+        return Timeline(self._df.filter(cond))
+
+    def with_key(self, new_key: str | Column) -> "Timeline":
+        """Re-key the timeline — the reference's WithKey operation
+        (operation/with_key.rs:20-28). In Spark this is just a new
+        grouping column; the shuffle happens lazily at the next keyed op.
+        """
+        key_c = F.col(new_key) if isinstance(new_key, str) else new_key
+        cols = [c for c in self._df.columns if c != KEY]
+        return Timeline(self._df.select(key_c.alias(KEY), *cols))
+
+    def select_fields(self, *names: str) -> "Timeline":
+        return Timeline(self._df.select(*META, *names))
+
+    def remove_fields(self, *names: str) -> "Timeline":
+        return Timeline(self._df.drop(*names))
+
+    def extend(self, **cols: Column) -> "Timeline":
+        """Add computed columns (the reference's record ``extend``,
+        ast_to_dfg/record_ops_to_dfg.rs:157)."""
+        df = self._df
+        for name, col in cols.items():
+            df = df.withColumn(name, col)
+        return Timeline(df)
+
+    def final(self) -> DataFrame:
+        """FINAL per-entity behavior: the latest row per entity
+        (reference decoration, frontend.rs:99-104; FinalTick op).
+
+        Lowered to a single hash aggregation with `max_by` on the order
+        struct — map-side partial agg, no window sort needed.
+        """
+        order = F.struct(F.col(TIME), F.col(SUBSORT))
+        row = F.struct(*[F.col(c) for c in self._df.columns])
+        agg = self._df.groupBy(KEY).agg(F.max_by(row, order).alias("__row"))
+        return agg.select(*[F.col(f"__row.{c}").alias(c) for c in self._df.columns])
+
+    # ------------------------------------------------------------------
+    # aggregations (reference InstOp aggregations, inst.rs:209-216)
+    # ------------------------------------------------------------------
+    def aggregate(
+        self,
+        op: str,
+        col: str | Column,
+        window: WindowSpec = None,
+        alias: str | None = None,
+    ) -> "Timeline":
+        """Running per-entity aggregation, optionally windowed.
+
+        ``op`` in {sum, count, count_if, min, max, mean, variance,
+        stddev, first, last}. Aggregations update only on non-null
+        inputs (reference AGGREGATION_IS_NEW,
+        functions/aggregation.rs:6-8) — Spark's agg functions already
+        ignore nulls, and first/last use ignoreNulls=True.
+        """
+        col_c = F.col(col) if isinstance(col, str) else col
+        alias = alias or f"{op}_{col if isinstance(col, str) else 'expr'}"
+        if window is None:
+            frame = self.running_frame()
+            return Timeline(self._df.withColumn(alias, _agg_over(op, col_c, frame)))
+        if isinstance(window, Since):
+            return self._since_agg(op, col_c, window, alias)
+        if isinstance(window, Sliding):
+            return self._sliding_agg(op, col_c, window, alias)
+        raise TypeError(f"unsupported window {window!r}")
+
+    # convenience wrappers -------------------------------------------------
+    def sum(self, col, window=None, alias=None):
+        return self.aggregate("sum", col, window, alias)
+
+    def count(self, col, window=None, alias=None):
+        return self.aggregate("count", col, window, alias)
+
+    def count_if(self, col, window=None, alias=None):
+        return self.aggregate("count_if", col, window, alias)
+
+    def min(self, col, window=None, alias=None):
+        return self.aggregate("min", col, window, alias)
+
+    def max(self, col, window=None, alias=None):
+        return self.aggregate("max", col, window, alias)
+
+    def mean(self, col, window=None, alias=None):
+        return self.aggregate("mean", col, window, alias)
+
+    def variance(self, col, window=None, alias=None):
+        return self.aggregate("variance", col, window, alias)
+
+    def stddev(self, col, window=None, alias=None):
+        return self.aggregate("stddev", col, window, alias)
+
+    def first(self, col, window=None, alias=None):
+        return self.aggregate("first", col, window, alias)
+
+    def last(self, col, window=None, alias=None):
+        return self.aggregate("last", col, window, alias)
+
+    def lag(self, col: str | Column, n: int = 1, alias: str | None = None) -> "Timeline":
+        """n-th previous *non-null* value per entity.
+
+        The reference's ``lag`` is discrete and skips null inputs
+        (functions/time.rs:133-137, kernel sparrow-kernels/src/lag.rs):
+        it is defined only at rows where the input is non-null. n=1
+        lowers to `last(ignoreNulls)` over the preceding frame (no extra
+        shuffle); n>1 computes lag over the non-null subset and joins
+        back on the order triple (co-partitioned on _key).
+        """
+        col_c = F.col(col) if isinstance(col, str) else col
+        alias = alias or f"lag_{n}"
+        if n == 1:
+            prev = F.last(col_c, ignorenulls=True).over(
+                self.order_window().rowsBetween(W.unboundedPreceding, -1)
+            )
+            out = F.when(col_c.isNotNull(), prev)
+            return Timeline(self._df.withColumn(alias, out))
+        nn = self._df.filter(col_c.isNotNull()).select(
+            KEY, TIME, SUBSORT, F.lag(col_c, n).over(self.order_window()).alias(alias)
+        )
+        joined = self._df.join(nn, on=[KEY, TIME, SUBSORT], how="left")
+        return Timeline(joined)
+
+    # ------------------------------------------------------------------
+    # windowed lowerings
+    # ------------------------------------------------------------------
+    def _window_id(self, cond) -> tuple[DataFrame, Column, Column]:
+        """Assign each row its window id for a condition.
+
+        Returns (df_with_wid, wid_col, wid_index_col). The id counts
+        condition firings strictly *before* the row, so a firing row
+        closes its window (reference since/sliding semantics). For
+        calendar ticks the id is the calendar bucket (an integer unit
+        index so sliding range frames express "last n calendar units"
+        even when an entity has empty units).
+        """
+        if isinstance(cond, Tick):
+            bucket = F.date_trunc(cond.trunc_unit, F.col(TIME))
+            if cond.unit == "minutely":
+                idx = (F.unix_timestamp(bucket) / F.lit(60)).cast("long")
+            elif cond.unit == "hourly":
+                idx = (F.unix_timestamp(bucket) / F.lit(3600)).cast("long")
+            elif cond.unit == "daily":
+                idx = (F.unix_timestamp(bucket) / F.lit(86400)).cast("long")
+            elif cond.unit == "monthly":
+                idx = (F.year(bucket) * 12 + F.month(bucket) - 1).cast("long")
+            else:  # yearly
+                idx = F.year(bucket).cast("long")
+            df = self._df.withColumn(_WID, idx).withColumn(_BUCKET_IDX, idx)
+            return df, F.col(_WID), F.col(_BUCKET_IDX)
+        fires = F.coalesce(cond.cast("long"), F.lit(0))
+        wid = F.coalesce(
+            F.sum(fires).over(self.order_window().rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        df = self._df.withColumn(_WID, wid).withColumn(_BUCKET_IDX, F.col(_WID))
+        return df, F.col(_WID), F.col(_BUCKET_IDX)
+
+    def _since_agg(self, op: str, col: Column, window: Since, alias: str) -> "Timeline":
+        """since(cond): reset the accumulator when the condition fires.
+
+        Lowered to a running frame partitioned by (entity, window-id):
+        same single shuffle on _key (window-id is derived, not shuffled
+        on), sort amortized across all since-aggs on this timeline.
+        """
+        df, _, _ = self._window_id(window.condition)
+        frame = (
+            W.partitionBy(KEY, _WID)
+            .orderBy(F.col(TIME), F.col(SUBSORT))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        out = df.withColumn(alias, _agg_over(op, col, frame)).drop(_WID, _BUCKET_IDX)
+        return Timeline(out)
+
+    def _sliding_agg(self, op: str, col: Column, window: Sliding, alias: str) -> "Timeline":
+        """sliding(n, cond): last n condition-demarcated windows.
+
+        The reference uses the two-stacks amortized algorithm inside its
+        accumulator (two_stacks.rs). The scalable batch lowering here
+        decomposes instead: per-(entity, window) *closed* partial
+        aggregates (one hash agg) + a range-frame combine over the last
+        n-1 closed windows + the running value inside the current
+        (partial) window, joined back co-partitioned on the entity key.
+        All aggregations used are decomposable, so this holds at any
+        scale with exactly two shuffles (both on _key).
+        """
+        n = window.n
+        df, _, _ = self._window_id(window.condition)
+        cur_frame = (
+            W.partitionBy(KEY, _WID)
+            .orderBy(F.col(TIME), F.col(SUBSORT))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        comps = _components(op)
+        # running components within the current window
+        for name, (cop, cexpr) in comps.items():
+            df = df.withColumn(f"__cur_{name}", _agg_over(cop, cexpr(col), cur_frame))
+        order = F.struct(F.col(TIME), F.col(SUBSORT))
+        # closed value per window = running value at the window's last row
+        closed = df.groupBy(KEY, _WID).agg(
+            *[
+                F.max_by(F.col(f"__cur_{name}"), order).alias(f"__win_{name}")
+                for name in comps
+            ],
+            F.max(F.col(_BUCKET_IDX)).alias(_BUCKET_IDX),
+        )
+        combine_frame = (
+            W.partitionBy(KEY).orderBy(F.col(_BUCKET_IDX)).rangeBetween(-(n - 1), -1)
+        )
+        for name, (cop, _) in comps.items():
+            closed = closed.withColumn(
+                f"__prev_{name}",
+                _combine_over(cop, F.col(f"__win_{name}"), combine_frame),
+            )
+        closed = closed.select(
+            KEY, _WID, *[F.col(f"__prev_{name}") for name in comps]
+        )
+        joined = df.join(closed, on=[KEY, _WID], how="left")
+        out_col = _merge_components(
+            op,
+            {name: F.col(f"__prev_{name}") for name in comps},
+            {name: F.col(f"__cur_{name}") for name in comps},
+        )
+        out = joined.withColumn(alias, out_col)
+        drop = (
+            [_WID, _BUCKET_IDX]
+            + [f"__cur_{name}" for name in comps]
+            + [f"__prev_{name}" for name in comps]
+        )
+        return Timeline(out.drop(*drop))
+
+    # ------------------------------------------------------------------
+    # temporal operators delegated to operators/ modules
+    # ------------------------------------------------------------------
+    def shift_by(self, delta: Column) -> "Timeline":
+        from kaskada_spark.operators.shift import shift_by
+
+        return shift_by(self, delta)
+
+    def shift_to(self, new_time: Column) -> "Timeline":
+        from kaskada_spark.operators.shift import shift_to
+
+        return shift_to(self, new_time)
+
+    def shift_until(self, predicate: Column) -> "Timeline":
+        from kaskada_spark.operators.shift import shift_until
+
+        return shift_until(self, predicate)
+
+    def merge(self, other: "Timeline", as_of: Sequence[str] = ()) -> "Timeline":
+        from kaskada_spark.operators.merge import merge
+
+        return merge(self, other, as_of=as_of)
+
+    def lookup(
+        self, foreign: "Timeline", key: str | Column, values: Sequence[str]
+    ) -> "Timeline":
+        from kaskada_spark.operators.lookup import lookup
+
+        return lookup(self, foreign, key, values)
+
+    def with_ticks(self, tick: Tick) -> "Timeline":
+        from kaskada_spark.operators.tick import with_ticks
+
+        return with_ticks(self, tick)
+
+
+# ----------------------------------------------------------------------
+# aggregation lowering helpers
+# ----------------------------------------------------------------------
+def _agg_over(op: str, col: Column, frame: W) -> Column:
+    """Running aggregate of ``col`` over a frame; null-input-skipping
+    semantics match the reference (non-null inputs update, count counts
+    non-null — functions/aggregation.rs, count_evaluator.rs)."""
+    if op == "sum":
+        return F.sum(col).over(frame)
+    if op == "count":
+        return F.count(col).over(frame)
+    if op == "count_if":
+        return F.count(F.when(col, F.lit(1))).over(frame)
+    if op == "min":
+        return F.min(col).over(frame)
+    if op == "max":
+        return F.max(col).over(frame)
+    if op == "mean":
+        return F.avg(col).over(frame)
+    if op == "variance":
+        return F.var_pop(col).over(frame)
+    if op == "stddev":
+        # reference rewrites stddev = variance ** 0.5 (functions/aggregation.rs:110-120)
+        return F.sqrt(F.var_pop(col).over(frame))
+    if op == "first":
+        return F.first(col, ignorenulls=True).over(frame)
+    if op == "last":
+        return F.last(col, ignorenulls=True).over(frame)
+    raise ValueError(f"unknown aggregation {op!r}")
+
+
+def _components(op: str) -> dict:
+    """Decomposable components for the sliding combine."""
+    ident = lambda c: c  # noqa: E731
+    if op in ("sum", "min", "max", "count", "count_if", "first", "last"):
+        return {"v": (op, ident)}
+    if op == "mean":
+        return {"s": ("sum", ident), "c": ("count", ident)}
+    if op in ("variance", "stddev"):
+        return {
+            "s": ("sum", lambda c: c.cast("double")),
+            "c": ("count", ident),
+            "q": ("sum", lambda c: (c.cast("double") * c.cast("double"))),
+        }
+    raise ValueError(f"aggregation {op!r} not supported in sliding windows")
+
+
+def _combine_over(op: str, col: Column, frame: W) -> Column:
+    """Re-aggregate per-window closed values across the last n-1 windows."""
+    if op in ("sum", "count", "count_if"):
+        return F.sum(col).over(frame)
+    if op == "min":
+        return F.min(col).over(frame)
+    if op == "max":
+        return F.max(col).over(frame)
+    if op == "first":
+        return F.first(col, ignorenulls=True).over(frame)
+    if op == "last":
+        return F.last(col, ignorenulls=True).over(frame)
+    raise ValueError(op)
+
+
+def _merge_components(op: str, prev: dict, cur: dict) -> Column:
+    """Merge closed-window components with the current partial window."""
+    if op in ("sum",):
+        p, c = prev["v"], cur["v"]
+        return F.when(p.isNull() & c.isNull(), F.lit(None)).otherwise(
+            F.coalesce(p, F.lit(0)) + F.coalesce(c, F.lit(0))
+        )
+    if op in ("count", "count_if"):
+        return F.coalesce(prev["v"], F.lit(0)) + F.coalesce(cur["v"], F.lit(0))
+    if op == "min":
+        return F.least(prev["v"], cur["v"])
+    if op == "max":
+        return F.greatest(prev["v"], cur["v"])
+    if op == "first":
+        return F.coalesce(prev["v"], cur["v"])
+    if op == "last":
+        return F.coalesce(cur["v"], prev["v"])
+    if op == "mean":
+        s = F.coalesce(prev["s"], F.lit(0)) + F.coalesce(cur["s"], F.lit(0))
+        c = F.coalesce(prev["c"], F.lit(0)) + F.coalesce(cur["c"], F.lit(0))
+        return F.when(c > 0, s / c)
+    if op in ("variance", "stddev"):
+        s = F.coalesce(prev["s"], F.lit(0.0)) + F.coalesce(cur["s"], F.lit(0.0))
+        c = F.coalesce(prev["c"], F.lit(0)) + F.coalesce(cur["c"], F.lit(0))
+        q = F.coalesce(prev["q"], F.lit(0.0)) + F.coalesce(cur["q"], F.lit(0.0))
+        var = F.when(c > 0, q / c - (s / c) * (s / c))
+        return F.sqrt(var) if op == "stddev" else var
+    raise ValueError(op)
