@@ -274,7 +274,10 @@ def field_ref(rec: Column, name: str) -> Column:
 
 
 def extend_record(rec: Column, **fields: Column) -> Column:
-    return rec.withFields(**fields)
+    out = rec
+    for name, col in fields.items():
+        out = out.withField(name, col)
+    return out
 
 
 def select_fields(rec: Column, *names: str) -> Column:
