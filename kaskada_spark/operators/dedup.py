@@ -1,0 +1,180 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's operator set (driver mandate): exact dedup,
+MinHash+LSH near-dup, SimHash, and n-gram Jaccard — all expressed as
+DataFrame plans with md5-derived hashing so an external SQL engine can
+reproduce results bit-for-bit (correctness oracles), and all built to
+scale: hash-groupBy for exact, band-bucket self-joins for LSH (no n²
+cross join), explode+hash-agg for simhash.
+
+Scale notes (100 TB): the LSH self-join shuffles on (band, bucket) —
+bucket sizes are bounded by near-duplicate cluster sizes, and AQE's
+skew-join splitting handles pathological buckets (e.g. boilerplate
+docs). Signatures are fixed-width (k longs/doc), so the signature table
+is tiny relative to the corpus and the join side is prunable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+WORD_PATTERN = "[a-z0-9]+"
+
+
+def words(text: Column) -> Column:
+    """Lowercased word array (SQL-reproducible tokenization)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(WORD_PATTERN), 0)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct)."""
+    w = words(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)])
+    )
+    return F.array_distinct(grams)
+
+
+def _md5_hash28(c: Column) -> Column:
+    """28-bit deterministic hash: first 7 hex digits of md5 (the
+    SQL-reproducible analogue of the reference's hash kernel)."""
+    return F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate clusters by content hash: one row per distinct
+    content with the representative (min id) and copy count. One
+    hash-groupBy — map-side partial agg, scales linearly."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 8, shingle_n: int = 3) -> Column:
+    """MinHash signature (array<long>, length num_hashes) over word
+    shingles. Hash family i = md5('<i>|' || shingle) truncated to 28
+    bits; empty shingle sets get sentinel 2^28 (no shingle can collide
+    with it)."""
+    sh = shingles(text, shingle_n)
+    mins = [
+        F.coalesce(
+            F.array_min(
+                F.transform(sh, lambda s, i=i: _md5_hash28(F.concat(F.lit(f"{i}|"), s)))
+            ),
+            F.lit(1 << 28),
+        )
+        for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    Signature is split into ``bands`` bands of ``num_hashes/bands`` rows;
+    docs sharing any band bucket become a candidate pair (id_a < id_b,
+    distinct). The expensive part is a self-join per bucket — shuffled
+    on the bucket key, never a global cross join.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+    )
+    banded = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over (non-distinct) words: bit j of the output is
+    the sign of sum over words of ±1 by word-hash bit j. Pure
+    `aggregate` over an in-row array — no shuffle at all."""
+    w = words(text)
+    hv = F.transform(w, lambda x: F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("long"))
+    # per-bit counts via aggregate into a 16-element vector
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(16)])
+    counts = F.aggregate(
+        hv,
+        zero,
+        lambda acc, h: F.array(
+            *[
+                F.element_at(acc, j + 1)
+                + F.when(h.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+                for j in range(16)
+            ]
+        ),
+    )
+    bits = [
+        F.when(F.element_at(counts, j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(16)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, pair_col: str, n: int = 3
+) -> DataFrame:
+    """Jaccard similarity over word n-gram shingle sets for adjacent
+    document pairs within ``pair_col`` groups (rank-neighbor pairing —
+    a deterministic, O(n) pair generator useful for sampled dup audits).
+    """
+    w = W.partitionBy(pair_col).orderBy(id_col)
+    sh = df.select(
+        F.col(pair_col).alias("grp"),
+        F.col(id_col).alias("doc"),
+        shingles(F.col(text_col), n).alias("sh"),
+    ).withColumn("rn", F.row_number().over(W.partitionBy("grp").orderBy("doc")))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.grp") == F.col("b.grp")) & (F.col("a.rn") + 1 == F.col("b.rn")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    return joined.select(
+        F.col("a.grp").alias("grp"),
+        F.col("a.doc").alias("id_a"),
+        F.col("b.doc").alias("id_b"),
+        (inter.cast("double") / F.when(union > 0, union)).alias("jaccard"),
+    )

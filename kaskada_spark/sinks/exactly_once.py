@@ -1,0 +1,63 @@
+"""Exactly-once foreachBatch sink with per-partition lineage & metrics.
+
+Design (north rule: "idempotent foreachBatch sink … exactly-once output
+rows … resumable from checkpoint with per-partition lineage + metrics"):
+
+- Output lands under ``out_dir/batch_id=<epoch_id>/`` — a replayed
+  micro-batch (same epoch id after a crash-restart) OVERWRITES its own
+  directory, so source-offset replay never duplicates rows. Combined
+  with Spark's checkpointed offsets this gives exactly-once
+  materialization of the result table. On Iceberg the same pattern is a
+  `REPLACE PARTITIONS`/MERGE commit keyed by the epoch id; parquet
+  directories are the sandbox stand-in (no Iceberg jars in this image).
+- Lineage lands under ``lineage_dir/batch_id=<epoch_id>/`` — one row per
+  output partition: (batch_id, partition, n_rows, min/max event time).
+  A resume can validate that replayed batches reproduce identical
+  partition metrics (the reference validates snapshot compatibility by
+  plan hash + max event time, compute_store.rs:36-60).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class ExactlyOnceSink:
+    def __init__(self, out_dir: str, lineage_dir: str | None = None, time_col: str | None = None):
+        self.out_dir = out_dir
+        self.lineage_dir = lineage_dir or os.path.join(out_dir, "_lineage")
+        self.time_col = time_col
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        df = df.persist()
+        try:
+            df.write.mode("overwrite").parquet(f"{self.out_dir}/batch_id={batch_id}")
+            aggs = [F.count(F.lit(1)).alias("n_rows")]
+            if self.time_col and self.time_col in df.columns:
+                aggs += [
+                    F.min(self.time_col).alias("min_event_time"),
+                    F.max(self.time_col).alias("max_event_time"),
+                ]
+            lineage = (
+                df.groupBy(F.spark_partition_id().alias("partition"))
+                .agg(*aggs)
+                .withColumn("batch_id", F.lit(batch_id))
+            )
+            lineage.write.mode("overwrite").parquet(
+                f"{self.lineage_dir}/batch_id={batch_id}"
+            )
+        finally:
+            df.unpersist()
+
+    def read_output(self, spark) -> DataFrame:
+        return spark.read.option("basePath", self.out_dir).parquet(
+            f"{self.out_dir}/batch_id=*"
+        )
+
+    def read_lineage(self, spark) -> DataFrame:
+        return spark.read.option("basePath", self.lineage_dir).parquet(
+            f"{self.lineage_dir}/batch_id=*"
+        )

@@ -1,0 +1,215 @@
+"""Per-entity stateful running aggregations for Structured Streaming.
+
+The reference keeps dense per-entity accumulator vectors updated batch
+by batch and serialized to RocksDB for resume
+(crates/sparrow-instructions/src/grouping.rs:3-13,
+token/primitive_accum_token.rs:5-14, compute_store.rs:12-63). The Spark
+rendering is ONE fused `applyInPandasWithState` stage per grouping:
+the group state carries the accumulators, each micro-batch's rows are
+sorted by (_time, _subsort) inside the group (Spark guarantees no
+intra-group order — SURVEY §7.3), updated **vectorized in pandas/numpy**
+(never per row in Python), and the running value is emitted per input
+row so streaming output ≡ batch output on the same data.
+
+Late rows that regress behind the entity's high-water mark are dropped
+(the reference's bounded-lateness drop, read/stream_reader.rs:47;
+cross-entity lateness is handled upstream by `withWatermark`).
+
+Supported ops here: sum, count, min, max, mean, last — each optionally
+with a since-window reset condition column. The state schema is derived
+from the requested aggregations; checkpointing the query persists it
+(Spark state store), which is the engine's resume story (mirrors the
+reference's ComputeStore snapshot/restore).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, NamedTuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from kaskada_spark.prepare import KEY, SUBSORT, TIME
+
+
+class AggSpec(NamedTuple):
+    op: str          # sum | count | min | max | mean | last
+    col: str         # input value column (numeric)
+    alias: str       # output column name
+    since: str | None = None  # boolean reset-condition column
+
+
+_STATE_COMPS = {
+    "sum": ("sum",),
+    "count": ("cnt",),
+    "min": ("min",),
+    "max": ("max",),
+    "mean": ("sum", "cnt"),
+    "last": ("last",),
+}
+
+
+def _state_schema(specs: list[AggSpec]) -> T.StructType:
+    fields = [
+        T.StructField("max_time", T.LongType()),     # ns epoch high-water mark
+        T.StructField("max_subsort", T.LongType()),
+    ]
+    for s in specs:
+        for comp in _STATE_COMPS[s.op]:
+            typ = T.LongType() if comp == "cnt" else T.DoubleType()
+            fields.append(T.StructField(f"{s.alias}__{comp}", typ))
+    return T.StructType(fields)
+
+
+def _output_schema(input_schema: T.StructType, specs: list[AggSpec]) -> T.StructType:
+    fields = list(input_schema.fields)
+    for s in specs:
+        typ = T.LongType() if s.op == "count" else T.DoubleType()
+        fields.append(T.StructField(s.alias, typ))
+    return T.StructType(fields)
+
+
+def running_agg_stream(
+    tdf: DataFrame,
+    specs: list[AggSpec],
+    watermark: str | None = "10 minutes",
+    output_mode: str = "append",
+) -> DataFrame:
+    """Attach running per-entity aggregates to a streaming timeline frame.
+
+    ``tdf`` must have the universal shape (_time, _subsort, _key, …).
+    Returns one output row per (non-late) input row with the requested
+    aggregate columns appended — identical to the batch Timeline
+    lowering on the same ordered input.
+    """
+    if watermark:
+        tdf = tdf.withWatermark(TIME, watermark)
+    out_schema = _output_schema(tdf.schema, specs)
+    state_schema = _state_schema(specs)
+    func = _make_update_fn(specs, [f.name for f in tdf.schema.fields])
+    return tdf.groupBy(KEY).applyInPandasWithState(
+        func, out_schema, state_schema, output_mode, GroupStateTimeout.NoTimeout
+    )
+
+
+def _make_update_fn(specs: list[AggSpec], input_cols: list[str]):
+    state_comp_names = []
+    for s in specs:
+        for comp in _STATE_COMPS[s.op]:
+            state_comp_names.append(f"{s.alias}__{comp}")
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = dict(zip(["max_time", "max_subsort"] + state_comp_names, state.get))
+        else:
+            st = {"max_time": -(2**63), "max_subsort": -(2**63)}
+            st.update({n: None for n in state_comp_names})
+
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values([TIME, SUBSORT], kind="mergesort").reset_index(drop=True)
+            # drop rows at/behind the entity high-water mark (bounded lateness)
+            tns = pdf[TIME].astype("int64")
+            keep = (tns > st["max_time"]) | (
+                (tns == st["max_time"]) & (pdf[SUBSORT] > st["max_subsort"])
+            )
+            pdf = pdf[keep].reset_index(drop=True)
+            if pdf.empty:
+                continue
+            st["max_time"] = int(pdf[TIME].astype("int64").iloc[-1])
+            st["max_subsort"] = int(pdf[SUBSORT].iloc[-1])
+
+            out = pdf.copy()
+            for s in specs:
+                vals = pd.to_numeric(pdf[s.col], errors="coerce")
+                if s.since is not None:
+                    cond = pdf[s.since].fillna(False).astype(bool)
+                    # window id within batch: fires strictly before the row
+                    wid = cond.cumsum().shift(1, fill_value=0)
+                else:
+                    wid = pd.Series(0, index=pdf.index)
+                _apply_agg(out, st, s, vals, wid)
+            yield out
+
+        def _coerce(name, v):
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                return None
+            return int(v) if name.endswith("__cnt") else float(v)
+
+        flat = [int(st["max_time"]), int(st["max_subsort"])] + [
+            _coerce(n, st[n]) for n in state_comp_names
+        ]
+        state.update(tuple(flat))
+
+    return update
+
+
+def _apply_agg(out, st, spec: AggSpec, vals: pd.Series, wid: pd.Series) -> None:
+    """Vectorized accumulator update + running-value emission.
+
+    State carries into the batch's first window (wid 0); later windows
+    start fresh. New state = the last window's closing accumulator.
+    """
+    a = spec.alias
+    first_win = wid == 0
+    last_wid = int(wid.iloc[-1])
+    in_last = wid == last_wid
+    nn = vals.notna()
+
+    def carry(comp, combine, series):
+        prev = st.get(f"{a}__{comp}")
+        run = series.copy()
+        if prev is not None and not (isinstance(prev, float) and math.isnan(prev)):
+            run[first_win] = combine(run[first_win], prev)
+        # closing accumulator for the state = value at last row of last window
+        tail = run[in_last]
+        st[f"{a}__{comp}"] = None if tail.empty or pd.isna(tail.iloc[-1]) else tail.iloc[-1]
+        return run
+
+    if spec.op in ("sum", "mean"):
+        gs = vals.fillna(0).groupby(wid).cumsum()
+        has = nn.groupby(wid).cumsum() > 0
+        gs[~has] = float("nan")
+        run_sum = carry("sum", lambda s, p: s.fillna(0) + p, gs)
+    if spec.op in ("count", "mean"):
+        gc = nn.astype("int64").groupby(wid).cumsum()
+        run_cnt = carry("cnt", lambda s, p: s + int(p), gc.astype("float64"))
+    if spec.op == "sum":
+        out[a] = run_sum
+    elif spec.op == "count":
+        out[a] = run_cnt.astype("int64")
+    elif spec.op == "mean":
+        out[a] = run_sum / run_cnt.where(run_cnt > 0)
+    elif spec.op == "min":
+        out[a] = carry("min", lambda s, p: s.combine(pd.Series(p, index=s.index), min_nanskip), vals.groupby(wid).cummin())
+    elif spec.op == "max":
+        out[a] = carry("max", lambda s, p: s.combine(pd.Series(p, index=s.index), max_nanskip), vals.groupby(wid).cummax())
+    elif spec.op == "last":
+        ff = vals.groupby(wid).ffill()
+        out[a] = carry("last", lambda s, p: s.fillna(p), ff)
+    else:
+        raise ValueError(f"unsupported streaming op {spec.op!r}")
+
+
+def min_nanskip(x, y):
+    if pd.isna(x):
+        return y
+    if pd.isna(y):
+        return x
+    return min(x, y)
+
+
+def max_nanskip(x, y):
+    if pd.isna(x):
+        return y
+    if pd.isna(y):
+        return x
+    return max(x, y)

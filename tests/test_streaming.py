@@ -1,0 +1,237 @@
+"""Streaming semantics tests (north rule core):
+
+- streaming running aggregation ≡ batch Timeline on the same input
+- checkpoint resume reproduces the single-pass result byte-for-byte,
+  with the early input REMOVED before resume (mirror of the reference's
+  crates/sparrow-main/tests/e2e/resumeable_tests.rs:8-18)
+- exactly-once sink: replaying a batch id does not duplicate rows
+- per-entity late rows are dropped (bounded lateness)
+- tumbling-window pipeline emits watermark-closed windows that match
+  the batch computation
+"""
+
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from kaskada_spark import Timeline
+from kaskada_spark.sinks.exactly_once import ExactlyOnceSink
+from kaskada_spark.sources.tokens import tokenize_documents
+from kaskada_spark.streaming.pipeline import (
+    TOKEN_SCHEMA,
+    run_token_pipeline,
+    windowed_token_agg,
+)
+from kaskada_spark.streaming.state_machines import AggSpec, running_agg_stream
+
+
+def _write_time_split(df, order_cols, path, n_files=3):
+    """Write df as n time-ordered parquet files with increasing mtimes so
+    the file stream source consumes them in order."""
+    rows = df.orderBy(*order_cols).collect()
+    chunk = (len(rows) + n_files - 1) // n_files
+    os.makedirs(path, exist_ok=True)
+    spark = df.sparkSession
+    for i in range(n_files):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if not part:
+            continue
+        fp = os.path.join(path, f"part-{i:03d}.parquet")
+        spark.createDataFrame(part, df.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(fp + ".dir")
+        # materialize as a single file for deterministic ordering
+        src = [f for f in os.listdir(fp + ".dir") if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(fp + ".dir", src), fp)
+        shutil.rmtree(fp + ".dir")
+        os.utime(fp, (time.time() + i, time.time() + i))
+    return path
+
+
+@pytest.fixture(scope="module")
+def events_tl(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return Timeline.from_events(df, "ts", "user_id", "event_id")
+
+
+def _run_stream(spark, in_dir, schema, specs, checkpoint, out_dir):
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = running_agg_stream(stream, specs)
+    sink = ExactlyOnceSink(out_dir, time_col="_time")
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink
+
+
+SPECS = [
+    AggSpec("sum", "value", "sum_value"),
+    AggSpec("count", "value", "cnt_value"),
+    AggSpec("min", "value", "min_value"),
+    AggSpec("mean", "value", "mean_value"),
+    AggSpec("last", "value", "last_value"),
+]
+
+
+def _batch_expected(events_tl):
+    tl = (
+        events_tl.sum("value", alias="sum_value")
+        .count("value", alias="cnt_value")
+        .min("value", alias="min_value")
+        .mean("value", alias="mean_value")
+        .last("value", alias="last_value")
+    )
+    return {
+        r["event_id"]: (r["sum_value"], r["cnt_value"], r["min_value"], r["mean_value"], r["last_value"])
+        for r in tl.df.collect()
+    }
+
+
+def _assert_matches_batch(sink, spark, expected):
+    got = {
+        r["event_id"]: (r["sum_value"], r["cnt_value"], r["min_value"], r["mean_value"], r["last_value"])
+        for r in sink.read_output(spark).collect()
+    }
+    assert len(got) == len(expected)
+    for eid, exp in expected.items():
+        g = got[eid]
+        assert g[1] == exp[1], f"count mismatch at {eid}"
+        for i in (0, 2, 3, 4):
+            if exp[i] is None:
+                assert g[i] is None or g[i] != g[i]
+            else:
+                assert g[i] == pytest.approx(exp[i], rel=1e-12), f"col {i} at {eid}"
+
+
+def test_stream_running_agg_equals_batch(spark, events_tl, tmp_path):
+    in_dir = _write_time_split(events_tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 3)
+    sink = _run_stream(
+        spark, in_dir, events_tl.df.schema, SPECS, str(tmp_path / "ck"), str(tmp_path / "out")
+    )
+    _assert_matches_batch(sink, spark, _batch_expected(events_tl))
+
+
+def test_stream_resume_from_checkpoint(spark, events_tl, tmp_path):
+    """Run files 1-2, stop, DELETE file 1, add file 3, resume: combined
+    output must equal the batch result on all data (state sufficiency —
+    the reference's resumeable_tests.rs pattern)."""
+    full = _write_time_split(events_tl.df, ["_time", "_subsort"], str(tmp_path / "full"), 3)
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    files = sorted(os.listdir(full))
+    for f in files[:2]:
+        shutil.copy2(os.path.join(full, f), os.path.join(in_dir, f))
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    _run_stream(spark, in_dir, events_tl.df.schema, SPECS, ck, out)
+
+    os.remove(os.path.join(in_dir, files[0]))          # early input gone
+    shutil.copy2(os.path.join(full, files[2]), os.path.join(in_dir, files[2]))
+    sink = _run_stream(spark, in_dir, events_tl.df.schema, SPECS, ck, out)
+
+    _assert_matches_batch(sink, spark, _batch_expected(events_tl))
+
+
+def test_exactly_once_sink_idempotent_replay(spark, tmp_path):
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    sink = ExactlyOnceSink(str(tmp_path / "out"))
+    sink(df, 7)
+    sink(df, 7)  # crash-replay of the same epoch
+    out = sink.read_output(spark)
+    assert out.count() == 100
+    lin = sink.read_lineage(spark)
+    assert lin.agg(F.sum("n_rows")).collect()[0][0] == 100
+
+
+def test_late_row_dropped_per_entity(spark, tmp_path):
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+    early = dt.datetime(2024, 1, 1, 9, 0, 0)
+    f1 = [(t, 1, "A", 1.0)]
+    f2 = [(early, 2, "A", 100.0), (t.replace(minute=5), 3, "A", 2.0)]
+    schema = "_time timestamp, _subsort long, _key string, value double"
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for i, rows in enumerate([f1, f2]):
+        fp = os.path.join(in_dir, f"f{i}.parquet")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(fp + ".dir")
+        src = [f for f in os.listdir(fp + ".dir") if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(fp + ".dir", src), fp)
+        shutil.rmtree(fp + ".dir")
+        os.utime(fp, (time.time() + i, time.time() + i))
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    out = running_agg_stream(stream, [AggSpec("sum", "value", "s")], watermark="1 minute")
+    sink = ExactlyOnceSink(str(tmp_path / "out"))
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["_subsort"]: r["s"] for r in sink.read_output(spark).collect()}
+    assert 2 not in rows            # regressed row dropped
+    assert rows[3] == pytest.approx(3.0)  # 1.0 + 2.0, late 100.0 excluded
+
+
+def test_windowed_pipeline_matches_batch(spark, sf_dir, tmp_path):
+    toks = tokenize_documents(spark, sf_dir)
+    in_dir = _write_time_split(toks, ["_time"], str(tmp_path / "in"), 3)
+    sink = run_token_pipeline(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ck"),
+        window="1 minute", watermark="1 minute", max_files_per_trigger=1,
+    )
+    got = {
+        (str(r["window_start"]), r["source"]): (r["n_seq"], r["total_tokens"], r["tok_checksum"])
+        for r in sink.read_output(spark).collect()
+    }
+    # batch equivalent (all windows)
+    exp_df = (
+        toks.groupBy(F.window("_time", "1 minute").alias("win"), "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_seq"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum(F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x.cast("long"))).alias("ck"),
+        )
+    )
+    exp = {
+        (str(r["win"]["start"]), r["source"]): (r["n_seq"], r["total_tokens"], r["ck"])
+        for r in exp_df.collect()
+    }
+    assert got, "no windows emitted"
+    for k, v in got.items():
+        assert exp[k] == v
+    # every emitted window is watermark-closed and correct; open windows withheld
+    assert set(got) <= set(exp)
+
+
+def test_session_window_extension(spark):
+    """Session windows are a Spark-native extension the reference lacks
+    (SURVEY §2.5) — gap-based grouping."""
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 0, 0), "A", 1),
+        (dt.datetime(2024, 1, 1, 0, 0, 30), "A", 2),
+        (dt.datetime(2024, 1, 1, 0, 10, 0), "A", 4),
+    ]
+    df = spark.createDataFrame(rows, "t timestamp, k string, v int")
+    out = (
+        df.groupBy(F.session_window("t", "1 minute").alias("sw"), "k")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    )
+    assert sorted(r["s"] for r in out) == [3, 4]
