@@ -213,6 +213,182 @@ def q_merge_align(spark, sf_dir):
 
 
 # ----------------------------------------------------------------------
+# training-data pipeline: dedup / similarity / text analysis
+# (driver mandate — first-class alongside the reference operators)
+# ----------------------------------------------------------------------
+def q_exact_dedup(spark, sf_dir):
+    from kaskada_spark.operators.dedup import exact_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text")
+
+
+def q_minhash_lsh(spark, sf_dir):
+    from kaskada_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3)
+
+
+def q_simhash(spark, sf_dir):
+    from kaskada_spark.operators.dedup import simhash16
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from kaskada_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", "source", n=3)
+
+
+def q_embed_knn(spark, sf_dir):
+    from kaskada_spark.operators.similarity import brute_force_knn
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return brute_force_knn(emb, "vec_id", "embedding", list(range(10)), k=5)
+
+
+def q_embed_knn_lsh(spark, sf_dir):
+    from kaskada_spark.operators.similarity import lsh_knn
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return lsh_knn(emb, "vec_id", "embedding", list(range(10)), k=5, n_bits=6, dim=64)
+
+
+def q_cosine_near_dup(spark, sf_dir):
+    from kaskada_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.8, n_bits=4, dim=64)
+
+
+def q_lang_id(spark, sf_dir):
+    from kaskada_spark.operators.text import detect_language
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", detect_language(F.col("text")).alias("detected_lang"))
+
+
+def q_quality(spark, sf_dir):
+    from kaskada_spark.operators.text import quality_features, quality_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["word_cnt"].alias("word_cnt"),
+        feats["mean_word_len"].alias("mean_word_len"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    from kaskada_spark.operators.text import bpe_token_count, word_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        word_count(F.col("text")).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    from kaskada_spark.operators.text import fingerprint
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing (rows-only check: decode is a deterministic
+    stub, not SQL-expressible): binary payloads -> mapInPandas feature
+    extraction, aggregated per media type."""
+    from kaskada_spark.operators.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, 200)
+    feats = extract_features(media)
+    typed = feats.join(media.select("media_id", F.col("meta.media_type").alias("mt")), "media_id")
+    return typed.groupBy("mt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
+# ----------------------------------------------------------------------
+# oracle SQL builders (shared DuckDB fragments)
+# ----------------------------------------------------------------------
+_WORDS_CTE = """
+w AS (
+  SELECT doc_id, source, text,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+)
+"""
+
+_SHINGLES_CTE = _WORDS_CTE + """, sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(ws) - 2, 0)),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+         )) AS sh
+  FROM w
+)
+"""
+
+
+def _sql_hash28(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 7)) AS BIGINT)"
+
+
+def _sql_minhash_sig() -> str:
+    """DuckDB list literal mirroring minhash_signature(num_hashes=8)."""
+    mins = [
+        "coalesce(list_min(list_transform(sh, s -> "
+        + _sql_hash28(f"'{i}|' || s")
+        + ")), 268435456)"
+        for i in range(8)
+    ]
+    return "[" + ", ".join(mins) + "]"
+
+
+def _sql_dot(a: str, b: str, dim: int = 64) -> str:
+    """Sequential left-fold dot product — same op order as Spark's
+    F.aggregate, so doubles are bit-identical."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _sql_cosine(a: str, b: str, dim: int = 64) -> str:
+    return f"({_sql_dot(a, b, dim)} / (sqrt({_sql_dot(a, a, dim)}) * sqrt({_sql_dot(b, b, dim)})))"
+
+
+def _sql_lsh_bucket(vec: str, n_bits: int = 6, dim: int = 64, seed: int = 42) -> str:
+    """Mirror of similarity.lsh_bucket: bit b = sign(fold of v[j]*plane)."""
+    bits = []
+    for b in range(n_bits):
+        plane = (
+            f"CASE WHEN CAST(('0x' || substr(md5('{seed}|{b}|' || (j-1)), 1, 2)) AS INT) % 2 = 0 "
+            f"THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"
+        )
+        d = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dim}), j -> CAST({vec}[j] AS DOUBLE) * ({plane}))), "
+            f"(acc, x) -> acc + x)"
+        )
+        bits.append(f"CASE WHEN ({d}) > 0 THEN {1 << b} ELSE 0 END")
+    return "CAST((" + " + ".join(bits) + ") AS INT)"
+
+
+# ----------------------------------------------------------------------
 # driver contract
 # ----------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -269,6 +445,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_align": q_merge_align,
         "tokens_table": q_tokens_table,
         "tokens_windowed": q_tokens_windowed,
+        "exact_dedup": q_exact_dedup,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embed_knn": q_embed_knn,
+        "embed_knn_lsh": q_embed_knn_lsh,
+        "cosine_near_dup": q_cosine_near_dup,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "media_features": q_media_features,
     }
 
 
@@ -472,5 +660,164 @@ def oracle_sql() -> dict[str, str]:
                    SUM(list_aggregate(list_transform(tokens, t -> CAST(t AS BIGINT)), 'sum')) AS tok_checksum
             FROM tokens_tbl
             GROUP BY 1, 2
+        """,
+        **_pipeline_oracles(),
+    }
+
+
+_QIDS = ", ".join(str(i) for i in range(10))
+
+
+def _pipeline_oracles() -> dict[str, str]:
+    """Oracles for the training-data pipeline operators. Hashing is
+    md5-derived on both sides; float folds use list_reduce with a 0.0
+    prepend so the op sequence matches Spark's F.aggregate exactly."""
+    simhash_terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(hv, h -> (h & {1 << j}) != 0)) - len(hv) > 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j in range(16)
+    )
+    langs = ["en", "de", "fr", "es"]
+    from kaskada_spark.operators.text import BPE_PATTERN, STOPWORDS
+
+    def hits(lang: str) -> str:
+        vocab = ", ".join(f"'{s}'" for s in STOPWORDS[lang])
+        return f"len(list_filter(ws, x -> list_contains([{vocab}], x)))"
+
+    lang_cases = " ".join(
+        f"WHEN {lang} = greatest(en, de, fr, es) THEN '{lang}'" for lang in langs
+    )
+    knn_rank = """
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """
+    return {
+        "exact_dedup": """
+            SELECT md5(text) AS content_hash, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "minhash_lsh": f"""
+            WITH {_SHINGLES_CTE.strip()}, sig AS (
+              SELECT doc_id AS doc, {_sql_minhash_sig()} AS sig FROM sh
+            ), banded AS (
+              SELECT doc, band,
+                     CAST(sig[band * 2 + 1] AS VARCHAR) || ',' || CAST(sig[band * 2 + 2] AS VARCHAR) AS bucket
+              FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)
+            )
+            SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+            FROM banded a JOIN banded b USING (band, bucket)
+            WHERE a.doc < b.doc
+        """,
+        "simhash": f"""
+            WITH {_WORDS_CTE.strip()}, h AS (
+              SELECT doc_id,
+                     list_transform(ws, x -> CAST(('0x' || substr(md5(x), 1, 4)) AS BIGINT)) AS hv
+              FROM w
+            )
+            SELECT doc_id, CAST(({simhash_terms}) AS BIGINT) AS simhash FROM h
+        """,
+        "ngram_jaccard": f"""
+            WITH {_SHINGLES_CTE.strip()}, r AS (
+              SELECT source AS grp, doc_id AS doc, sh,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM sh
+            )
+            SELECT a.grp AS grp, a.doc AS id_a, b.doc AS id_b,
+                   CASE WHEN (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0
+                        THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                   END AS jaccard
+            FROM r a JOIN r b ON a.grp = b.grp AND a.rn + 1 = b.rn
+        """,
+        "embed_knn": f"""
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN ({_QIDS})
+            ), scored AS (
+              SELECT e.vec_id AS neighbor_id, q.query_id,
+                     {_sql_cosine("e.embedding", "q.qvec")} AS sim
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id != q.query_id
+            )
+            {knn_rank}
+        """,
+        "embed_knn_lsh": f"""
+            WITH b AS (
+              SELECT vec_id AS neighbor_id, embedding AS nvec,
+                     {_sql_lsh_bucket("embedding", 6, 64)} AS bucket
+              FROM embeddings
+            ), q AS (
+              SELECT neighbor_id AS query_id, nvec AS qvec, bucket
+              FROM b WHERE neighbor_id IN ({_QIDS})
+            ), scored AS (
+              SELECT b.neighbor_id, q.query_id, {_sql_cosine("b.nvec", "q.qvec")} AS sim
+              FROM b JOIN q USING (bucket)
+              WHERE b.neighbor_id != q.query_id
+            )
+            {knn_rank}
+        """,
+        "cosine_near_dup": f"""
+            WITH b AS (
+              SELECT vec_id AS doc, embedding AS vec,
+                     {_sql_lsh_bucket("embedding", 4, 64)} AS bucket
+              FROM embeddings
+            )
+            SELECT l.doc AS id_a, r.doc AS id_b,
+                   {_sql_cosine("l.vec", "r.vec")} AS sim
+            FROM b l JOIN b r USING (bucket)
+            WHERE l.doc < r.doc AND {_sql_cosine("l.vec", "r.vec")} > 0.8
+        """,
+        "lang_id": f"""
+            WITH {_WORDS_CTE.strip()}, h AS (
+              SELECT doc_id, {hits('en')} AS en, {hits('de')} AS de,
+                     {hits('fr')} AS fr, {hits('es')} AS es
+              FROM w
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und' {lang_cases} END AS detected_lang
+            FROM h
+        """,
+        "quality": f"""
+            WITH {_WORDS_CTE.strip()}, f AS (
+              SELECT doc_id,
+                     CAST(length(text) AS DOUBLE) AS n_chars,
+                     len(ws) AS wc,
+                     CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) AS twc,
+                     CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n]', '', 'g')) AS DOUBLE) AS punct,
+                     CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+                     {hits('en')} AS sw
+              FROM w
+            ), r AS (
+              SELECT doc_id, CAST(wc AS BIGINT) AS word_cnt,
+                     CASE WHEN wc > 0 THEN twc / CAST(wc AS DOUBLE) END AS mean_word_len,
+                     CASE WHEN n_chars > 0 THEN punct / n_chars END AS punct_ratio,
+                     CASE WHEN n_chars > 0 THEN digits / n_chars END AS digit_ratio,
+                     CASE WHEN wc > 0 THEN CAST(sw AS DOUBLE) / CAST(wc AS DOUBLE) END AS stopword_ratio
+              FROM f
+            )
+            SELECT doc_id, word_cnt, mean_word_len, punct_ratio, stopword_ratio,
+                   least(coalesce(stopword_ratio, 0.0) * 2.5, 1.0) * 0.4
+                   + (CASE WHEN coalesce(mean_word_len, 0.0) >= 3.0
+                           AND coalesce(mean_word_len, 0.0) <= 10.0 THEN 1.0 ELSE 0.0 END) * 0.3
+                   + greatest(1.0 - coalesce(punct_ratio, 0.0) * 4.0, 0.0) * 0.2
+                   + greatest(1.0 - coalesce(digit_ratio, 0.0) * 2.0, 0.0) * 0.1 AS quality
+            FROM r
+        """,
+        "token_counts": f"""
+            WITH {_WORDS_CTE.strip()}
+            SELECT doc_id, len(ws) AS ws_tokens,
+                   len(regexp_extract_all(text, '{BPE_PATTERN}')) AS bpe_tokens
+            FROM w
+        """,
+        "fingerprint": f"""
+            WITH {_WORDS_CTE.strip()}
+            SELECT doc_id,
+                   CAST(coalesce(list_sum(list_transform(
+                     generate_series(1, len(ws)),
+                     i -> i * {_sql_hash28('ws[i]')}
+                   )), 0) AS BIGINT) AS fp
+            FROM w
         """,
     }

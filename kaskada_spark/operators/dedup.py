@@ -60,13 +60,14 @@ def minhash_signature(text: Column, num_hashes: int = 8, shingle_n: int = 3) -> 
     bits; empty shingle sets get sentinel 2^28 (no shingle can collide
     with it)."""
     sh = shingles(text, shingle_n)
+
+    def hash_family(prefix: str):
+        # single-arg lambda on purpose: a 2-arg lambda would receive
+        # (element, index) from transform() and clobber the family id
+        return lambda s: _md5_hash28(F.concat(F.lit(prefix), s))
+
     mins = [
-        F.coalesce(
-            F.array_min(
-                F.transform(sh, lambda s, i=i: _md5_hash28(F.concat(F.lit(f"{i}|"), s)))
-            ),
-            F.lit(1 << 28),
-        )
+        F.coalesce(F.array_min(F.transform(sh, hash_family(f"{i}|"))), F.lit(1 << 28))
         for i in range(num_hashes)
     ]
     return F.array(*mins)

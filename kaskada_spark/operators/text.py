@@ -1,0 +1,125 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Language-ID (stopword n-gram heuristic), quality scoring
+(length/punctuation/stopword ratios), token counting (whitespace + a
+BPE-ish regex), and document fingerprinting (position-weighted rolling
+hash). Everything is a pure Catalyst column expression — regexes,
+higher-order array functions, and md5-derived hashes — so the hot path
+is whole-stage-codegen JVM work with zero Python per row, and an
+external SQL engine reproduces results bit-for-bit (oracle parity).
+
+Scale notes (100 TB): all of these are embarrassingly parallel map-only
+transforms — no shuffle at all; the only cost is the scan, so they
+pipeline into whatever aggregation follows and scale linearly with
+executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from kaskada_spark.operators.dedup import words
+
+# Tiny deterministic stopword profiles (language-ID heuristic — the
+# point is the distributed plan shape, not linguistic accuracy).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pas", "une", "dans", "que"],
+    "es": ["el", "la", "que", "los", "una", "por", "con", "para", "las", "es"],
+}
+
+# BPE-ish pre-tokenizer regex (GPT-2 style, lookahead-free so Java
+# regex and RE2 agree): word pieces, number runs, punctuation runs,
+# whitespace runs.
+BPE_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n]+"
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Non-distinct count of stopword occurrences for one language."""
+    vocab = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    return F.size(F.filter(words(text), lambda w: F.array_contains(vocab, w)))
+
+
+def detect_language(text: Column) -> Column:
+    """argmax over per-language stopword hit counts; 'und' (undetermined)
+    when no stopwords match at all. Deterministic tie-break by language
+    order en > de > fr > es (strict > comparison keeps the earlier)."""
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in STOPWORDS:
+        hits = stopword_hits(text, lang)
+        better = hits > best_hits
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(better, hits).otherwise(best_hits)
+    return best_lang
+
+
+def word_count(text: Column) -> Column:
+    return F.size(words(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish pre-tokenizer pieces (regex matches)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Quality-scoring feature set. All ratios are double divisions of
+    integer counts — bitwise reproducible in any engine."""
+    n_chars = F.length(text).cast("double")
+    wc = word_count(text)
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    digits = F.length(F.regexp_replace(text, "[^0-9]", "")).cast("double")
+    punct = F.length(F.regexp_replace(text, "[A-Za-z0-9 \\t\\n]", "")).cast("double")
+    upper = F.length(F.regexp_replace(text, "[^A-Z]", "")).cast("double")
+    sw = stopword_hits(text, "en")
+    total_word_chars = F.aggregate(
+        words(text), F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    return {
+        "n_chars": n_chars.cast("long"),
+        "word_cnt": wc.cast("long"),
+        "mean_word_len": F.when(
+            wc > 0, total_word_chars.cast("double") / wc.cast("double")
+        ),
+        "alpha_ratio": F.when(n_chars > 0, alpha / n_chars),
+        "digit_ratio": F.when(n_chars > 0, digits / n_chars),
+        "punct_ratio": F.when(n_chars > 0, punct / n_chars),
+        "upper_ratio": F.when(alpha > 0, upper / alpha),
+        "stopword_ratio": F.when(wc > 0, sw.cast("double") / wc.cast("double")),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: reward stopword presence and
+    sane word lengths, penalize punctuation/digit-heavy content."""
+    f = quality_features(text)
+    sw = F.coalesce(f["stopword_ratio"], F.lit(0.0))
+    mwl = F.coalesce(f["mean_word_len"], F.lit(0.0))
+    punct = F.coalesce(f["punct_ratio"], F.lit(0.0))
+    digit = F.coalesce(f["digit_ratio"], F.lit(0.0))
+    len_ok = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = (
+        F.least(sw * F.lit(2.5), F.lit(1.0)) * F.lit(0.4)
+        + len_ok * F.lit(0.3)
+        + F.greatest(F.lit(1.0) - punct * F.lit(4.0), F.lit(0.0)) * F.lit(0.2)
+        + F.greatest(F.lit(1.0) - digit * F.lit(2.0), F.lit(0.0)) * F.lit(0.1)
+    )
+    return score
+
+
+def _word_hash28(w: Column) -> Column:
+    return F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("long")
+
+
+def fingerprint(text: Column) -> Column:
+    """Position-weighted rolling fingerprint: sum_i (i * hash28(w_i)),
+    i 1-based. Order-sensitive (anagram texts differ) yet closed-form —
+    no fold needed, so both Spark (`transform(x, i)`) and a SQL oracle
+    (`generate_series` + element index) produce identical int64s. Bound:
+    28-bit hash x 1e6 positions x 1e6 words < 2^63, no overflow."""
+    w = words(text)
+    weighted = F.transform(w, lambda x, i: (i.cast("long") + 1) * _word_hash28(x))
+    return F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
