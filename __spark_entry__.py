@@ -188,6 +188,53 @@ def q_final_last(spark, sf_dir):
     return fin.select("event_id", "user_id", "value")
 
 
+def q_final_at(spark, sf_dir):
+    fin = _events(spark, sf_dir).final_at("2024-06-01 00:00:00")
+    return fin.select("event_id", "user_id", "value")
+
+
+def q_session_windows(spark, sf_dir):
+    """Session windows (30-min inactivity gap) per user: one row per
+    session with bounds and aggregates."""
+    tl = _events(spark, sf_dir).sessionize("30 minutes")
+    df = tl.df
+    return (
+        df.groupBy(F.col(KEY).alias("user_id"), F.col("session.start").alias("session_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(TIME).alias("last_ts"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("__s"),
+        )
+        .select(
+            "user_id", "session_start", "n_events", "last_ts",
+            F.col("__s").cast("double").alias("sum_value"),
+        )
+    )
+
+
+def q_scalar_showcase(spark, sf_dir):
+    """Scalar instruction layer over one query (reference InstOps §2.2):
+    arithmetic, clamp, comparison, Kleene logic, string ops, time
+    extraction, hash/validity, record build + field ref."""
+    from kaskada_spark.functions import scalar as S
+
+    ev = read_table(spark, sf_dir, "events")
+    rec = S.record(a=F.col("value"), b=F.col("event_type"))
+    return ev.select(
+        "event_id",
+        S.clamp(F.col("value"), F.lit(50.0), F.lit(150.0)).alias("clamped"),
+        S.round_(S.powf(F.col("value"), F.lit(0.5)), 6).alias("sqrt_v"),
+        S.if_(F.col("event_type") == "click", F.col("value")).alias("click_v"),
+        S.else_(F.lit(-1.0), S.null_if(F.col("value") > 100, F.col("value"))).alias("small_or_neg1"),
+        S.upper(S.substring(F.col("event_type"), F.lit(0), F.lit(3))).alias("ety3"),
+        S.len_(F.col("event_type")).alias("ety_len"),
+        S.day_of_year(F.col("ts")).alias("doy"),
+        S.months_between(F.col("ts"), F.lit("2024-12-31").cast("timestamp")).alias("mb"),
+        S.is_valid(F.col("value")).alias("valid"),
+        S.field_ref(rec, "a").alias("rec_a"),
+    )
+
+
 # ----------------------------------------------------------------------
 # temporal joins: lookup (as-of) & merge-align (§2.1)
 # ----------------------------------------------------------------------
@@ -441,6 +488,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_minmax": q_sliding_minmax,
         "tick_daily": q_tick_daily,
         "final_last": q_final_last,
+        "final_at": q_final_at,
+        "session_windows": q_session_windows,
+        "scalar_showcase": q_scalar_showcase,
         "lookup_asof": q_lookup_asof,
         "merge_align": q_merge_align,
         "tokens_table": q_tokens_table,
@@ -610,6 +660,40 @@ def oracle_sql() -> dict[str, str]:
         "final_last": """
             SELECT event_id, user_id, value FROM events
             QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "final_at": """
+            SELECT event_id, user_id, value FROM events
+            WHERE ts <= TIMESTAMP '2024-06-01 00:00:00'
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "session_windows": f"""
+            WITH b AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER ({_EVENTS_ORDER}) IS NULL
+                          OR ts > lag(ts) OVER ({_EVENTS_ORDER}) + INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS ns
+              FROM events
+            ), s AS (
+              SELECT *, SUM(ns) OVER ({_EVENTS_ORDER} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM b
+            )
+            SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events, MAX(ts) AS last_ts,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM s GROUP BY user_id, sid
+        """,
+        "scalar_showcase": """
+            SELECT event_id,
+                   least(greatest(value, 50.0), 150.0) AS clamped,
+                   round(pow(value, 0.5), 6) AS sqrt_v,
+                   CASE WHEN event_type = 'click' THEN value END AS click_v,
+                   COALESCE(CASE WHEN NOT (value > 100) THEN value END, -1.0) AS small_or_neg1,
+                   upper(substr(event_type, 1, 3)) AS ety3,
+                   length(event_type) AS ety_len,
+                   dayofyear(ts) AS doy,
+                   CAST((2024 - year(ts)) * 12 + (12 - month(ts)) AS INT) AS mb,
+                   value IS NOT NULL AS valid,
+                   value AS rec_a
+            FROM events
         """,
         "lookup_asof": """
             WITH u AS (

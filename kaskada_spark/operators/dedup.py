@@ -89,9 +89,31 @@ def minhash_lsh_pairs(
     on the bucket key, never a global cross join.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    # Signature via explode + groupBy-min, NOT num_hashes parallel
+    # array_min(transform(shingles...)) projections: higher-order-function
+    # lambdas are not common-subexpression-eliminated, so the array form
+    # re-evaluates the whole shingle pipeline once per hash family
+    # (measured 10x slower). Exploding materializes each shingle exactly
+    # once; the min-agg combines map-side, so the shuffle carries ~1 row
+    # per (doc, partition) — the scalable shape at corpus scale.
+    sh = df.select(
         F.col(id_col).alias("doc"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+        F.explode_outer(shingles(F.col(text_col), shingle_n)).alias("s"),
+    )
+    hashed = sh.select(
+        "doc",
+        *[
+            _md5_hash28(F.concat(F.lit(f"{i}|"), F.col("s"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    # empty-shingle docs (explode_outer null row) keep the sentinel sig,
+    # matching minhash_signature()
+    sig = hashed.groupBy("doc").agg(
+        *[
+            F.coalesce(F.min(f"h{i}"), F.lit(1 << 28)).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
     )
     banded = sig.select(
         "doc",
@@ -103,7 +125,7 @@ def minhash_lsh_pairs(
                         F.concat_ws(
                             ",",
                             *[
-                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                F.col(f"m{b * rows_per_band + r}").cast("string")
                                 for r in range(rows_per_band)
                             ],
                         ).alias("bucket"),

@@ -21,12 +21,21 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    pretouch: bool = False,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults.
 
     In local mode one JVM hosts all executor threads, so
     ``spark.driver.memory`` is the only memory knob; on a real cluster
     the same conf applies per executor via spark-submit.
+
+    JVM tuning (measured on this sandbox, see BENCH.md): a dynamically
+    growing heap causes kernel page-fault storms in the VM (sys-time
+    3x user-time), so benchmarks pass ``pretouch=True`` to fix the heap
+    up front; GC worker threads are capped at 8 — the JVM defaults them
+    to #cores, and 32 GC threads thrash this VM during young
+    collections. On a real multi-executor cluster the same settings
+    apply per executor (8-core executors are the sweet spot).
     """
     cpus = DEFAULT_CPUS
     if master is None:
@@ -39,6 +48,11 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
 
+    driver_mem = os.environ.get("SPARK_DRIVER_MEMORY", "24g")
+    jvm_opts = "-XX:+UseParallelGC -XX:ParallelGCThreads=8"
+    if pretouch or os.environ.get("KASKADA_SPARK_PRETOUCH"):
+        jvm_opts += f" -Xms{driver_mem} -XX:+AlwaysPreTouch"
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -49,8 +63,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.extraJavaOptions", jvm_opts)
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

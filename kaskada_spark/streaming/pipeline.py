@@ -41,17 +41,21 @@ TOKEN_SCHEMA = T.StructType(
 def windowed_token_agg(stream: DataFrame, window: str = "1 minute", watermark: str = "2 minutes") -> DataFrame:
     """The windowed temporal-aggregation at the heart of the north-star
     metric: per (tumbling window, source) sequence counts, token totals,
-    and an order-free token checksum (sum of token ids) whose value
-    byte-matches any engine that saw the same rows."""
+    and an order-free token-array checksum.
+
+    The checksum is `bit_xor(xxhash64(tokens))` — one whole-array hash
+    per row inside whole-stage codegen, XOR-combined so it is
+    grouping-order-free and overflow-free. Any engine that saw the same
+    token arrays in the same groups produces the same value, and any
+    reordered/corrupted/truncated array changes it (stronger than a
+    token *sum*, ~40x cheaper than the per-element fold — BENCH.md)."""
     return (
         stream.withWatermark("_time", watermark)
         .groupBy(F.window("_time", window).alias("win"), "source")
         .agg(
             F.count(F.lit(1)).alias("n_seq"),
             F.sum("n_tok").alias("total_tokens"),
-            F.sum(
-                F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x.cast("long"))
-            ).alias("tok_checksum"),
+            F.bit_xor(F.xxhash64("tokens")).alias("tok_checksum"),
         )
         .select(
             F.col("win.start").alias("window_start"),

@@ -15,7 +15,8 @@ Late rows that regress behind the entity's high-water mark are dropped
 (the reference's bounded-lateness drop, read/stream_reader.rs:47;
 cross-entity lateness is handled upstream by `withWatermark`).
 
-Supported ops here: sum, count, min, max, mean, last — each optionally
+Supported ops here: sum, count, min, max, mean, variance, first,
+last — each optionally
 with a since-window reset condition column. The state schema is derived
 from the requested aggregations; checkpointing the query persists it
 (Spark state store), which is the engine's resume story (mirrors the
@@ -50,7 +51,9 @@ _STATE_COMPS = {
     "min": ("min",),
     "max": ("max",),
     "mean": ("sum", "cnt"),
+    "variance": ("sum", "sumsq", "cnt"),
     "last": ("last",),
+    "first": ("first",),
 }
 
 
@@ -174,20 +177,34 @@ def _apply_agg(out, st, spec: AggSpec, vals: pd.Series, wid: pd.Series) -> None:
         st[f"{a}__{comp}"] = None if tail.empty or pd.isna(tail.iloc[-1]) else tail.iloc[-1]
         return run
 
-    if spec.op in ("sum", "mean"):
+    if spec.op in ("sum", "mean", "variance"):
         gs = vals.fillna(0).groupby(wid).cumsum()
         has = nn.groupby(wid).cumsum() > 0
         gs[~has] = float("nan")
         run_sum = carry("sum", lambda s, p: s.fillna(0) + p, gs)
-    if spec.op in ("count", "mean"):
+    if spec.op in ("count", "mean", "variance"):
         gc = nn.astype("int64").groupby(wid).cumsum()
         run_cnt = carry("cnt", lambda s, p: s + int(p), gc.astype("float64"))
+    if spec.op == "variance":
+        sq = vals * vals
+        gq = sq.fillna(0).groupby(wid).cumsum()
+        gq[~(nn.groupby(wid).cumsum() > 0)] = float("nan")
+        run_sumsq = carry("sumsq", lambda s, p: s.fillna(0) + p, gq)
     if spec.op == "sum":
         out[a] = run_sum
     elif spec.op == "count":
         out[a] = run_cnt.astype("int64")
     elif spec.op == "mean":
         out[a] = run_sum / run_cnt.where(run_cnt > 0)
+    elif spec.op == "variance":
+        n = run_cnt.where(run_cnt > 0)
+        m = run_sum / n
+        out[a] = run_sumsq / n - m * m
+    elif spec.op == "first":
+        first_pos = nn & (nn.groupby(wid).cumsum() == 1)
+        seed = vals.where(first_pos)
+        run_first = seed.groupby(wid).ffill()
+        out[a] = carry("first", lambda s, p: pd.Series(p, index=s.index), run_first)
     elif spec.op == "min":
         out[a] = carry("min", lambda s, p: s.combine(pd.Series(p, index=s.index), min_nanskip), vals.groupby(wid).cummin())
     elif spec.op == "max":

@@ -123,6 +123,42 @@ class Timeline:
         agg = self._df.groupBy(KEY).agg(F.max_by(row, order).alias("__row"))
         return agg.select(*[F.col(f"__row.{c}").alias(c) for c in self._df.columns])
 
+    def final_at(self, at_time: Column | str) -> DataFrame:
+        """FINAL_AT_TIME per-entity behavior: the latest row per entity
+        as of ``at_time`` (reference decoration with
+        ``__final_at_time__`` placeholder, frontend.rs:99-104,170-232).
+        Rows after the cutoff are excluded before the max_by agg, so the
+        filter pushes into the scan."""
+        t = F.lit(at_time).cast("timestamp") if isinstance(at_time, str) else at_time
+        return Timeline(self._df.filter(F.col(TIME) <= t)).final()
+
+    def sessionize(self, gap: str, alias: str = "session") -> "Timeline":
+        """Assign per-entity session windows (inactivity gap).
+
+        Not in the reference (closest: ``since(predicate)`` with an
+        inactivity predicate — SURVEY §2.5); included as a Spark-native
+        extension per the north rule. Adds a struct column
+        ``alias = (id, start)``: id is the session ordinal per entity,
+        start its first event time. One window pass over the existing
+        (key, time) order — no extra shuffle beyond the timeline's own
+        partitioning."""
+        w = self.order_window()
+        prev_t = F.lag(F.col(TIME)).over(w)
+        gap_i = F.expr(f"INTERVAL {gap}")
+        new_sess = F.when(
+            prev_t.isNull() | (F.col(TIME) > prev_t + gap_i), F.lit(1)
+        ).otherwise(F.lit(0))
+        df = self._df.withColumn("__new", new_sess)
+        sid = F.sum("__new").over(
+            W.partitionBy(KEY).orderBy(TIME, SUBSORT).rowsBetween(W.unboundedPreceding, 0)
+        )
+        df = df.withColumn("__sid", sid)
+        start = F.min(TIME).over(W.partitionBy(KEY, "__sid"))
+        return Timeline(
+            df.withColumn(alias, F.struct(F.col("__sid").alias("id"), start.alias("start")))
+            .drop("__new", "__sid")
+        )
+
     # ------------------------------------------------------------------
     # aggregations (reference InstOp aggregations, inst.rs:209-216)
     # ------------------------------------------------------------------

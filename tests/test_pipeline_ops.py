@@ -1,0 +1,185 @@
+"""Unit tests for the training-data pipeline operators: dedup,
+similarity search, text analysis, multimodal plumbing.
+
+Constructed micro-fixtures with known answers (the reference's
+catalog-golden-example style, SURVEY §5.3) — the sf-scale oracle
+equivalence is covered separately by the driver contract
+(tools/verify_local.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kaskada_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from kaskada_spark.operators.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    sample_frames,
+    synthesize_media,
+)
+from kaskada_spark.operators.similarity import brute_force_knn, cosine, lsh_knn
+from kaskada_spark.operators.text import (
+    bpe_token_count,
+    detect_language,
+    fingerprint,
+    quality_score,
+    word_count,
+)
+
+TEXT_A = "the quick brown fox jumps over the lazy dog and runs far away to the hills"
+TEXT_B = "the quick brown fox jumps over the lazy dog and runs far away to the house"
+TEXT_C = "completely different content about spark engines and columnar execution"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, TEXT_A, "s1"), (2, TEXT_A, "s1"), (3, TEXT_B, "s1"), (4, TEXT_C, "s2")],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_exact_dedup_clusters(docs):
+    rows = {r["rep_id"]: r["n_copies"] for r in exact_dedup(docs, "doc_id", "text").collect()}
+    assert rows[1] == 2          # docs 1,2 identical
+    assert rows[3] == 1
+    assert rows[4] == 1
+
+
+def test_minhash_identical_and_near(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=4).collect()
+    }
+    assert (1, 2) in pairs                      # identical -> always a pair
+    assert not any(4 in p for p in pairs)       # unrelated doc never pairs
+    # near-identical docs share most shingles; with 4 bands of 2 rows the
+    # collision probability is high — accept either but identical must hit
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_similarity(spark, docs):
+    h = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", simhash16(F.col("text")).alias("sh")).collect()}
+    assert h[1] == h[2]                               # identical text
+    ham_near = bin(h[1] ^ h[3]).count("1")
+    ham_far = bin(h[1] ^ h[4]).count("1")
+    assert ham_near < ham_far                         # near-dup closer than unrelated
+
+
+def test_ngram_jaccard_adjacent(docs):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", "source").collect()
+    }
+    assert out[(1, 2)] == pytest.approx(1.0)          # identical
+    assert 0.0 < out[(2, 3)] < 1.0                    # near-dup
+    assert (3, 4) not in out                          # different source group
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    base = [1.0] + [0.0] * 7
+    near = [0.9, 0.1] + [0.0] * 6
+    anti = [-1.0] + [0.0] * 7
+    ortho = [0.0, 0.0, 1.0] + [0.0] * 5
+    return spark.createDataFrame(
+        [(0, base), (1, near), (2, anti), (3, ortho)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_brute_force_knn_order(vecs):
+    out = [
+        (r["neighbor_id"], r["rank"])
+        for r in brute_force_knn(vecs, "vec_id", "embedding", [0], k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert out[0] == (1, 1)       # nearest = near vector
+    assert out[-1][0] == 2        # anti-parallel last
+
+
+def test_cosine_exact(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])], "a array<float>, b array<float>")
+    got = [r[0] for r in df.select(cosine(F.col("a"), F.col("b"))).collect()]
+    assert got[0] == pytest.approx(1.0)
+    assert got[1] == pytest.approx(0.0)
+
+
+def test_lsh_knn_self_bucket(vecs):
+    # identical vectors always share a bucket; query finds its near twin
+    out = lsh_knn(vecs, "vec_id", "embedding", [0], k=3, n_bits=2, dim=8).collect()
+    ids = {r["neighbor_id"] for r in out}
+    assert 1 in ids
+
+
+def test_language_detection(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "der hund ist nicht in das haus und die katze"),
+            (3, "le chat est dans la maison et les chiens"),
+            (4, "xyzzy plugh abracadabra"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["lang"] for r in df.select("id", detect_language(F.col("text")).alias("lang")).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "fr" and got[4] == "und"
+
+
+def test_quality_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog near the river bank."),
+         (2, "$$$ ### !!! 123 456 789 @@@ %%%")],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            quality_score(F.col("text")).alias("q"),
+            word_count(F.col("text")).alias("wc"),
+            bpe_token_count(F.col("text")).alias("bpe"),
+        ).collect()
+    }
+    assert rows[1]["q"] > rows[2]["q"]          # prose beats symbol soup
+    assert rows[1]["wc"] == 13
+    assert rows[1]["bpe"] >= rows[1]["wc"]      # BPE pieces >= words (punct)
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "id long, text string",
+    )
+    fp = {r["id"]: r["fp"] for r in df.select("id", fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fp[1] == fp[3]
+    assert fp[1] != fp[2]                       # anagram texts differ
+
+
+def test_media_feature_extraction(spark):
+    media = synthesize_media(spark, 50)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r["features"]) == FEATURE_DIM for r in rows)
+    assert all(r["n_bytes"] == 16 for r in rows)          # md5 payloads
+    # deterministic: same payload -> same features on re-run
+    again = {r["media_id"]: r["features"] for r in extract_features(media).collect()}
+    for r in rows:
+        assert again[r["media_id"]] == pytest.approx(r["features"])
+
+
+def test_media_frame_sampling(spark):
+    media = synthesize_media(spark, 10)
+    frames = sample_frames(media, every_n=2, max_frames=8)
+    pdf = frames.toPandas()
+    assert set(pdf["frame_idx"].unique()) <= {0, 2, 4, 6}
+    # frames reassemble subsets of the payload
+    assert (pdf.groupby("media_id")["frame"].apply(lambda s: sum(len(b) for b in s)) > 0).all()

@@ -123,6 +123,31 @@ def test_stream_running_agg_equals_batch(spark, events_tl, tmp_path):
     _assert_matches_batch(sink, spark, _batch_expected(events_tl))
 
 
+def test_stream_variance_first_equals_batch(spark, events_tl, tmp_path):
+    specs = [
+        AggSpec("variance", "value", "var_value"),
+        AggSpec("first", "value", "first_value"),
+    ]
+    in_dir = _write_time_split(events_tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 3)
+    sink = _run_stream(
+        spark, in_dir, events_tl.df.schema, specs, str(tmp_path / "ck"), str(tmp_path / "out")
+    )
+    tl = events_tl.variance("value", alias="var_value").first("value", alias="first_value")
+    exp = {r["event_id"]: (r["var_value"], r["first_value"]) for r in tl.df.collect()}
+    got = {r["event_id"]: (r["var_value"], r["first_value"]) for r in sink.read_output(spark).collect()}
+    assert len(got) == len(exp)
+    for eid, (ev, ef) in exp.items():
+        gv, gf = got[eid]
+        if ev is None:
+            assert gv is None or gv != gv
+        else:
+            assert gv == pytest.approx(ev, rel=1e-9, abs=1e-9), f"variance at {eid}"
+        if ef is None:
+            assert gf is None or gf != gf
+        else:
+            assert gf == pytest.approx(ef, rel=1e-12), f"first at {eid}"
+
+
 def test_stream_resume_from_checkpoint(spark, events_tl, tmp_path):
     """Run files 1-2, stop, DELETE file 1, add file 3, resume: combined
     output must equal the batch result on all data (state sufficiency —
@@ -204,7 +229,7 @@ def test_windowed_pipeline_matches_batch(spark, sf_dir, tmp_path):
         .agg(
             F.count(F.lit(1)).alias("n_seq"),
             F.sum("n_tok").alias("total_tokens"),
-            F.sum(F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x.cast("long"))).alias("ck"),
+            F.bit_xor(F.xxhash64("tokens")).alias("ck"),
         )
     )
     exp = {
