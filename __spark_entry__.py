@@ -260,6 +260,50 @@ def q_merge_align(spark, sf_dir):
 
 
 # ----------------------------------------------------------------------
+# Fenl frontend: the reference's query language running on Spark
+# (parser/compiler in kaskada_spark/fenl; grammar parity with
+# crates/sparrow-syntax/src/parser/grammar.lalrpop)
+# ----------------------------------------------------------------------
+def q_fenl_running(spark, sf_dir):
+    from kaskada_spark.fenl import fenl
+
+    q = """
+    {
+      n_vals: count(Events.value),
+      lo: min(Events.value),
+      hi: max(Events.value),
+      total_f: sum(floor(Events.value) as i64)
+    }
+    """
+    out = fenl(q, {"Events": _events(spark, sf_dir)})
+    return out.select(
+        F.col(SUBSORT).alias("event_id"),
+        F.col(KEY).alias("user_id"),
+        "n_vals", "lo", "hi", "total_f",
+    )
+
+
+def q_fenl_when(spark, sf_dir):
+    from kaskada_spark.fenl import fenl
+
+    q = "Events | when(Events.value > 150 and Events.event_type == 'click')"
+    out = fenl(q, {"Events": _events(spark, sf_dir)})
+    return out.select("event_id", "user_id", "value")
+
+
+def q_fenl_since(spark, sf_dir):
+    from kaskada_spark.fenl import fenl
+
+    q = "count(Events, window = since(Events.event_type == 'purchase'))"
+    out = fenl(q, {"Events": _events(spark, sf_dir)})
+    return out.select(
+        F.col(SUBSORT).alias("event_id"),
+        F.col(KEY).alias("user_id"),
+        F.col("result").alias("cnt_since"),
+    )
+
+
+# ----------------------------------------------------------------------
 # training-data pipeline: dedup / similarity / text analysis
 # (driver mandate — first-class alongside the reference operators)
 # ----------------------------------------------------------------------
@@ -491,6 +535,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "final_at": q_final_at,
         "session_windows": q_session_windows,
         "scalar_showcase": q_scalar_showcase,
+        "fenl_running": q_fenl_running,
+        "fenl_when": q_fenl_when,
+        "fenl_since": q_fenl_since,
         "lookup_asof": q_lookup_asof,
         "merge_align": q_merge_align,
         "tokens_table": q_tokens_table,
@@ -642,14 +689,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tick_daily": """
             WITH bnds AS (
-              SELECT user_id, date_trunc('day', MIN(ts)) + INTERVAL 1 DAY AS start FROM events GROUP BY user_id
+              SELECT user_id,
+                     CASE WHEN date_trunc('day', MIN(ts)) = MIN(ts)
+                          THEN MIN(ts)
+                          ELSE date_trunc('day', MIN(ts)) + INTERVAL 1 DAY
+                     END AS start
+              FROM events GROUP BY user_id
             ), g AS (
               SELECT date_trunc('day', MAX(ts)) AS fin FROM events
             ), ticks AS (
               SELECT user_id, UNNEST(generate_series(start, (SELECT fin FROM g), INTERVAL 1 DAY)) AS tick_time
               FROM bnds
             ), ev AS (
-              SELECT user_id, date_trunc('day', ts) + INTERVAL 1 DAY AS tick_time,
+              -- an event exactly on a boundary belongs to the tick AT that
+              -- time (ticks order after coincident events)
+              SELECT user_id,
+                     CASE WHEN date_trunc('day', ts) = ts THEN ts
+                          ELSE date_trunc('day', ts) + INTERVAL 1 DAY END AS tick_time,
                      COUNT(value) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS s
               FROM events GROUP BY 1, 2
             )
@@ -694,6 +750,30 @@ def oracle_sql() -> dict[str, str]:
                    value IS NOT NULL AS valid,
                    value AS rec_a
             FROM events
+        """,
+        "fenl_running": f"""
+            SELECT event_id, user_id,
+                   COUNT(value) {_RUN} AS n_vals,
+                   MIN(value) {_RUN} AS lo,
+                   MAX(value) {_RUN} AS hi,
+                   SUM(CAST(FLOOR(value) AS BIGINT)) {_RUN} AS total_f
+            FROM events
+        """,
+        "fenl_when": """
+            SELECT event_id, user_id, value FROM events
+            WHERE value > 150 AND event_type = 'click'
+        """,
+        "fenl_since": f"""
+            WITH w AS (
+              SELECT event_id, user_id, ts,
+                     COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       OVER ({_EVENTS_ORDER} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wid
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   COUNT(*) OVER (PARTITION BY user_id, wid ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt_since
+            FROM w
         """,
         "lookup_asof": """
             WITH u AS (

@@ -1,0 +1,810 @@
+"""Compile Fenl ASTs onto the Timeline/DataFrame engine.
+
+The reference compiles Fenl through AST → DFG (e-graph) → instruction
+plan (crates/sparrow-compiler/src/frontend.rs:111-199). On Spark the
+optimizer already exists (Catalyst), so this compiler only has to get
+the *temporal semantics* right and emit declarative DataFrame
+expressions; folding/pruning/CSE happen downstream for free.
+
+Semantic model — the single-universe lowering:
+
+Every expression in a Fenl query is a timeline over (a subset of) the
+rows of the primary table. The reference aligns differently-filtered
+timelines by physically merging sorted batches and spreading columns
+with null (discrete) or as-of (continuous) interpolation
+(operation/merge.rs, operation/spread.rs:363-430). Here every value is
+instead a ``Column`` over ONE universe frame (the prepared primary
+table) plus a *domain mask*:
+
+- discrete values carry ``mask`` (null outside their domain — null-
+  strict scalar ops then reproduce the reference's null interpolation,
+  and a scalar op's domain is the union of its discrete inputs' masks);
+- continuous values (aggregations, lookups) have ``mask=None`` and are
+  computed with running window frames, so at every universe row they
+  already hold the latched as-of value — exactly the reference's
+  "latched spread" (spread.rs:409-430) with no merge operator needed.
+
+Row-domain operators (when/shift/with_key) re-root the universe. The
+final output keeps META + result fields and filters to the result's
+domain. Physical shape: all scalar work is whole-stage codegen; all
+aggregations share the single entity-key shuffle of the Timeline
+lowering (timeline.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kaskada_spark.fenl import ast as A
+from kaskada_spark.fenl.parser import parse
+from kaskada_spark.functions import scalar as S
+from kaskada_spark.prepare import KEY, META, SUBSORT, TIME
+from kaskada_spark.timeline import Timeline
+from kaskada_spark.windows import Since, Sliding, Tick
+
+# Fenl concrete types (fenl_type.rs:37-63) -> Spark SQL types. Spark has
+# no unsigned ints; u* widen to the next signed type (documented
+# deviation — widening preserves all values).
+_FENL_TYPES = {
+    "bool": "boolean",
+    "i8": "tinyint",
+    "i16": "smallint",
+    "i32": "int",
+    "i64": "long",
+    "u8": "smallint",
+    "u16": "int",
+    "u32": "long",
+    "u64": "long",
+    "f32": "float",
+    "f64": "double",
+    "string": "string",
+    "timestamp_s": "timestamp",
+    "timestamp_ms": "timestamp",
+    "timestamp_us": "timestamp",
+    "timestamp_ns": "timestamp",
+    "date32": "date",
+    "date64": "date",
+    "duration_s": "long",
+    "duration_ms": "long",
+    "duration_us": "long",
+    "duration_ns": "long",
+    "interval_days": "int",
+    "interval_months": "int",
+}
+
+_NUM_SUFFIX_TYPES = {
+    "i8": "tinyint", "i16": "smallint", "i32": "int", "i64": "long",
+    "u8": "smallint", "u16": "int", "u32": "long", "u64": "long",
+    "f32": "float", "f64": "double",
+}
+
+_AGGREGATIONS = (
+    "sum", "count", "count_if", "min", "max", "mean",
+    "variance", "stddev", "first", "last",
+)
+
+
+class FenlCompileError(ValueError):
+    pass
+
+
+@dataclass
+class CVal:
+    """A compiled value: a Column over the current universe frame."""
+
+    col: Column
+    mask: Column | None = None  # discrete domain; None = defined at every row
+    continuous: bool = False
+    fields: dict[str, "CVal"] | None = None  # record structure when known
+    is_json: bool = False
+
+    @property
+    def discrete(self) -> bool:
+        return not self.continuous
+
+
+@dataclass
+class WindowVal:
+    spec: object  # Since | Sliding
+
+
+@dataclass
+class TickVal:
+    tick: Tick
+    flag: str | None = None  # injected tick-row indicator column
+
+
+def _or_masks(*vals: CVal) -> Column | None:
+    """Domain of a null-strict scalar op: union of the discrete inputs'
+    domains (continuous inputs are defined everywhere and contribute
+    none). An unmasked discrete input means the whole universe."""
+    discrete = [v for v in vals if isinstance(v, CVal) and v.discrete]
+    if not discrete:
+        return None
+    masks = [v.mask for v in discrete]
+    if any(m is None for m in masks):
+        return None
+    out = masks[0]
+    for m in masks[1:]:
+        out = out | m
+    return out
+
+
+def _masked(col: Column, mask: Column | None) -> Column:
+    return col if mask is None else F.when(mask, col)
+
+
+class Compiler:
+    def __init__(self, tables: dict[str, Timeline], primary: str,
+                 formulas: dict[str, A.Node] | None = None,
+                 tick_units: tuple[str, ...] = ()):
+        self.tables = tables
+        self.primary = primary
+        self.df: DataFrame = tables[primary].df
+        self.input_stack: list[CVal] = []
+        self.scope: dict[str, CVal] = {}
+        self.formulas = formulas or {}
+        self.ast_bindings: dict[str, A.Node] = {}
+        self._gen = 0
+        # Tick rows must join the universe BEFORE any aggregation column
+        # is computed, so continuous values latch onto tick rows exactly
+        # as the reference's merge-with-tick-stream does (tick.rs:33-60).
+        self.tick_flags: dict[str, str] = {}
+        for unit in tick_units:
+            self._inject_ticks(unit)
+
+    def _inject_ticks(self, unit: str) -> None:
+        from kaskada_spark.operators.tick import TICK_COL, with_ticks
+
+        flag = f"__fenl_tick_{unit}"
+        merged = with_ticks(Timeline(self.df), Tick(unit)).df
+        self.df = merged.withColumn(flag, F.coalesce(F.col(TICK_COL), F.lit(False))).drop(
+            TICK_COL
+        )
+        # rows added by this union have nulls for earlier flags
+        for other in self.tick_flags.values():
+            self.df = self.df.withColumn(other, F.coalesce(F.col(other), F.lit(False)))
+        self.tick_flags[unit] = flag
+
+    def _event_row(self) -> Column | None:
+        """True on original event rows, false on injected tick rows."""
+        if not self.tick_flags:
+            return None
+        out = ~F.col(next(iter(self.tick_flags.values())))
+        for flag in list(self.tick_flags.values())[1:]:
+            out = out & ~F.col(flag)
+        return out
+
+    # -- helpers -------------------------------------------------------
+    def _fresh(self, prefix: str = "f") -> str:
+        self._gen += 1
+        return f"__fenl_{prefix}{self._gen}"
+
+    def _tl(self) -> Timeline:
+        return Timeline(self.df)
+
+    def _value_columns(self) -> list[str]:
+        return [
+            c for c in self.df.columns
+            if c not in META and not c.startswith("__fenl_")
+        ]
+
+    def _table_val(self) -> CVal:
+        cols = self._value_columns()
+        fields = {c: CVal(F.col(c)) for c in cols}
+        struct = F.struct(*[F.col(c).alias(c) for c in cols])
+        ev = self._event_row()
+        if ev is not None:
+            # the table's record is null (not "new") on injected tick rows,
+            # so count(Input) does not count ticks (since.toml example).
+            struct = F.when(ev, struct)
+        return CVal(struct, fields=fields)
+
+    # -- compilation ---------------------------------------------------
+    def compile(self, node: A.Node) -> CVal | WindowVal | TickVal:
+        meth = getattr(self, f"_c_{type(node).__name__.lower()}")
+        return meth(node)
+
+    def _c_literal(self, node: A.Literal) -> CVal:
+        col = F.lit(node.value)
+        if node.suffix:
+            col = col.cast(_NUM_SUFFIX_TYPES[node.suffix])
+        return CVal(col)
+
+    def _c_ref(self, node: A.Ref) -> CVal:
+        name = node.name
+        if name == "$input":
+            if not self.input_stack:
+                if len(self.tables) == 1:
+                    return self._table_val()
+                raise FenlCompileError("$input used outside a pipe")
+            return self.input_stack[-1]
+        if name in self.scope:
+            return self.scope[name]
+        if name in self.ast_bindings:
+            val = self.compile(self.ast_bindings[name])
+            self.scope[name] = val  # compile once (CSE via caching)
+            return val
+        if name in self.tables:
+            if name != self.primary:
+                raise FenlCompileError(
+                    f"table {name!r} is not the primary grouping; reference "
+                    f"foreign tables through lookup(key, {name}.value)"
+                )
+            return self._table_val()
+        if name in self.formulas:
+            val = self.compile(self.formulas[name])
+            self.scope[name] = val  # hash-consing: formulas compile once
+            return val
+        raise FenlCompileError(f"unknown name {name!r}")
+
+    def _c_fieldref(self, node: A.FieldRef) -> CVal:
+        base = self.compile(node.base)
+        if not isinstance(base, CVal):
+            raise FenlCompileError("field access on a non-value")
+        if base.is_json:
+            return CVal(S.json_field(base.col, node.field), base.mask)
+        if base.fields is not None:
+            if node.field not in base.fields:
+                raise FenlCompileError(f"no field {node.field!r}")
+            v = base.fields[node.field]
+            mask = _or_masks(base) if base.discrete else None
+            return replace(v, mask=mask if mask is not None else v.mask)
+        return CVal(base.col.getField(node.field), base.mask, base.continuous)
+
+    def _c_index(self, node: A.Index) -> CVal:
+        base = self.compile(node.base)
+        idx = self.compile(node.index)
+        return CVal(
+            F.element_at(base.col, idx.col + F.lit(1)),
+            _or_masks(base, idx),
+        )
+
+    def _c_record(self, node: A.Record) -> CVal:
+        fields: dict[str, CVal] = {}
+        for name, sub in node.fields:
+            v = self.compile(sub)
+            if not isinstance(v, CVal):
+                raise FenlCompileError(f"record field {name!r} is not a value")
+            fields[name] = v
+        mask = _or_masks(*[v for v in fields.values() if v.discrete]) if any(
+            v.discrete for v in fields.values()
+        ) else None
+        col = F.struct(*[v.col.alias(n) for n, v in fields.items()])
+        return CVal(col, mask, continuous=all(v.continuous for v in fields.values()),
+                    fields=fields)
+
+    def _c_pipe(self, node: A.Pipe) -> CVal:
+        lhs = self.compile(node.lhs)
+        if not isinstance(lhs, CVal):
+            raise FenlCompileError("pipe lhs must be a value")
+        self.input_stack.append(lhs)
+        try:
+            return self.compile(node.rhs)
+        finally:
+            self.input_stack.pop()
+
+    def _c_let(self, node: A.Let) -> CVal:
+        """Let-bindings are LAZY: the AST is recorded and compiled on
+        first reference (then cached — the e-graph hash-consing
+        equivalent). Laziness matters for lookup: a binding over a
+        foreign grouping must only ever compile inside the lookup's
+        foreign sub-compiler, never in the primary universe."""
+        saved_scope = dict(self.scope)
+        saved_asts = dict(self.ast_bindings)
+        try:
+            for name, sub in node.bindings:
+                self.ast_bindings[name] = sub
+                self.scope.pop(name, None)
+            return self.compile(node.body)
+        finally:
+            self.scope = saved_scope
+            self.ast_bindings = saved_asts
+
+    def _c_cast(self, node: A.Cast) -> CVal:
+        v = self.compile(node.value)
+        if node.to not in _FENL_TYPES:
+            raise FenlCompileError(f"unknown Fenl type {node.to!r}")
+        return replace(v, col=v.col.cast(_FENL_TYPES[node.to]))
+
+    # -- calls ---------------------------------------------------------
+    def _c_call(self, node: A.Call) -> CVal | WindowVal | TickVal:
+        name = node.func
+        handler = getattr(self, f"_fn_{name}", None)
+        if handler is not None:
+            return handler(node)
+        if name in _AGGREGATIONS:
+            return self._aggregate(name, node)
+        if name in _SCALARS:
+            nargs, fn = _SCALARS[name]
+            args = self._positional(node, nargs)
+            vals = [self.compile(a) for a in args]
+            cols = [v.col for v in vals]
+            return CVal(fn(*cols), _or_masks(*vals))
+        raise FenlCompileError(f"unknown function {name!r}")
+
+    def _positional(self, node: A.Call, n: int, names: tuple[str, ...] = ()) -> list[A.Node]:
+        """Resolve positional+keyword args to n slots; missing slots fill
+        with $input (the reference's implicit-input resolution for pipes,
+        frontend/resolve_arguments.rs)."""
+        args = list(node.args)
+        kw = dict(node.kwargs)
+        out: list[A.Node] = []
+        for i in range(n):
+            if i < len(args):
+                out.append(args[i])
+            elif names and i < len(names) and names[i] in kw:
+                out.append(kw.pop(names[i]))
+            else:
+                out.append(A.Ref("$input"))
+        return out
+
+    # aggregations -----------------------------------------------------
+    def _aggregate(self, op: str, node: A.Call) -> CVal:
+        args = list(node.args)
+        kw = dict(node.kwargs)
+        input_node = args[0] if args else kw.pop("input", A.Ref("$input"))
+        window_node = args[1] if len(args) > 1 else kw.pop("window", None)
+        v = self.compile(input_node)
+        if not isinstance(v, CVal):
+            raise FenlCompileError(f"{op}() input is not a value")
+        window = None
+        if window_node is not None and not (
+            isinstance(window_node, A.Literal) and window_node.value is None
+        ):
+            w = self.compile(window_node)
+            if not isinstance(w, WindowVal):
+                raise FenlCompileError(f"{op}() window must be since(...)/sliding(...)")
+            window = w.spec
+        alias = self._fresh(op)
+        tl = self._tl().aggregate(op, _masked(v.col, v.mask), window=window, alias=alias)
+        self.df = tl.df
+        return CVal(F.col(alias), continuous=True)
+
+    def _fn_lag(self, node: A.Call) -> CVal:
+        n_node, v_node = self._positional(node, 2, ("n", "input"))
+        n = self._const_int(n_node, "lag n")
+        v = self.compile(v_node)
+        alias = self._fresh("lag")
+        tl = self._tl().lag(_masked(v.col, v.mask), n, alias=alias)
+        self.df = tl.df
+        # lag keeps discreteness (functions/time.rs:133-137): null at rows
+        # where the input is null, but those rows stay in the domain
+        # (lag.toml example output keeps every input row).
+        return CVal(F.col(alias))
+
+    def _const_int(self, node: A.Node, what: str) -> int:
+        if isinstance(node, A.Literal) and isinstance(node.value, int):
+            return node.value
+        raise FenlCompileError(f"{what} must be an integer literal")
+
+    # windows ----------------------------------------------------------
+    def _window_cond(self, cond) -> Column:
+        """A window condition as a firing column. Tick conditions use the
+        injected tick-row flag, so the firing ROW is the tick row itself —
+        coincident events order before it and belong to the closing
+        window, exactly as in the reference (tick subsort sentinel,
+        operation/tick.rs:33-60)."""
+        if isinstance(cond, TickVal):
+            return F.col(cond.flag)
+        return _masked(cond.col, cond.mask)
+
+    def _fn_since(self, node: A.Call) -> WindowVal:
+        (cond_node,) = self._positional(node, 1, ("condition",))
+        cond = self.compile(cond_node)
+        return WindowVal(Since(self._window_cond(cond)))
+
+    def _fn_sliding(self, node: A.Call) -> WindowVal:
+        n_node, cond_node = self._positional(node, 2, ("duration", "condition"))
+        n = self._const_int(n_node, "sliding duration")
+        cond = self.compile(cond_node)
+        return WindowVal(Sliding(n, self._window_cond(cond)))
+
+    def _tickval(self, unit: str) -> TickVal:
+        if unit not in self.tick_flags:
+            raise FenlCompileError(
+                f"{unit}() ticks were not pre-scanned; this is a compiler bug"
+            )
+        return TickVal(Tick(unit), self.tick_flags[unit])
+
+    def _fn_minutely(self, node: A.Call) -> TickVal:
+        return self._tickval("minutely")
+
+    def _fn_hourly(self, node: A.Call) -> TickVal:
+        return self._tickval("hourly")
+
+    def _fn_daily(self, node: A.Call) -> TickVal:
+        return self._tickval("daily")
+
+    def _fn_monthly(self, node: A.Call) -> TickVal:
+        return self._tickval("monthly")
+
+    def _fn_yearly(self, node: A.Call) -> TickVal:
+        return self._tickval("yearly")
+
+    # row/domain operators ---------------------------------------------
+    def _fn_when(self, node: A.Call) -> CVal:
+        cond_node, v_node = self._positional(node, 2, ("condition", "value"))
+        cond = self.compile(cond_node)
+        v = self.compile(v_node)
+        fire = self._window_cond(cond)
+        mask = fire if v.mask is None or v.continuous else (v.mask & fire)
+        return replace(v, col=_masked(v.col, mask), mask=mask, continuous=False)
+
+    def _rebase(self, tl: Timeline, keep_fields: dict[str, CVal] | None) -> CVal:
+        """Swap the universe to a re-rooted timeline (after shift/
+        with_key) and return its whole-record value."""
+        self.df = tl.df
+        if keep_fields is not None:
+            fields = {n: CVal(F.col(n)) for n in keep_fields}
+            col = F.struct(*[F.col(n).alias(n) for n in fields])
+            return CVal(col, fields=fields)
+        return self._table_val()
+
+    def _domain_input(self, v: CVal) -> tuple[Timeline, dict[str, CVal] | None]:
+        """Materialize a value's domain as its own timeline frame."""
+        df = self.df if v.mask is None else self.df.filter(v.mask)
+        if v.fields is not None:
+            names = []
+            for n, fv in v.fields.items():
+                df = df.withColumn(n, _masked(fv.col, None))
+                names.append(n)
+            tl = Timeline(df.select(*META, *names))
+            return tl, {n: CVal(F.col(n)) for n in names}
+        df = df.withColumn("result", v.col)
+        return Timeline(df.select(*META, "result")), {"result": CVal(F.col("result"))}
+
+    def _fn_shift_by(self, node: A.Call) -> CVal:
+        d_node, v_node = self._positional(node, 2, ("delta", "value"))
+        d = self.compile(d_node)
+        v = self.compile(v_node)
+        tl, fields = self._domain_input(v)
+        return self._rebase(tl.shift_by(d.col), fields)
+
+    def _fn_shift_to(self, node: A.Call) -> CVal:
+        t_node, v_node = self._positional(node, 2, ("time", "value"))
+        t = self.compile(t_node)
+        v = self.compile(v_node)
+        tl, fields = self._domain_input(v)
+        return self._rebase(tl.shift_to(t.col), fields)
+
+    def _fn_shift_until(self, node: A.Call) -> CVal:
+        p_node, v_node = self._positional(node, 2, ("predicate", "value"))
+        p = self.compile(p_node)
+        v = self.compile(v_node)
+        base = self.df if v.mask is None else self.df.filter(v.mask)
+        if v.fields is not None:
+            names = list(v.fields)
+            for n in names:
+                base = base.withColumn(n, v.fields[n].col)
+        else:
+            names = ["result"]
+            base = base.withColumn("result", v.col)
+        base = base.withColumn("__fenl_pred", F.coalesce(_masked(p.col, p.mask), F.lit(False)))
+        tl = Timeline(base.select(*META, *names, "__fenl_pred"))
+        shifted = tl.shift_until(F.col("__fenl_pred"))
+        out = Timeline(shifted.df.drop("__fenl_pred"))
+        return self._rebase(out, {n: CVal(F.col(n)) for n in names})
+
+    def _fn_with_key(self, node: A.Call) -> CVal:
+        k_node, v_node = self._positional(node, 2, ("key", "value"))
+        k = self.compile(k_node)
+        v = self.compile(v_node)
+        tl, fields = self._domain_input(v)
+        return self._rebase(tl.with_key(k.col), fields)
+
+    def _fn_lookup(self, node: A.Call) -> CVal:
+        """lookup(key, value): as-of value of a foreign-grouping
+        expression at the primary timeline's rows (reference
+        functions/general.rs:33-88, LookupRequest/Response ops)."""
+        k_node, v_node = self._positional(node, 2, ("key", "value"))
+        k = self.compile(k_node)
+        env = {**self.formulas, **self.ast_bindings}
+        foreign_name = _foreign_table_of(
+            v_node, set(self.tables) - {self.primary}, env
+        )
+        if foreign_name is None:
+            raise FenlCompileError(
+                "lookup(value) must reference exactly one foreign table"
+            )
+        sub = Compiler(self.tables, foreign_name, env)
+        fv = sub.compile(v_node)
+        if not isinstance(fv, CVal):
+            raise FenlCompileError("lookup value is not a value")
+        fdf = sub.df.withColumn("__fenl_lv", _masked(fv.col, fv.mask))
+        foreign_tl = Timeline(fdf.select(*META, "__fenl_lv"))
+        alias = self._fresh("lookup")
+        out = self._tl().lookup(foreign_tl, key=k.col, values=["__fenl_lv"])
+        self.df = out.df.withColumnRenamed("__fenl_lv", alias)
+        return CVal(F.col(alias), continuous=True)
+
+    # record ops -------------------------------------------------------
+    def _fn_extend(self, node: A.Call) -> CVal:
+        new_node, old_node = self._positional(node, 2, ("new", "old"))
+        new = self.compile(new_node)
+        old = self.compile(old_node)
+        for v, what in ((new, "new"), (old, "old")):
+            if v.fields is None:
+                raise FenlCompileError(f"extend {what} argument must be a record")
+        fields = dict(old.fields)
+        fields.update(new.fields)  # new wins on collision (extend.toml)
+        col = F.struct(*[v.col.alias(n) for n, v in fields.items()])
+        return CVal(col, _or_masks(new, old),
+                    continuous=new.continuous and old.continuous, fields=fields)
+
+    def _fn_select_fields(self, node: A.Call) -> CVal:
+        return self._field_subset(node, keep=True)
+
+    def _fn_remove_fields(self, node: A.Call) -> CVal:
+        return self._field_subset(node, keep=False)
+
+    def _field_subset(self, node: A.Call, keep: bool) -> CVal:
+        if not node.args:
+            raise FenlCompileError("select/remove_fields needs a record argument")
+        rec = self.compile(node.args[0])
+        if rec.fields is None:
+            raise FenlCompileError("select/remove_fields argument must be a record")
+        names = []
+        for a in node.args[1:]:
+            if not (isinstance(a, A.Literal) and isinstance(a.value, str)):
+                raise FenlCompileError("field names must be string literals")
+            names.append(a.value)
+        chosen = (
+            {n: v for n, v in rec.fields.items() if n in names}
+            if keep
+            else {n: v for n, v in rec.fields.items() if n not in names}
+        )
+        col = F.struct(*[v.col.alias(n) for n, v in chosen.items()])
+        return replace(rec, col=col, fields=chosen)
+
+    # misc surface functions -------------------------------------------
+    def _fn_time_of(self, node: A.Call) -> CVal:
+        (v_node,) = self._positional(node, 1, ("value",))
+        v = self.compile(v_node)
+        return CVal(F.col(TIME), v.mask, v.continuous)
+
+    def _fn_json(self, node: A.Call) -> CVal:
+        (v_node,) = self._positional(node, 1, ("s",))
+        v = self.compile(v_node)
+        return replace(v, is_json=True)
+
+    def _fn_if(self, node: A.Call) -> CVal:
+        c_node, v_node = self._positional(node, 2, ("condition", "value"))
+        c = self.compile(c_node)
+        v = self.compile(v_node)
+        return CVal(S.if_(_masked(c.col, c.mask), v.col), _or_masks(c, v))
+
+    def _fn_null_if(self, node: A.Call) -> CVal:
+        c_node, v_node = self._positional(node, 2, ("condition", "value"))
+        c = self.compile(c_node)
+        v = self.compile(v_node)
+        return CVal(S.null_if(_masked(c.col, c.mask), v.col), _or_masks(c, v))
+
+    def _fn_else_(self, node: A.Call) -> CVal:
+        d_node, v_node = self._positional(node, 2, ("default", "value"))
+        d = self.compile(d_node)
+        v = self.compile(v_node)
+        return CVal(F.coalesce(v.col, d.col), _or_masks(d, v))
+
+    _fn_else = _fn_else_
+
+    def _fn_coalesce(self, node: A.Call) -> CVal:
+        vals = [self.compile(a) for a in (node.args or (A.Ref("$input"),))]
+        return CVal(F.coalesce(*[v.col for v in vals]), _or_masks(*vals))
+
+    def _fn_hash(self, node: A.Call) -> CVal:
+        (v_node,) = self._positional(node, 1, ("input",))
+        v = self.compile(v_node)
+        return CVal(S.hash_(v.col), v.mask, v.continuous)
+
+    def _fn_substring(self, node: A.Call) -> CVal:
+        args = list(node.args)
+        kw = dict(node.kwargs)
+        s = self.compile(args[0] if args else A.Ref("$input"))
+        start = self.compile(args[1]) if len(args) > 1 else (
+            self.compile(kw["start"]) if "start" in kw else None
+        )
+        end = self.compile(args[2]) if len(args) > 2 else (
+            self.compile(kw["end"]) if "end" in kw else None
+        )
+        return CVal(
+            S.substring(s.col, start.col if start else None, end.col if end else None),
+            _or_masks(s, *(x for x in (start, end) if x)),
+        )
+
+    def _fn_clamp(self, node: A.Call) -> CVal:
+        args = list(node.args)
+        kw = dict(node.kwargs)
+        v = self.compile(args[0] if args else A.Ref("$input"))
+        lo = self.compile(args[1]) if len(args) > 1 else (
+            self.compile(kw["min"]) if "min" in kw else None
+        )
+        hi = self.compile(args[2]) if len(args) > 2 else (
+            self.compile(kw["max"]) if "max" in kw else None
+        )
+        return CVal(
+            S.clamp(v.col, lo.col if lo else None, hi.col if hi else None),
+            _or_masks(v, *(x for x in (lo, hi) if x)),
+        )
+
+
+def _foreign_table_of(
+    node: A.Node, foreign: set[str], env: dict[str, A.Node] | None = None
+) -> str | None:
+    """Find the single foreign table referenced by a lookup value,
+    chasing let-binding / formula references."""
+    found: set[str] = set()
+    seen: set[str] = set()
+    env = env or {}
+
+    def walk(n: A.Node) -> None:
+        if isinstance(n, A.Ref):
+            if n.name in foreign:
+                found.add(n.name)
+            elif n.name in env and n.name not in seen:
+                seen.add(n.name)
+                walk(env[n.name])
+        for c in _child_nodes(n):
+            walk(c)
+
+    walk(node)
+    return found.pop() if len(found) == 1 else None
+
+
+# scalar registry: Fenl name -> (arity, Column function). All lower to
+# built-in Spark expressions (InstOp table, SURVEY §2.2).
+_SCALARS = {
+    "add": (2, S.add),
+    "sub": (2, S.sub),
+    "mul": (2, S.mul),
+    "div": (2, lambda a, b: F.try_divide(a, b)),  # Fenl: div-by-zero -> null
+    "neg": (1, S.neg),
+    "ceil": (1, S.ceil),
+    "floor": (1, S.floor),
+    "round": (1, S.round_),
+    "powf": (2, S.powf),
+    "sqrt": (1, S.sqrt),
+    "exp": (1, S.exp),
+    "zip_min": (2, S.zip_min),
+    "zip_max": (2, S.zip_max),
+    "eq": (2, S.eq),
+    "neq": (2, S.neq),
+    "lt": (2, S.lt),
+    "lte": (2, S.lte),
+    "gt": (2, S.gt),
+    "gte": (2, S.gte),
+    "not": (1, S.not_),
+    "logical_and": (2, S.logical_and),
+    "logical_or": (2, S.logical_or),
+    "len": (1, S.len_),
+    "upper": (1, S.upper),
+    "lower": (1, S.lower),
+    "is_valid": (1, S.is_valid),
+    "day_of_month": (1, S.day_of_month),
+    "day_of_month0": (1, S.day_of_month0),
+    "day_of_year": (1, S.day_of_year),
+    "day_of_year0": (1, S.day_of_year0),
+    "month_of_year": (1, S.month_of_year),
+    "month_of_year0": (1, S.month_of_year0),
+    "year": (1, S.year),
+    "seconds": (1, S.seconds),
+    "days": (1, S.days),
+    "months": (1, S.months),
+    "add_time": (2, S.add_time),
+    "seconds_between": (2, S.seconds_between),
+    "days_between": (2, S.days_between),
+    "months_between": (2, S.months_between),
+}
+
+
+def compile_fenl(
+    source: str,
+    tables: dict[str, Timeline] | Timeline,
+    formulas: dict[str, str] | None = None,
+) -> DataFrame:
+    """Compile a Fenl query to a DataFrame ``(_time, _subsort, _key,
+    result fields…)``, filtered to the result's row domain (per-entity
+    behavior ALL; apply Timeline.final()/final_at() on top for FINAL)."""
+    if isinstance(tables, Timeline):
+        tables = {"Input": tables}
+    node = parse(source)
+    parsed_formulas = {n: parse(s) for n, s in (formulas or {}).items()}
+    primary = _primary_table(node, parsed_formulas, tables)
+    ticks = _tick_units(node, parsed_formulas)
+    comp = Compiler(tables, primary, parsed_formulas, tick_units=ticks)
+    result = comp.compile(node)
+    if not isinstance(result, CVal):
+        raise FenlCompileError("query does not produce a value")
+    df = comp.df
+    if result.fields is not None:
+        out_cols = [v.col.alias(n) for n, v in result.fields.items()]
+    else:
+        out_cols = [result.col.alias("result")]
+    out = df.select(*META, *out_cols)
+    if result.mask is not None:
+        out = df.withColumn("__fenl_mask", result.mask)
+        out = out.filter(F.col("__fenl_mask")).select(*META, *out_cols)
+    return out
+
+
+def _child_nodes(n: A.Node):
+    for f in getattr(n, "__dataclass_fields__", {}):
+        v = getattr(n, f)
+        if isinstance(v, A.Node):
+            yield v
+        elif isinstance(v, tuple):
+            for item in v:
+                if isinstance(item, A.Node):
+                    yield item
+                elif (
+                    isinstance(item, tuple)
+                    and len(item) == 2
+                    and isinstance(item[1], A.Node)
+                ):
+                    yield item[1]
+
+
+def _tick_units(node: A.Node, formulas: dict[str, A.Node]) -> tuple[str, ...]:
+    """Pre-scan for calendar tick functions so tick rows can join the
+    universe before any aggregation column is derived."""
+    from kaskada_spark.windows import TICK_UNITS
+
+    units: list[str] = []
+
+    def walk(n: A.Node) -> None:
+        if isinstance(n, A.Call) and n.func in TICK_UNITS and n.func not in units:
+            units.append(n.func)
+        for c in _child_nodes(n):
+            walk(c)
+
+    walk(node)
+    for f in formulas.values():
+        walk(f)
+    return tuple(units)
+
+
+def _primary_table(
+    node: A.Node, formulas: dict[str, A.Node], tables: dict[str, Timeline]
+) -> str:
+    """The primary grouping = the first table the query references
+    outside lookup values (reference: one primary_grouping per query,
+    plan.proto:20-27)."""
+    names = set(tables)
+    found: list[str] = []
+    seen: set[str] = set()
+
+    def walk(n: A.Node, env: dict[str, A.Node]) -> None:
+        if isinstance(n, A.Call) and n.func == "lookup":
+            # only the key side contributes to the primary grouping
+            if n.args:
+                walk(n.args[0], env)
+            return
+        if isinstance(n, A.Let):
+            # bindings resolve lazily: only walk the body; referenced
+            # bindings are chased through env
+            new_env = dict(env)
+            for bname, bnode in n.bindings:
+                new_env[bname] = bnode
+            walk(n.body, new_env)
+            return
+        if isinstance(n, A.Ref):
+            if n.name in names and n.name not in found:
+                found.append(n.name)
+            elif n.name in env and n.name not in seen:
+                seen.add(n.name)
+                walk(env[n.name], env)
+        for c in _child_nodes(n):
+            walk(c, env)
+
+    walk(node, dict(formulas))
+    if found:
+        return found[0]
+    if len(tables) == 1:
+        return next(iter(tables))
+    raise FenlCompileError("query references no table")
+
+
+fenl = compile_fenl

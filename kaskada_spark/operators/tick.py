@@ -57,7 +57,14 @@ def with_ticks(tl: Timeline, tick: Tick, include_final: bool = False) -> Timelin
     firsts = df.groupBy(KEY).agg(F.min(TIME).alias("__first"))
     bounds = firsts.crossJoin(F.broadcast(gmax))
 
-    start = F.date_trunc(unit, F.col("__first")) + step
+    # First tick = first boundary at-or-after the entity's first event:
+    # an event exactly ON a boundary still gets that boundary's tick
+    # (catalog sliding.toml example: ticks appear at 1996-12-19T00:00,
+    # the first event's exact time).
+    trunc_first = F.date_trunc(unit, F.col("__first"))
+    start = F.when(trunc_first == F.col("__first"), trunc_first).otherwise(
+        trunc_first + step
+    )
     end = F.date_trunc(unit, F.col("__gmax"))
     ticks = (
         bounds.filter(start <= end)

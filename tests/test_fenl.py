@@ -1,0 +1,527 @@
+"""Fenl frontend tests.
+
+Golden cases are transcribed from the reference's function-catalog
+examples (crates/sparrow-catalog/catalog/*.toml — each example carries
+input_csv/output_csv validated by the reference's own test harness,
+sparrow-catalog/src/update.rs) and run through the full parse → compile
+→ Spark pipeline. Values, rows, and tick-row injection must match the
+reference's published outputs exactly.
+"""
+
+from __future__ import annotations
+
+import io
+import math
+
+import pandas as pd
+import pytest
+
+from kaskada_spark.fenl import fenl, parse
+from kaskada_spark.fenl import ast as A
+from kaskada_spark.fenl.compiler import FenlCompileError
+from kaskada_spark.timeline import Timeline
+
+
+# ----------------------------------------------------------------------
+# parser
+# ----------------------------------------------------------------------
+def test_parse_precedence():
+    # mul binds tighter than add; comparison above logic
+    n = parse("a + b * c < d and e")
+    assert n == A.Call(
+        "logical_and",
+        (
+            A.Call(
+                "lt",
+                (
+                    A.Call("add", (A.Ref("a"), A.Call("mul", (A.Ref("b"), A.Ref("c"))))),
+                    A.Ref("d"),
+                ),
+            ),
+            A.Ref("e"),
+        ),
+    )
+
+
+def test_parse_pipe_let_record():
+    n = parse("let x = T.a | sum() in { x, y: x + 1 }")
+    assert isinstance(n, A.Let)
+    (name, bound), = n.bindings
+    assert name == "x"
+    assert bound == A.Pipe(A.FieldRef(A.Ref("T"), "a"), A.Call("sum"))
+    assert n.body == A.Record((("x", A.Ref("x")), ("y", A.Call("add", (A.Ref("x"), A.Literal(1))))))
+
+
+def test_parse_keyword_args_cast_literals():
+    n = parse('sum(T.v, window = since(daily())) as f32')
+    assert n == A.Cast(
+        A.Call("sum", (A.FieldRef(A.Ref("T"), "v"),), (("window", A.Call("since", (A.Call("daily"),))),)),
+        "f32",
+    )
+    assert parse('"a\\nb"') == A.Literal("a\nb")
+    assert parse("5u32") == A.Literal(5, "u32")
+    assert parse("2.5") == A.Literal(2.5)
+    assert parse("null") == A.Literal(None)
+
+
+def test_parse_unary_and_field_chain():
+    assert parse("!a.b") == A.Call("not", (A.FieldRef(A.Ref("a"), "b"),))
+    assert parse("-x * y") == A.Call("mul", (A.Call("neg", (A.Ref("x"),)), A.Ref("y")))
+
+
+def test_parse_errors():
+    for bad in ("a +", "{ x: }", "f(", "let x = 1", "a ? b"):
+        with pytest.raises(ValueError):
+            parse(bad)
+
+
+# ----------------------------------------------------------------------
+# golden harness
+# ----------------------------------------------------------------------
+def _tl(spark, csv: str, key: str = "key") -> Timeline:
+    pdf = pd.read_csv(io.StringIO(csv), parse_dates=["time"])
+    return Timeline.from_events(spark.createDataFrame(pdf), time_col="time", key_col=key)
+
+
+def _rows(df, cols):
+    out = [tuple(r) for r in df.select(*cols).collect()]
+
+    def keyf(t):
+        return tuple((v is None, str(v)) for v in t)
+
+    return sorted(out, key=keyf)
+
+
+def _expect(csv: str, cols, parse_time=("time",)):
+    pdf = pd.read_csv(io.StringIO(csv), parse_dates=list(parse_time))
+    recs = []
+    for _, row in pdf[list(cols)].iterrows():
+        vals = []
+        for c in cols:
+            v = row[c]
+            if isinstance(v, float) and math.isnan(v):
+                v = None
+            elif isinstance(v, pd.Timestamp):
+                v = v.to_pydatetime()
+            elif hasattr(v, "item"):
+                v = v.item()
+            vals.append(v)
+        recs.append(tuple(vals))
+
+    def keyf(t):
+        return tuple((v is None, str(v)) for v in t)
+
+    return sorted(recs, key=keyf)
+
+
+CATALOG_NUMS = """time,key,value
+2021-01-01T00:00:00,Ben,50.7
+2021-01-01T00:00:00,Ryan,
+2021-01-02T00:00:00,Ryan,67.2
+2021-01-03T00:00:00,Ben,1.2
+2021-01-04T00:00:00,Ben,
+2021-01-04T00:00:00,Ryan,2.3
+"""
+
+
+# ----------------------------------------------------------------------
+# catalog golden: aggregations & filtering
+# ----------------------------------------------------------------------
+def test_catalog_sum(spark):
+    # sum.toml 'Sum'
+    out = fenl("sum(Input.value)", _tl(spark, CATALOG_NUMS))
+    got = _rows(out.withColumnRenamed("_key", "key"), ["key", "result"])
+    assert got == _expect(
+        """key,result
+Ben,50.7
+Ryan,
+Ryan,67.2
+Ben,51.900000000000006
+Ben,51.900000000000006
+Ryan,69.5
+""",
+        ["key", "result"],
+        parse_time=(),
+    )
+
+
+def test_catalog_when(spark):
+    # when.toml 'When'
+    tl = _tl(
+        spark,
+        """time,key,condition
+1996-03-21T00:00:00,Ben,True
+1996-04-21T00:00:00,Ryan,True
+1996-05-21T00:00:00,Ryan,False
+1996-06-21T00:00:00,Ryan,True
+1996-07-21T00:00:00,Ben,False
+1996-08-21T00:00:00,Ben,True
+""",
+    )
+    out = fenl("Input | when(Input.condition)", tl)
+    got = _rows(out, ["time", "key", "condition"])
+    assert got == _expect(
+        """time,key,condition
+1996-03-21T00:00:00,Ben,True
+1996-04-21T00:00:00,Ryan,True
+1996-06-21T00:00:00,Ryan,True
+1996-08-21T00:00:00,Ben,True
+""",
+        ["time", "key", "condition"],
+    )
+
+
+def test_catalog_if_else(spark):
+    # if.toml + else.toml examples
+    tl = _tl(
+        spark,
+        """time,key,value,condition
+2021-01-01T00:00:00,A,57.8,False
+2021-01-02T00:00:00,B,58.7,True
+2021-01-03T00:00:00,A,,True
+2021-01-04T00:00:00,A,876,
+2021-01-05T00:00:00,A,786.0,
+""",
+    )
+    out = fenl("Input.value | if(Input.condition)", tl)
+    assert _rows(out, ["result"]) == [(58.7,), (None,), (None,), (None,), (None,)]
+
+    tl2 = _tl(
+        spark,
+        """time,key,a,b
+2021-01-01T00:00:00,X,57.8,63
+2021-01-02T00:00:00,Y,,86.3
+2021-01-03T00:00:00,X,6873,
+2021-01-04T00:00:00,X,,
+""",
+    )
+    out2 = fenl("Input.a | else(Input.b)", tl2)
+    assert _rows(out2, ["result"]) == [(57.8,), (6873.0,), (86.3,), (None,)]
+    out3 = fenl("Input.a | else(42.0)", tl2)
+    assert _rows(out3, ["result"]) == [(42.0,), (42.0,), (57.8,), (6873.0,)]
+
+
+def test_catalog_lag(spark):
+    # lag.toml 'Lag for Previous Value'
+    tl = _tl(
+        spark,
+        """time,key,n
+1996-03-21T00:00:00,Ben,1
+1996-04-21T00:00:00,Ryan,2
+1996-05-21T00:00:00,Ryan,3
+1996-06-21T00:00:00,Ryan,4
+1996-07-21T00:00:00,Ben,5
+1996-08-21T00:00:00,Ben,6
+""",
+    )
+    out = fenl("lag(1, Input.n)", tl)
+    got = _rows(out, ["_time", "_key", "result"])
+    assert got == _expect(
+        """_time,_key,result
+1996-03-21T00:00:00,Ben,
+1996-04-21T00:00:00,Ryan,
+1996-05-21T00:00:00,Ryan,2
+1996-06-21T00:00:00,Ryan,3
+1996-07-21T00:00:00,Ben,1
+1996-08-21T00:00:00,Ben,5
+""",
+        ["_time", "_key", "result"],
+        parse_time=("_time",),
+    ), got
+
+
+def test_catalog_lag_mean_difference(spark):
+    # lag.toml 'Lag for Average Change' (nulls skipped by lag)
+    tl = _tl(
+        spark,
+        """time,key,n
+1996-03-21T00:00:00,Ben,1
+1996-04-21T00:00:00,Ryan,2
+1996-05-21T00:00:00,Ryan,
+1996-06-21T00:00:00,Ryan,4
+1996-07-21T00:00:00,Ben,5
+1996-08-21T00:00:00,Ben,6
+""",
+    )
+    q = """
+let prev_value = Input.n | lag(1)
+let difference = Input.n - prev_value
+in
+{
+  difference,
+  mean_difference: mean(difference),
+} | extend({ time: time_of($input), key: first(Input.key) })
+"""
+    out = fenl(q, tl)
+    got = _rows(out, ["time", "key", "difference", "mean_difference"])
+    assert got == _expect(
+        """time,key,difference,mean_difference
+1996-03-21T00:00:00,Ben,,
+1996-04-21T00:00:00,Ryan,,
+1996-05-21T00:00:00,Ryan,,
+1996-06-21T00:00:00,Ryan,2,2.0
+1996-07-21T00:00:00,Ben,4,4.0
+1996-08-21T00:00:00,Ben,1,2.5
+""",
+        ["time", "key", "difference", "mean_difference"],
+    ), got
+
+
+# ----------------------------------------------------------------------
+# catalog golden: windowed aggregations with tick rows
+# ----------------------------------------------------------------------
+WINDOW_INPUT = """time,key,n
+1996-12-19T16:00:57,Ben,2
+1996-12-19T16:00:58,Ryan,3
+1996-12-19T17:00:00,Ben,9
+1996-12-19T17:03:00,Ben,9
+1996-12-19T17:01:00,Ryan,8
+1996-12-19T18:01:00,Ben,1
+"""
+
+
+def test_catalog_since_hourly_count(spark):
+    # since.toml 'Hourly Count' — tick rows appear in the output; events
+    # exactly on a boundary belong to the closing window.
+    q = """
+{ n: Input.n, result: count(Input, window = since(hourly())) }
+| extend({ time: time_of($input), key: first(Input.key) })
+"""
+    out = fenl(q, _tl(spark, WINDOW_INPUT))
+    got = _rows(out, ["time", "key", "n", "result"])
+    assert got == _expect(
+        """time,key,n,result
+1996-12-19T16:00:57,Ben,2,1
+1996-12-19T16:00:58,Ryan,3,1
+1996-12-19T17:00:00,Ben,9,2
+1996-12-19T17:00:00,Ben,,2
+1996-12-19T17:00:00,Ryan,,1
+1996-12-19T17:01:00,Ryan,8,1
+1996-12-19T17:03:00,Ben,9,1
+1996-12-19T18:00:00,Ben,,1
+1996-12-19T18:00:00,Ryan,,1
+1996-12-19T18:01:00,Ben,1,1
+""",
+        ["time", "key", "n", "result"],
+    ), got
+
+
+def test_catalog_since_predicate(spark):
+    # since.toml 'Count Since Predicate'
+    out = fenl("count(Input, window = since(Input.n > 5))", _tl(spark, WINDOW_INPUT))
+    got = _rows(out, ["_time", "_key", "result"])
+    assert got == _expect(
+        """_time,_key,result
+1996-12-19T16:00:57,Ben,1
+1996-12-19T16:00:58,Ryan,1
+1996-12-19T17:00:00,Ben,2
+1996-12-19T17:01:00,Ryan,2
+1996-12-19T17:03:00,Ben,1
+1996-12-19T18:01:00,Ben,1
+""",
+        ["_time", "_key", "result"],
+        parse_time=("_time",),
+    ), got
+
+
+SLIDING_INPUT = """time,key,n
+1996-12-19T00:00:00,Ben,1
+1996-12-19T00:00:00,Ryan,2
+1996-12-20T00:00:00,Ben,3
+1996-12-20T01:00:00,Ben,4
+1996-12-21T00:00:00,Ryan,5
+1996-12-21T00:00:00,Ben,6
+"""
+
+
+def test_catalog_sliding_daily(spark):
+    # sliding.toml 'Sliding Over 2 Days' (tick rows included)
+    q = """
+{ n: Input.n, result: sum(Input.n, window = sliding(2, daily())) }
+| extend({ time: time_of($input), key: first(Input.key) })
+"""
+    out = fenl(q, _tl(spark, SLIDING_INPUT))
+    got = _rows(out, ["time", "key", "n", "result"])
+    assert got == _expect(
+        """time,key,n,result
+1996-12-19T00:00:00,Ben,1,1
+1996-12-19T00:00:00,Ryan,2,2
+1996-12-19T00:00:00,Ben,,1
+1996-12-19T00:00:00,Ryan,,2
+1996-12-20T00:00:00,Ben,3,4
+1996-12-20T00:00:00,Ben,,4
+1996-12-20T00:00:00,Ryan,,2
+1996-12-20T01:00:00,Ben,4,7
+1996-12-21T00:00:00,Ryan,5,5
+1996-12-21T00:00:00,Ben,6,13
+1996-12-21T00:00:00,Ben,,13
+1996-12-21T00:00:00,Ryan,,5
+""",
+        ["time", "key", "n", "result"],
+    ), got
+
+
+def test_catalog_sliding_events(spark):
+    # sliding.toml 'Sliding Over 3 Events'
+    out = fenl("mean(Input.n, window = sliding(3, is_valid(Input)))", _tl(spark, SLIDING_INPUT))
+    got = _rows(out, ["_time", "_key", "result"])
+    assert got == _expect(
+        """_time,_key,result
+1996-12-19T00:00:00,Ben,1.0
+1996-12-19T00:00:00,Ryan,2.0
+1996-12-20T00:00:00,Ben,2.0
+1996-12-20T01:00:00,Ben,2.6666666666666665
+1996-12-21T00:00:00,Ryan,3.5
+1996-12-21T00:00:00,Ben,4.333333333333333
+""",
+        ["_time", "_key", "result"],
+        parse_time=("_time",),
+    ), got
+
+
+# ----------------------------------------------------------------------
+# catalog golden: domain operators
+# ----------------------------------------------------------------------
+def test_catalog_shift_by(spark):
+    # shift_by.toml 'Shift By': rows re-timed 1 month forward, original
+    # columns carried through
+    tl = _tl(
+        spark,
+        """time,key,n
+1996-03-21T00:00:00,Ben,1
+1996-04-21T00:00:00,Ryan,2
+1996-05-21T00:00:00,Ryan,3
+""",
+    )
+    out = fenl("Input | shift_by(months(1))", tl)
+    got = _rows(out, ["_time", "_key", "n"])
+    assert got == _expect(
+        """_time,_key,n
+1996-04-21T00:00:00,Ben,1
+1996-05-21T00:00:00,Ryan,2
+1996-06-21T00:00:00,Ryan,3
+""",
+        ["_time", "_key", "n"],
+        parse_time=("_time",),
+    ), got
+
+
+def test_catalog_with_key(spark):
+    # with_key.toml 'Changing Keys'
+    tl = _tl(
+        spark,
+        """time,key,other_key,n
+2021-01-01T00:00:00,A,X,5
+2021-01-02T00:00:00,A,Y,8
+2021-03-01T00:00:00,B,X,9
+2021-04-10T00:00:00,A,X,
+2021-04-11T00:00:00,A,,9
+""",
+    )
+    q = """
+Input
+    | with_key($input.other_key, grouping = 'other_key')
+    | extend($input, { sum_n_by_other_key: sum($input.n) })
+"""
+    out = fenl(q, tl)
+    got = _rows(out, ["time", "key", "other_key", "n", "sum_n_by_other_key"])
+    assert got == _expect(
+        """time,key,other_key,n,sum_n_by_other_key
+2021-01-01T00:00:00,A,X,5,5
+2021-01-02T00:00:00,A,Y,8,8
+2021-03-01T00:00:00,B,X,9,14
+2021-04-10T00:00:00,A,X,,14
+2021-04-11T00:00:00,A,,9,9
+""",
+        ["time", "key", "other_key", "n", "sum_n_by_other_key"],
+    ), got
+
+
+def test_catalog_lookup(spark):
+    # lookup.toml 'Lookup': cross-grouping as-of join through let-bound
+    # foreign expressions
+    reviews = """time,customer_id,product_id,stars
+2021-01-01T00:00:00,Patrick,krabby_patty,3
+2021-01-02T00:00:00,Patrick,coral_bits,4
+2021-03-01T00:00:00,Squidward,krabby_patty,5
+2021-04-10T00:00:00,Patrick,krabby_patty,1
+"""
+    by_prod = _tl(spark, reviews, key="product_id")
+    by_cust = _tl(spark, reviews, key="customer_id")
+    q = """
+let average_review_by_product = ProductReviewsByProduct.stars | mean()
+let product_id_by_customer = ProductReviewsByCustomer.product_id
+let average_customer_review = ProductReviewsByCustomer.stars | mean()
+let average_product_review =
+  lookup(product_id_by_customer, average_review_by_product)
+in
+{
+    key: product_id_by_customer,
+    average_customer_review,
+    average_product_review,
+} | extend({ time: time_of($input)} )
+"""
+    out = fenl(q, {"ProductReviewsByProduct": by_prod, "ProductReviewsByCustomer": by_cust})
+    got = _rows(out, ["time", "key", "average_customer_review", "average_product_review"])
+    assert got == _expect(
+        """time,key,average_customer_review,average_product_review
+2021-01-01T00:00:00,krabby_patty,3.0,3.0
+2021-01-02T00:00:00,coral_bits,3.5,4.0
+2021-03-01T00:00:00,krabby_patty,5.0,4.0
+2021-04-10T00:00:00,krabby_patty,2.6666666666666665,3.0
+""",
+        ["time", "key", "average_customer_review", "average_product_review"],
+    ), got
+
+
+# ----------------------------------------------------------------------
+# scalar / record surface
+# ----------------------------------------------------------------------
+def test_scalars_and_records(spark):
+    tl = _tl(spark, CATALOG_NUMS)
+    q = """
+{
+  v2: Input.value * 2,
+  clamped: clamp(Input.value, 10.0, 60.0),
+  s: len(Input.key) ,
+  picked: select_fields({ a: Input.value, b: Input.key }, 'a').a,
+  removed: remove_fields({ a: Input.value, b: Input.key }, 'a').b,
+  casted: Input.value as i64,
+  half: Input.value / 2.0,
+  zero_div: 1 / 0
+}
+"""
+    row = (
+        fenl(q, tl)
+        .filter("v2 IS NOT NULL")
+        .orderBy("_time")
+        .limit(1)
+        .collect()[0]
+    )
+    assert row.v2 == pytest.approx(101.4)
+    assert row.clamped == pytest.approx(50.7)
+    assert row.s == 3
+    assert row.picked == pytest.approx(50.7)
+    assert row.removed == "Ben"
+    assert row.casted == 50
+    assert row.half == pytest.approx(25.35)
+    assert row.zero_div is None  # Fenl: division by zero is null
+
+
+def test_formulas_and_hash_consing(spark):
+    tl = _tl(spark, CATALOG_NUMS)
+    out = fenl(
+        "{ a: big_sum, b: big_sum + 1 }",
+        tl,
+        formulas={"big_sum": "sum(Input.value)"},
+    )
+    rows = _rows(out, ["a", "b"])
+    assert (69.5, 70.5) in rows
+
+
+def test_unknown_name_and_function(spark):
+    tl = _tl(spark, CATALOG_NUMS)
+    with pytest.raises(FenlCompileError):
+        fenl("nope(Input.value)", tl)
+    with pytest.raises(FenlCompileError):
+        fenl("Input.missing_field", tl)
