@@ -26,15 +26,29 @@ from pyspark.sql import functions as F
 
 
 class ExactlyOnceSink:
-    def __init__(self, out_dir: str, lineage_dir: str | None = None, time_col: str | None = None):
+    def __init__(
+        self,
+        out_dir: str,
+        lineage_dir: str | None = None,
+        time_col: str | None = None,
+        fmt: str = "parquet",
+    ):
+        # fmt mirrors the reference's destination formats (CSV / Parquet,
+        # destinations.proto:10-16); parquet is the scale default.
+        if fmt not in ("parquet", "csv", "json"):
+            raise ValueError(f"unsupported sink format {fmt!r}")
         self.out_dir = out_dir
         self.lineage_dir = lineage_dir or os.path.join(out_dir, "_lineage")
         self.time_col = time_col
+        self.fmt = fmt
 
     def __call__(self, df: DataFrame, batch_id: int) -> None:
         df = df.persist()
         try:
-            df.write.mode("overwrite").parquet(f"{self.out_dir}/batch_id={batch_id}")
+            writer = df.write.mode("overwrite")
+            if self.fmt == "csv":
+                writer = writer.option("header", "true")
+            writer.format(self.fmt).save(f"{self.out_dir}/batch_id={batch_id}")
             aggs = [F.count(F.lit(1)).alias("n_rows")]
             if self.time_col and self.time_col in df.columns:
                 aggs += [
@@ -53,9 +67,10 @@ class ExactlyOnceSink:
             df.unpersist()
 
     def read_output(self, spark) -> DataFrame:
-        return spark.read.option("basePath", self.out_dir).parquet(
-            f"{self.out_dir}/batch_id=*"
-        )
+        reader = spark.read.option("basePath", self.out_dir)
+        if self.fmt == "csv":
+            reader = reader.option("header", "true").option("inferSchema", "true")
+        return reader.format(self.fmt).load(f"{self.out_dir}/batch_id=*")
 
     def read_lineage(self, spark) -> DataFrame:
         return spark.read.option("basePath", self.lineage_dir).parquet(

@@ -57,3 +57,41 @@ def read_stream(
     """Open a file-based stream (used by tests/bench to drive Structured
     Streaming over the same data as batch runs)."""
     return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    """CSV source (reference prepare.rs:51-76 supports CSV paths).
+    With an explicit schema the scan avoids the inference pass; at
+    cluster scale prefer converting to parquet once and scanning that."""
+    reader = spark.read.option("header", str(header).lower())
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_inline_csv(spark: SparkSession, csv_text: str, **options) -> DataFrame:
+    """Inline CSV data (reference CsvData source, prepare.rs:51-76).
+    Intended for small fixture tables; parsed driver-side then
+    parallelized."""
+    import io
+
+    import pandas as pd
+
+    pdf = pd.read_csv(io.StringIO(csv_text), **options)
+    for col in pdf.columns:
+        if pdf[col].dtype == object:
+            try:
+                pdf[col] = pd.to_datetime(pdf[col])
+            except (ValueError, TypeError):
+                pass
+    return spark.createDataFrame(pdf)

@@ -525,3 +525,67 @@ def test_unknown_name_and_function(spark):
         fenl("nope(Input.value)", tl)
     with pytest.raises(FenlCompileError):
         fenl("Input.missing_field", tl)
+
+
+def test_catalog_shift_to(spark):
+    # shift_to.toml 'Shift To': re-time to a data column; backward
+    # shifts dropped; coincident shifted rows keep original order
+    tl = _tl(
+        spark,
+        """time,key,date,n
+1996-03-21T00:00:00,Ben,1996-08-19T00:00:00,1
+1996-04-21T00:00:00,Ryan,1996-07-20T00:00:00,2
+1996-05-21T00:00:00,Ryan,1996-07-22T00:00:00,3
+1996-06-21T00:00:00,Ryan,1996-05-22T00:00:00,4
+1996-07-21T00:00:00,Ben,1996-07-22T00:00:00,5
+1996-08-21T00:00:00,Ben,1996-08-22T00:00:00,6
+""",
+    )
+    out = fenl("Input | shift_to(Input.date)", tl)
+    got = _rows(out, ["_time", "_key", "n"])
+    assert got == _expect(
+        """_time,_key,n
+1996-07-20T00:00:00,Ryan,2
+1996-07-22T00:00:00,Ryan,3
+1996-07-22T00:00:00,Ben,5
+1996-08-19T00:00:00,Ben,1
+1996-08-22T00:00:00,Ben,6
+""",
+        ["_time", "_key", "n"],
+        parse_time=("_time",),
+    ), got
+
+
+def test_catalog_json_field(spark):
+    # json.toml 'JSON field access'
+    tl = _tl(
+        spark,
+        '''time,key,json_string
+2021-01-01T00:00:00,Ben,"{""a"": 10}"
+2021-01-02T00:00:00,Ryan,"{""a"": 2}"
+2021-01-03T00:00:00,Ryan,"{""b"": 10}"
+2021-01-04T00:00:00,Ben,"{""a"": 4}"
+2021-01-05T00:00:00,Ben,"{""c"": 12}"
+2021-01-06T00:00:00,Jordan,"{""a"": 0}"
+2021-01-07T00:00:00,Ryan,"{""a"": 8}"
+''',
+    )
+    out = fenl("json(Input.json_string).a as i64", tl)
+    got = _rows(out, ["_time", "result"])
+    assert [g[1] for g in got] == [10, 2, None, 4, None, 0, 8], got
+
+
+def test_fenl_hash_and_count_if(spark):
+    # hash.toml semantics: deterministic, never null (values differ from
+    # the reference's hash function; the contract is determinism)
+    tl = _tl(spark, CATALOG_NUMS)
+    out = fenl("{ h: hash(Input.key), c: count_if(Input.value > 10.0) }", tl)
+    rows = out.collect()
+    assert all(r.h is not None for r in rows)
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r._key, set()).add(r.h)
+    assert all(len(v) == 1 for v in by_key.values())  # deterministic per key
+    # count_if counts only true evaluations, running per entity
+    ben = sorted((r._time, r.c) for r in rows if r._key == "Ben")
+    assert [c for _, c in ben] == [1, 1, 1]
