@@ -259,6 +259,21 @@ def q_merge_align(spark, sf_dir):
     )
 
 
+def q_entity_slice(spark, sf_dir):
+    """Entity slicing (reference slice_analysis.rs:18-53): run a
+    per-entity running count on a 10%-of-entities hash sample; every
+    row of a sampled entity is retained, so temporal semantics are
+    exact on the sample."""
+    from kaskada_spark.operators.slice import entity_slice_md5
+
+    ev = read_table(spark, sf_dir, "events")
+    sliced = entity_slice_md5(ev, "user_id", 10.0)
+    tl = Timeline.from_events(
+        sliced, time_col="ts", key_col="user_id", subsort_col="event_id"
+    ).count("value", alias="cnt")
+    return tl.df.select("event_id", "user_id", "cnt")
+
+
 # ----------------------------------------------------------------------
 # Fenl frontend: the reference's query language running on Spark
 # (parser/compiler in kaskada_spark/fenl; grammar parity with
@@ -535,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "final_at": q_final_at,
         "session_windows": q_session_windows,
         "scalar_showcase": q_scalar_showcase,
+        "entity_slice": q_entity_slice,
         "fenl_running": q_fenl_running,
         "fenl_when": q_fenl_when,
         "fenl_since": q_fenl_since,
@@ -750,6 +766,15 @@ def oracle_sql() -> dict[str, str]:
                    value IS NOT NULL AS valid,
                    value AS rec_a
             FROM events
+        """,
+        "entity_slice": f"""
+            WITH sliced AS (
+              SELECT * FROM events
+              WHERE ({_sql_hash28("CAST(user_id AS VARCHAR)")}) % 10000 < 1000
+            )
+            SELECT event_id, user_id,
+                   COUNT(value) {_RUN} AS cnt
+            FROM sliced
         """,
         "fenl_running": f"""
             SELECT event_id, user_id,

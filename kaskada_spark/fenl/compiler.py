@@ -704,10 +704,20 @@ def compile_fenl(
     source: str,
     tables: dict[str, Timeline] | Timeline,
     formulas: dict[str, str] | None = None,
+    behavior: str = "all",
+    final_at=None,
 ) -> DataFrame:
     """Compile a Fenl query to a DataFrame ``(_time, _subsort, _key,
-    result fields…)``, filtered to the result's row domain (per-entity
-    behavior ALL; apply Timeline.final()/final_at() on top for FINAL)."""
+    result fields…)``, filtered to the result's row domain.
+
+    ``behavior`` is the reference's per-entity output decoration
+    (common.proto:168-176, frontend.rs:99-104): "all" emits every
+    result row; "final" emits only each entity's latest result row;
+    "final_at" emits the latest row at-or-before ``final_at``
+    (timestamp string or Column).
+    """
+    if behavior not in ("all", "final", "final_at"):
+        raise FenlCompileError(f"unknown behavior {behavior!r}")
     if isinstance(tables, Timeline):
         tables = {"Input": tables}
     node = parse(source)
@@ -727,6 +737,12 @@ def compile_fenl(
     if result.mask is not None:
         out = df.withColumn("__fenl_mask", result.mask)
         out = out.filter(F.col("__fenl_mask")).select(*META, *out_cols)
+    if behavior == "final":
+        out = Timeline(out).final()
+    elif behavior == "final_at":
+        if final_at is None:
+            raise FenlCompileError("behavior='final_at' requires final_at=")
+        out = Timeline(out).final_at(final_at)
     return out
 
 

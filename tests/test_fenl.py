@@ -16,6 +16,8 @@ import math
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from kaskada_spark.fenl import fenl, parse
 from kaskada_spark.fenl import ast as A
 from kaskada_spark.fenl.compiler import FenlCompileError
@@ -589,3 +591,38 @@ def test_fenl_hash_and_count_if(spark):
     # count_if counts only true evaluations, running per entity
     ben = sorted((r._time, r.c) for r in rows if r._key == "Ben")
     assert [c for _, c in ben] == [1, 1, 1]
+
+
+def test_final_behaviors(spark):
+    # per-entity output decorations (reference common.proto:168-176)
+    tl = _tl(spark, CATALOG_NUMS)
+    fin = fenl("sum(Input.value)", tl, behavior="final")
+    assert {(r._key, r.result) for r in fin.collect()} == {
+        ("Ben", 51.900000000000006),
+        ("Ryan", 69.5),
+    }
+    fin_at = fenl(
+        "sum(Input.value)", tl, behavior="final_at", final_at="2021-01-02 00:00:00"
+    )
+    assert {(r._key, r.result) for r in fin_at.collect()} == {
+        ("Ben", 50.7),
+        ("Ryan", 67.2),
+    }
+
+
+def test_entity_slice(spark):
+    from kaskada_spark.operators.slice import entity_slice, entity_slice_md5
+
+    tl = _tl(spark, CATALOG_NUMS)
+    full = tl.df
+    for slicer in (entity_slice, entity_slice_md5):
+        sampled = slicer(full, "_key", 60.0)
+        keys_full = {r._key for r in full.select("_key").distinct().collect()}
+        keys_s = {r._key for r in sampled.select("_key").distinct().collect()}
+        assert keys_s <= keys_full
+        # whole entities: every row of a sampled entity is kept
+        for k in keys_s:
+            assert sampled.filter(F.col("_key") == k).count() == full.filter(F.col("_key") == k).count()
+        # deterministic
+        again = {r._key for r in slicer(full, "_key", 60.0).select("_key").distinct().collect()}
+        assert again == keys_s
