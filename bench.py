@@ -68,6 +68,11 @@ def _force(df) -> int:
 def run_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entry_mod
 
+    # Warm the JVM (codegen, shuffle service, parquet footer cache) so
+    # the first measured query doesn't absorb session startup.
+    for t in ("events", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
+
     times: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
         t0 = time.time()
