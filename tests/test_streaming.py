@@ -260,3 +260,77 @@ def test_session_window_extension(spark):
         .collect()
     )
     assert sorted(r["s"] for r in out) == [3, 4]
+
+
+def test_stream_sliding_and_lag_equal_batch(spark, events_tl, tmp_path):
+    """Count-based sliding windows and lag in the streaming state
+    machine ≡ the batch Timeline lowering (the reference's two-stacks /
+    lag tokens, evaluators/aggregation/two_stacks.rs, token/lag_token.rs)."""
+    from kaskada_spark.windows import Sliding
+
+    base = events_tl.df.withColumn("__fire", F.col("event_type") == "purchase")
+    tl = Timeline(base)
+    specs = [
+        AggSpec("sum", "value", "sl_sum", since="__fire", n=2),
+        AggSpec("min", "value", "sl_min", since="__fire", n=2),
+        AggSpec("mean", "value", "sl_mean", since="__fire", n=3),
+        AggSpec("lag", "value", "prev2", n=2),
+    ]
+    in_dir = _write_time_split(base, ["_time", "_subsort"], str(tmp_path / "in"), 4)
+    sink = _run_stream(
+        spark, in_dir, base.schema, specs, str(tmp_path / "ck"), str(tmp_path / "out")
+    )
+    exp_tl = (
+        tl.sum("value", window=Sliding(2, F.col("__fire")), alias="sl_sum")
+        .min("value", window=Sliding(2, F.col("__fire")), alias="sl_min")
+        .mean("value", window=Sliding(3, F.col("__fire")), alias="sl_mean")
+        .lag("value", 2, alias="prev2")
+    )
+    exp = {
+        r["event_id"]: (r["sl_sum"], r["sl_min"], r["sl_mean"], r["prev2"])
+        for r in exp_tl.df.collect()
+    }
+    got = {
+        r["event_id"]: (r["sl_sum"], r["sl_min"], r["sl_mean"], r["prev2"])
+        for r in sink.read_output(spark).collect()
+    }
+    assert len(got) == len(exp)
+    for eid, evals in exp.items():
+        gvals = got[eid]
+        for i, (e, g) in enumerate(zip(evals, gvals)):
+            if e is None:
+                assert g is None or g != g, f"col {i} at {eid}: want null, got {g}"
+            else:
+                assert g == pytest.approx(e, rel=1e-12), f"col {i} at {eid}"
+
+
+def test_stream_since_window_equals_batch(spark, events_tl, tmp_path):
+    """since(cond) resets in the streaming state machine ≡ batch,
+    including windows that close exactly at a micro-batch boundary."""
+    from kaskada_spark.windows import Since
+
+    base = events_tl.df.withColumn("__fire", F.col("event_type") == "purchase")
+    tl = Timeline(base)
+    specs = [
+        AggSpec("sum", "value", "s_sum", since="__fire"),
+        AggSpec("count", "value", "s_cnt", since="__fire"),
+        AggSpec("max", "value", "s_max", since="__fire"),
+    ]
+    in_dir = _write_time_split(base, ["_time", "_subsort"], str(tmp_path / "in"), 5)
+    sink = _run_stream(
+        spark, in_dir, base.schema, specs, str(tmp_path / "ck"), str(tmp_path / "out")
+    )
+    exp_tl = (
+        tl.sum("value", window=Since(F.col("__fire")), alias="s_sum")
+        .count("value", window=Since(F.col("__fire")), alias="s_cnt")
+        .max("value", window=Since(F.col("__fire")), alias="s_max")
+    )
+    exp = {r["event_id"]: (r["s_sum"], r["s_cnt"], r["s_max"]) for r in exp_tl.df.collect()}
+    got = {r["event_id"]: (r["s_sum"], r["s_cnt"], r["s_max"]) for r in sink.read_output(spark).collect()}
+    assert len(got) == len(exp)
+    for eid, evals in exp.items():
+        for i, (e, g) in enumerate(zip(evals, got[eid])):
+            if e is None:
+                assert g is None or g != g, f"col {i} at {eid}"
+            else:
+                assert g == pytest.approx(e, rel=1e-12), f"col {i} at {eid}"
