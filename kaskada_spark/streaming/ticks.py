@@ -1,0 +1,232 @@
+"""Streaming calendar ticks: "react when nothing happens".
+
+The reference's Tick operation injects per-entity rows at calendar
+boundaries between events (operation/tick.rs:33-60) — in a stream that
+means producing output for an entity at 17:00 even if its last event
+was 16:02. Spark's primitive for this is the event-time timeout in
+``applyInPandasWithState`` (GroupStateTimeout.EventTimeTimeout): each
+entity's state registers a timer at its next boundary; when the
+watermark passes it, the state function runs with no input and emits
+the boundary row.
+
+``tick_agg_stream`` emits one row per (entity, closed calendar window)
+with since-windowed aggregates — the streaming equivalent of the batch
+``with_ticks + Since(tick)`` lowering (q_tick_daily), including EMPTY
+windows (count 0) for live entities with no events in the interval.
+
+Window-close rules match the batch/tick semantics exactly:
+- a window closes at boundary ``b`` when a row with event time >= b
+  arrives for the entity (rows at exactly ``b`` belong to the CLOSING
+  window — the tick orders after coincident events), or
+- the watermark passes ``b`` (timeout path — this is what emits
+  boundaries during silence).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, NamedTuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from kaskada_spark.prepare import KEY, SUBSORT, TIME
+from kaskada_spark.windows import Tick
+
+_STEP_NS = {
+    "minutely": 60 * 10**9,
+    "hourly": 3600 * 10**9,
+    "daily": 86400 * 10**9,
+}
+
+
+class TickAggSpec(NamedTuple):
+    op: str    # sum | count | min | max
+    col: str
+    alias: str
+
+
+_COMPS = {"sum": ("sum",), "count": ("cnt",), "min": ("min",), "max": ("max",)}
+
+
+def _out_schema(key_type: T.DataType, specs: list[TickAggSpec]) -> T.StructType:
+    fields = [
+        T.StructField(KEY, key_type),
+        T.StructField("tick_time", T.TimestampType()),
+    ]
+    for s in specs:
+        typ = T.LongType() if s.op == "count" else T.DoubleType()
+        fields.append(T.StructField(s.alias, typ))
+    return T.StructType(fields)
+
+
+def _state_schema(specs: list[TickAggSpec]) -> T.StructType:
+    fields = [
+        T.StructField("next_tick_ns", T.LongType()),
+        T.StructField("max_time", T.LongType()),
+        T.StructField("max_subsort", T.LongType()),
+    ]
+    for s in specs:
+        for comp in _COMPS[s.op]:
+            fields.append(T.StructField(f"{s.alias}__{comp}", T.DoubleType()))
+    return T.StructType(fields)
+
+
+def tick_agg_stream(
+    tdf: DataFrame,
+    tick: Tick,
+    specs: list[TickAggSpec],
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Per-entity since(tick) aggregates emitted AT each calendar
+    boundary — one output row per (entity, closed window)."""
+    if tick.unit not in _STEP_NS:
+        raise ValueError(f"streaming ticks support {sorted(_STEP_NS)}; got {tick.unit!r}")
+    step_ns = _STEP_NS[tick.unit]
+    tdf = tdf.withWatermark(TIME, watermark)
+    key_type = tdf.schema[KEY].dataType
+    out_schema = _out_schema(key_type, specs)
+    state_schema = _state_schema(specs)
+    func = _make_tick_fn(specs, step_ns)
+    return tdf.groupBy(KEY).applyInPandasWithState(
+        func, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+def _first_boundary(t_ns: int, step_ns: int) -> int:
+    """First boundary at-or-after t (an event exactly ON a boundary
+    belongs to the window closing at that boundary — tick.py rule)."""
+    return ((t_ns + step_ns - 1) // step_ns) * step_ns
+
+
+def _make_tick_fn(specs: list[TickAggSpec], step_ns: int):
+    comp_names = [f"{s.alias}__{c}" for s in specs for c in _COMPS[s.op]]
+
+    def _empty_comps() -> dict:
+        return {n: None for n in comp_names}
+
+    def _merge(st: dict, win: dict) -> None:
+        for s in specs:
+            for c in _COMPS[s.op]:
+                n = f"{s.alias}__{c}"
+                w = win.get(n)
+                if w is None or (isinstance(w, float) and math.isnan(w)):
+                    continue
+                cur = st[n]
+                if cur is None:
+                    st[n] = float(w)
+                elif c in ("sum", "cnt"):
+                    st[n] = float(cur) + float(w)
+                elif c == "min":
+                    st[n] = min(float(cur), float(w))
+                else:
+                    st[n] = max(float(cur), float(w))
+
+    def _emit_row(key, tick_ns: int, st: dict) -> dict:
+        row = {KEY: key, "tick_time": pd.Timestamp(tick_ns)}
+        for s in specs:
+            if s.op == "count":
+                v = st[f"{s.alias}__cnt"]
+                row[s.alias] = 0 if v is None else int(v)
+            else:
+                v = st[f"{s.alias}__{_COMPS[s.op][0]}"]
+                row[s.alias] = None if v is None else float(v)
+        return row
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        k = key[0]
+        if state.exists:
+            vals = state.get
+            st = dict(zip(["next_tick_ns", "max_time", "max_subsort"] + comp_names, vals))
+        else:
+            st = {"next_tick_ns": None, "max_time": -(2**63), "max_subsort": -(2**63)}
+            st.update(_empty_comps())
+
+        emitted: list[dict] = []
+
+        batch = [pdf for pdf in pdfs if not pdf.empty]
+        if batch:
+            pdf = pd.concat(batch, ignore_index=True)
+            pdf = pdf.sort_values([TIME, SUBSORT], kind="mergesort").reset_index(drop=True)
+            tns = pdf[TIME].astype("int64")
+            keep = (tns > st["max_time"]) | (
+                (tns == st["max_time"]) & (pdf[SUBSORT] > st["max_subsort"])
+            )
+            pdf = pdf[keep].reset_index(drop=True)
+            if not pdf.empty:
+                tns = pdf[TIME].astype("int64")
+                st["max_time"] = int(tns.iloc[-1])
+                st["max_subsort"] = int(pdf[SUBSORT].iloc[-1])
+                if st["next_tick_ns"] is None:
+                    st["next_tick_ns"] = _first_boundary(int(tns.iloc[0]), step_ns)
+
+                # each row belongs to the window closing at its bucket
+                # boundary (time exactly on a boundary -> that boundary)
+                bucket = ((tns + step_ns - 1) // step_ns) * step_ns
+                per_win: dict[int, dict] = {}
+                for b, grp_idx in pdf.groupby(bucket).groups.items():
+                    grp = pdf.loc[grp_idx]
+                    win: dict = {}
+                    for s in specs:
+                        v = pd.to_numeric(grp[s.col], errors="coerce")
+                        if s.op == "count":
+                            win[f"{s.alias}__cnt"] = float(v.notna().sum())
+                        elif s.op == "sum":
+                            win[f"{s.alias}__sum"] = None if v.notna().sum() == 0 else float(v.sum())
+                        elif s.op == "min":
+                            win[f"{s.alias}__min"] = None if v.notna().sum() == 0 else float(v.min())
+                        else:
+                            win[f"{s.alias}__max"] = None if v.notna().sum() == 0 else float(v.max())
+                    per_win[int(b)] = win
+
+                # close every boundary we now know is complete: a row at
+                # bucket b proves all windows < b are over; window b
+                # itself closes too iff some row has time == b
+                max_bucket = max(per_win)
+                last_closes = int(tns.iloc[-1]) == max_bucket
+                b = st["next_tick_ns"]
+                target = max_bucket if last_closes else max_bucket - step_ns
+                while b <= target:
+                    if b in per_win:
+                        _merge(st, per_win[b])
+                    emitted.append(_emit_row(k, b, st))
+                    for n in comp_names:
+                        st[n] = None
+                    b += step_ns
+                st["next_tick_ns"] = b
+                # rows in the still-open window accumulate into state
+                if not last_closes and max_bucket >= b:
+                    _merge(st, per_win[max_bucket])
+
+        # timeout path / watermark advance: close boundaries the
+        # watermark has passed, even with no input rows
+        wm_ms = state.getCurrentWatermarkMs()
+        if st["next_tick_ns"] is not None and wm_ms > 0:
+            wm_ns = wm_ms * 10**6
+            while st["next_tick_ns"] <= wm_ns:
+                emitted.append(_emit_row(k, st["next_tick_ns"], st))
+                for n in comp_names:
+                    st[n] = None
+                st["next_tick_ns"] += step_ns
+
+        flat = [
+            st["next_tick_ns"],
+            int(st["max_time"]),
+            int(st["max_subsort"]),
+        ] + [st[n] for n in comp_names]
+        state.update(tuple(flat))
+        if st["next_tick_ns"] is not None:
+            # wake this entity when the watermark reaches its next boundary
+            ts_ms = max(st["next_tick_ns"] // 10**6, wm_ms + 1)
+            state.setTimeoutTimestamp(ts_ms)
+
+        if emitted:
+            yield pd.DataFrame(emitted)
+
+    return update

@@ -334,3 +334,73 @@ def test_stream_since_window_equals_batch(spark, events_tl, tmp_path):
                 assert g is None or g != g, f"col {i} at {eid}"
             else:
                 assert g == pytest.approx(e, rel=1e-12), f"col {i} at {eid}"
+
+
+def test_stream_ticks_emit_on_silence(spark, tmp_path):
+    """Event-time-timeout ticks: per-entity hourly window rows appear
+    even for hours with NO events (the reference's Tick operation in
+    streaming form — 'react when nothing happens'). Values must match
+    the batch with_ticks + Since(tick) lowering."""
+    import pandas as pd
+    from kaskada_spark.operators.tick import TICK_COL
+    from kaskada_spark.streaming.ticks import TickAggSpec, tick_agg_stream
+    from kaskada_spark.windows import Since, hourly
+
+    rows = []
+    # entity A: events at 10:15, 10:40, then silence until 13:05
+    for i, (h, m, v) in enumerate([(10, 15, 1.0), (10, 40, 2.0), (13, 5, 4.0)]):
+        rows.append(("A", pd.Timestamp(2024, 3, 1, h, m), i, v))
+    # entity B: one event per hour 10..13
+    for i, h in enumerate(range(10, 14)):
+        rows.append(("B", pd.Timestamp(2024, 3, 1, h, 30), 100 + i, float(h)))
+    pdf = pd.DataFrame(rows, columns=["key", "time", "seq", "v"])
+    tl = Timeline.from_events(spark.createDataFrame(pdf), "time", "key", "seq")
+
+    # batch expectation: with_ticks(hourly) + since(tick) at tick rows
+    bt = tl.with_ticks(hourly())
+    bt = bt.count("v", window=Since(F.col(TICK_COL)), alias="cnt")
+    bt = bt.sum("v", window=Since(F.col(TICK_COL)), alias="s")
+    exp = {
+        (r["_key"], r["_time"]): (r["cnt"], r["s"])
+        for r in bt.df.filter(F.col(TICK_COL)).collect()
+    }
+
+    in_dir = _write_time_split(tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 4)
+    stream = (
+        spark.readStream.schema(tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = tick_agg_stream(
+        stream,
+        hourly(),
+        [TickAggSpec("count", "v", "cnt"), TickAggSpec("sum", "v", "s")],
+    )
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="tick_time")
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["_key"], r["tick_time"]): (r["cnt"], r["s"])
+        for r in sink.read_output(spark).collect()
+    }
+    # every emitted row matches the batch tick lowering exactly
+    for k, v in got.items():
+        assert k in exp, f"unexpected tick {k}"
+        assert v == exp[k], f"tick {k}: want {exp[k]}, got {v}"
+    # silence coverage: A's empty hours (11:00, 12:00, 13:00 close) and
+    # the timeout-driven boundaries up to the second-to-last batch's
+    # watermark must all be present
+    assert ("A", pd.Timestamp(2024, 3, 1, 11, 0)) in got
+    assert ("A", pd.Timestamp(2024, 3, 1, 12, 0)) in got
+    assert got[("A", pd.Timestamp(2024, 3, 1, 12, 0))] == (0, None)  # empty window
+    assert ("B", pd.Timestamp(2024, 3, 1, 11, 0)) in got
+    # at least all boundaries strictly before the final event time fired
+    fenced = {k for k in exp if k[1] <= pd.Timestamp(2024, 3, 1, 13, 0)}
+    missing = fenced - set(got)
+    assert not missing, f"missing ticks: {missing}"
