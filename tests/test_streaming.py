@@ -404,3 +404,53 @@ def test_stream_ticks_emit_on_silence(spark, tmp_path):
     fenced = {k for k in exp if k[1] <= pd.Timestamp(2024, 3, 1, 13, 0)}
     missing = fenced - set(got)
     assert not missing, f"missing ticks: {missing}"
+
+
+def test_stream_asof_lookup_equals_batch(spark, tmp_path):
+    """Streaming stateful as-of lookup join ≡ the batch lookup lowering
+    (north rule: 'stateful as-of/lookup joins keyed by entity').
+    Requests settle only once the global watermark passes them, so
+    answers are identical to the batch as-of join regardless of how
+    rows split across micro-batches."""
+    import pandas as pd
+    from kaskada_spark.streaming.join import asof_lookup_stream
+
+    t0 = pd.Timestamp(2024, 5, 1, 12, 0)
+    f_rows, p_rows = [], []
+    for ent in range(1, 6):
+        for j, m in enumerate(range(0, 70, 10)):  # foreign updates :00..:60
+            f_rows.append((ent, t0 + pd.Timedelta(minutes=m), j, float(ent * 100 + m)))
+        for j, m in enumerate(range(5, 65, 10)):  # requests :05,:15,...
+            p_rows.append((ent, t0 + pd.Timedelta(minutes=m), 1000 + j, f"p{ent}-{j}"))
+    fdf = spark.createDataFrame(pd.DataFrame(f_rows, columns=["fk", "time", "seq", "price"]))
+    pdf = spark.createDataFrame(pd.DataFrame(p_rows, columns=["user", "time", "seq", "tag"]))
+    f_tl = Timeline.from_events(fdf, "time", "fk", "seq")
+    p_tl = Timeline.from_events(pdf, "time", "user", "seq")
+
+    exp_tl = p_tl.lookup(f_tl, key=F.col("user").cast("long"), values=["price"])
+    exp = {(r["_key"], r["_subsort"]): r["price"] for r in exp_tl.df.collect()}
+
+    p_dir = _write_time_split(p_tl.df, ["_time", "_subsort"], str(tmp_path / "p"), 4)
+    f_dir = _write_time_split(f_tl.df, ["_time", "_subsort"], str(tmp_path / "f"), 4)
+    p_stream = (
+        spark.readStream.schema(p_tl.df.schema).option("maxFilesPerTrigger", 1).parquet(p_dir)
+    )
+    f_stream = (
+        spark.readStream.schema(f_tl.df.schema).option("maxFilesPerTrigger", 1).parquet(f_dir)
+    )
+    out = asof_lookup_stream(p_stream, f_stream, key=F.col("user").cast("long"), values=["price"])
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="_time")
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["_key"], r["_subsort"]): r["price"] for r in sink.read_output(spark).collect()}
+    # the final request per entity sits past the last foreign watermark
+    # frontier only if sources end unevenly; with aligned ends all settle
+    assert set(got) == set(exp), f"row sets differ: {len(got)} vs {len(exp)}"
+    mismatch = {k: (exp[k], got[k]) for k in exp if exp[k] != got[k]}
+    assert not mismatch, f"{len(mismatch)} mismatches, e.g. {list(mismatch.items())[:3]}"
