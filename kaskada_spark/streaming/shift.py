@@ -1,0 +1,136 @@
+"""Streaming shift_to / shift_by: state-buffered re-timing.
+
+The reference's ShiftTo operation moves rows forward to a computed
+future time, buffering pending rows until the stream reaches that time
+(operation/shift_to.rs:28-60 — including its PERFORMANCE note about
+unbounded buffering). Streaming rendering: rows wait in per-entity
+state until the event-time watermark passes their target time, then
+re-emit with ``_time = target`` — the watermark is exactly the "stream
+has reached this time" signal, and event-time timeouts wake silent
+entities so buffered rows flush without new input.
+
+Null or backward targets are dropped before the stateful stage (same
+rule as the batch operator, operators/shift.py). Buffer growth is the
+same hazard the reference flags: rows shifted far into the future hold
+state until the watermark catches up — O(in-flight shifted rows) per
+entity, bounded by how far ahead targets run, not by stream length.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from kaskada_spark.prepare import KEY, SUBSORT, TIME
+
+_TARGET = "__shift_target"
+
+
+def shift_to_stream(
+    tdf: DataFrame,
+    new_time: Column,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Re-time each row to ``new_time`` (>= its current time), emitting
+    it once the watermark passes the target. Output keeps the universal
+    shape with ``_time`` = the target time."""
+    tdf = tdf.withWatermark(TIME, watermark)
+    buffered = tdf.withColumn(_TARGET, new_time.cast("timestamp")).filter(
+        F.col(_TARGET).isNotNull() & (F.col(_TARGET) >= F.col(TIME))
+    )
+    payload = [c for c in tdf.columns if c not in (TIME, SUBSORT, KEY)]
+    out_schema = T.StructType(
+        [
+            T.StructField(TIME, T.TimestampType()),
+            T.StructField(SUBSORT, T.LongType()),
+            T.StructField(KEY, tdf.schema[KEY].dataType),
+        ]
+        + [tdf.schema[c] for c in payload]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("tgt", T.ArrayType(T.LongType())),
+            T.StructField("ot", T.ArrayType(T.LongType())),
+            T.StructField("os", T.ArrayType(T.LongType())),
+        ]
+        + [T.StructField(f"p_{c}", T.ArrayType(tdf.schema[c].dataType)) for c in payload]
+    )
+    func = _make_shift_fn(payload)
+    return buffered.groupBy(KEY).applyInPandasWithState(
+        func, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+def shift_by_stream(tdf: DataFrame, delta, watermark: str = "0 seconds") -> DataFrame:
+    """shift_by(delta) = shift_to(time + delta) (the reference's own
+    rewrite, functions/time.rs:44-63)."""
+    return shift_to_stream(tdf, F.col(TIME) + delta, watermark=watermark)
+
+
+def _make_shift_fn(payload: list[str]):
+    state_names = ["tgt", "ot", "os"] + [f"p_{c}" for c in payload]
+
+    def _native(x):
+        if x is None or (isinstance(x, float) and pd.isna(x)):
+            return None
+        return x.item() if hasattr(x, "item") else x
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        k = key[0]
+        if state.exists:
+            raw = dict(zip(state_names, state.get))
+            st = {n: ([] if raw[n] is None else list(raw[n])) for n in state_names}
+        else:
+            st = {n: [] for n in state_names}
+
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            tgt_ns = pdf[_TARGET].astype("int64")
+            t_ns = pdf[TIME].astype("int64")
+            for i in pdf.index:
+                st["tgt"].append(int(tgt_ns[i]))
+                st["ot"].append(int(t_ns[i]))
+                st["os"].append(int(pdf[SUBSORT][i]))
+                for c in payload:
+                    st[f"p_{c}"].append(_native(pdf[c][i]))
+
+        wm_ns = state.getCurrentWatermarkMs() * 10**6
+        # emit rows whose target the watermark has passed, ordered by
+        # (target, original time, original subsort) — coincident shifted
+        # rows keep their original relative order (shift_to.rs contract)
+        due = sorted(
+            (st["tgt"][i], st["ot"][i], st["os"][i], i)
+            for i in range(len(st["tgt"]))
+            if st["tgt"][i] <= wm_ns
+        )
+        if due:
+            rows = [
+                {
+                    TIME: pd.Timestamp(t),
+                    SUBSORT: s_,
+                    KEY: k,
+                    **{c: st[f"p_{c}"][i] for c in payload},
+                }
+                for t, _, s_, i in due
+            ]
+            keep = [i for i in range(len(st["tgt"])) if st["tgt"][i] > wm_ns]
+            for n in state_names:
+                st[n] = [st[n][i] for i in keep]
+            yield pd.DataFrame(rows)
+
+        state.update(tuple(st[n] for n in state_names))
+        if st["tgt"]:
+            state.setTimeoutTimestamp(
+                max(min(st["tgt"]) // 10**6, state.getCurrentWatermarkMs() + 1)
+            )
+
+    return update

@@ -454,3 +454,56 @@ def test_stream_asof_lookup_equals_batch(spark, tmp_path):
     assert set(got) == set(exp), f"row sets differ: {len(got)} vs {len(exp)}"
     mismatch = {k: (exp[k], got[k]) for k in exp if exp[k] != got[k]}
     assert not mismatch, f"{len(mismatch)} mismatches, e.g. {list(mismatch.items())[:3]}"
+
+
+def test_stream_shift_by_equals_batch(spark, tmp_path):
+    """Streaming shift_by: rows re-emit at their shifted time once the
+    watermark passes it — identical rows to the batch shift_by for all
+    targets within the final watermark."""
+    import pandas as pd
+    from kaskada_spark.streaming.shift import shift_by_stream
+
+    t0 = pd.Timestamp(2024, 5, 1, 12, 0)
+    rows = [
+        (ent, t0 + pd.Timedelta(minutes=m), ent * 1000 + m, float(m))
+        for ent in (1, 2, 3)
+        for m in range(0, 60, 7)
+    ]
+    pdf = pd.DataFrame(rows, columns=["k", "time", "seq", "v"])
+    tl = Timeline.from_events(spark.createDataFrame(pdf), "time", "k", "seq")
+
+    batch = tl.shift_by(F.expr("interval 5 minutes")).df
+    wm_final = t0 + pd.Timedelta(minutes=56)  # max original event time
+    exp = {
+        (r["_key"], r["_subsort"]): (r["_time"], r["v"])
+        for r in batch.collect()
+        if r["_time"] <= wm_final
+    }
+
+    in_dir = _write_time_split(tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 3)
+    stream = (
+        spark.readStream.schema(tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = shift_by_stream(stream, F.expr("interval 5 minutes"))
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="_time")
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["_key"], r["_subsort"]): (r["_time"], r["v"])
+        for r in sink.read_output(spark).collect()
+    }
+    assert set(exp) <= set(got.keys() | exp.keys())
+    for kk, ev in exp.items():
+        assert kk in got, f"missing shifted row {kk}"
+        assert got[kk] == ev, f"{kk}: want {ev}, got {got[kk]}"
+    # nothing emitted beyond the watermark frontier rule
+    for kk, (t, _) in got.items():
+        assert t <= wm_final
