@@ -410,6 +410,13 @@ class Compiler:
             )
         return TickVal(Tick(unit), self.tick_flags[unit])
 
+    def _fn_finished(self, node: A.Call):
+        raise FenlCompileError(
+            "finished() is the reference's internal final-tick marker "
+            "(functions/window.rs:48-54); use "
+            "compile_fenl(..., behavior='final') for FINAL results"
+        )
+
     def _fn_minutely(self, node: A.Call) -> TickVal:
         return self._tickval("minutely")
 
