@@ -239,7 +239,11 @@ def seconds_between(t1: Column, t2: Column) -> Column:
 
 
 def days_between(t1: Column, t2: Column) -> Column:
-    return F.datediff(t2, t1)
+    """Whole 24-hour periods between t1 and t2, truncated toward zero
+    (reference interval_days semantics — days_between.toml: timestamps
+    23h apart give 0, -1.79 days gives -1; NOT calendar-day datediff)."""
+    secs = F.unix_timestamp(t2) - F.unix_timestamp(t1)
+    return (secs / F.lit(86400)).cast("long").cast("int")
 
 
 def months_between(t1: Column, t2: Column) -> Column:

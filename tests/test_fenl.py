@@ -626,3 +626,84 @@ def test_entity_slice(spark):
         # deterministic
         again = {r._key for r in slicer(full, "_key", 60.0).select("_key").distinct().collect()}
         assert again == keys_s
+
+
+def test_catalog_shift_until(spark):
+    # shift_until.toml 'Shift Until': explicit subsort = file row order
+    # (the catalog fixture relies on input order for same-time rows)
+    import pandas as pd
+
+    rows = [
+        ("1996-03-21", "Ben", True, 1),
+        ("1996-04-21", "Ryan", False, 2),
+        ("1996-05-21", "Ryan", False, 3),
+        ("1996-06-21", "Ryan", True, 4),
+        ("1996-07-21", "Ben", None, 5),
+        ("1996-08-21", "Ben", True, 6),
+        ("1996-06-21", "Ryan", False, 7),
+    ]
+    pdf = pd.DataFrame(rows, columns=["time", "key", "condition", "n"])
+    pdf["time"] = pd.to_datetime(pdf["time"])
+    pdf["seq"] = range(len(pdf))
+    tl = Timeline.from_events(
+        spark.createDataFrame(pdf), time_col="time", key_col="key", subsort_col="seq"
+    )
+    out = fenl("Input | shift_until(Input.condition)", tl)
+    got = sorted((r["_key"], r["n"]) for r in out.collect())
+    # n=7 arrives after Ryan's last fire -> not emitted; all others are
+    assert got == [("Ben", 1), ("Ben", 5), ("Ben", 6), ("Ryan", 2), ("Ryan", 3), ("Ryan", 4)], got
+    # emission times: pending rows emit AT the fire time
+    times = {(r["_key"], r["n"]): r["_time"] for r in out.collect()}
+    assert times[("Ben", 5)] == times[("Ben", 6)]
+
+
+def test_catalog_coalesce_switch(spark):
+    # coalesce.toml: switch-style conditions via if + coalesce
+    tl = _tl(
+        spark,
+        """time,key,value,tax_category
+2020-01-01T00:00:00,Ben,10.00,exempt
+2020-01-02T00:00:00,Ben,12.00,
+2020-01-02T01:00:00,Ryan,13.00,flat
+2020-01-02T02:00:00,Ryan,,exempt
+""",
+    )
+    q = """
+coalesce(
+    Input.value | if(Input.tax_category == 'exempt'),
+    Input.value + 1.0 | if(Input.tax_category == 'flat'),
+    Input.value * 1.1
+)
+"""
+    got = [r["result"] for r in fenl(q, tl).orderBy("_time").collect()]
+    assert got[0] == 10.0
+    assert got[1] == pytest.approx(13.200000000000001)
+    assert got[2] == 14.0
+    assert got[3] is None
+
+
+def test_catalog_days_between(spark):
+    # days_between.toml: whole 24h periods truncated toward zero
+    tl = _tl(
+        spark,
+        """time,key,date
+1996-03-21T00:00:00,Ben,1996-08-19T00:00:00
+1996-04-21T00:00:00,Ryan,1995-07-20T00:00:00
+1996-05-21T23:00:00,Ryan,1996-05-22T00:00:00
+1996-06-21T00:00:00,Ryan,1996-06-19T05:00:00
+1996-07-21T00:00:00,Ben,
+1996-08-21T00:00:00,Ben,1996-08-22T00:00:00
+""",
+    )
+    # date column parses as string in this fixture; cast inside the query
+    out = fenl(
+        "days_between(Input.time, Input.date as timestamp_ns) as i32",
+        _tl_with_date(spark, tl),
+    )
+    got = [r["result"] for r in out.orderBy("_time").collect()]
+    assert got == [151, -276, 0, -1, None, 1], got
+
+
+def _tl_with_date(spark, tl):
+    df = tl.df.withColumn("date", F.col("date").cast("timestamp"))
+    return Timeline(df)
