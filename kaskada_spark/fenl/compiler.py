@@ -713,6 +713,7 @@ def compile_fenl(
     formulas: dict[str, str] | None = None,
     behavior: str = "all",
     final_at=None,
+    changed_since=None,
 ) -> DataFrame:
     """Compile a Fenl query to a DataFrame ``(_time, _subsort, _key,
     result fields…)``, filtered to the result's row domain.
@@ -722,6 +723,12 @@ def compile_fenl(
     result row; "final" emits only each entity's latest result row;
     "final_at" emits the latest row at-or-before ``final_at``
     (timestamp string or Column).
+
+    ``changed_since`` applies the reference's incremental decoration
+    (ALL behavior: ``result | when(time_of($input) >=
+    __changed_since_time__)``, frontend.rs:99-104) — only rows at or
+    after the given timestamp are produced, letting a resumed query
+    emit just the delta.
     """
     if behavior not in ("all", "final", "final_at"):
         raise FenlCompileError(f"unknown behavior {behavior!r}")
@@ -744,6 +751,13 @@ def compile_fenl(
     if result.mask is not None:
         out = df.withColumn("__fenl_mask", result.mask)
         out = out.filter(F.col("__fenl_mask")).select(*META, *out_cols)
+    if changed_since is not None:
+        cs = (
+            F.lit(changed_since).cast("timestamp")
+            if isinstance(changed_since, str)
+            else changed_since
+        )
+        out = out.filter(F.col(TIME) >= cs)
     if behavior == "final":
         out = Timeline(out).final()
     elif behavior == "final_at":

@@ -707,3 +707,20 @@ def test_catalog_days_between(spark):
 def _tl_with_date(spark, tl):
     df = tl.df.withColumn("date", F.col("date").cast("timestamp"))
     return Timeline(df)
+
+
+def test_changed_since_decoration(spark):
+    """Incremental decoration: only rows at-or-after changed_since are
+    emitted, but aggregates still reflect the full history (reference
+    frontend.rs:99-104 ALL decoration)."""
+    tl = _tl(spark, CATALOG_NUMS)
+    out = fenl(
+        "sum(Input.value)", tl, changed_since="2021-01-03 00:00:00"
+    )
+    got = _rows(out, ["_time", "_key", "result"])
+    # rows before Jan 3 suppressed; sums still include earlier history
+    assert [(str(t)[:10], k, v) for t, k, v in got] == [
+        ("2021-01-03", "Ben", 51.900000000000006),
+        ("2021-01-04", "Ben", 51.900000000000006),
+        ("2021-01-04", "Ryan", 69.5),
+    ], got
