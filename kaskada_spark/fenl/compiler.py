@@ -140,7 +140,8 @@ def _masked(col: Column, mask: Column | None) -> Column:
 class Compiler:
     def __init__(self, tables: dict[str, Timeline], primary: str,
                  formulas: dict[str, A.Node] | None = None,
-                 tick_units: tuple[str, ...] = ()):
+                 tick_units: tuple[str, ...] = (),
+                 merge_tables: tuple[str, ...] = ()):
         self.tables = tables
         self.primary = primary
         self.df: DataFrame = tables[primary].df
@@ -149,12 +150,46 @@ class Compiler:
         self.formulas = formulas or {}
         self.ast_bindings: dict[str, A.Node] = {}
         self._gen = 0
+        # Implicit joins ("automatic joins", reference README.md:53):
+        # every same-grouping table the query references merges into the
+        # universe as a full temporal union-align on (key, time, subsort)
+        # — the reference's Merge operation (operation/merge.rs:27-46),
+        # with null interpolation falling out of the outer join. Must
+        # happen BEFORE aggregations/ticks derive columns.
+        self.table_flags: dict[str, str] = {}
+        self.table_fields: dict[str, dict[str, str]] = {}
+        for name in merge_tables:
+            self._merge_table(name)
         # Tick rows must join the universe BEFORE any aggregation column
         # is computed, so continuous values latch onto tick rows exactly
         # as the reference's merge-with-tick-stream does (tick.rs:33-60).
         self.tick_flags: dict[str, str] = {}
         for unit in tick_units:
             self._inject_ticks(unit)
+
+    def _merge_table(self, name: str) -> None:
+        if not self.table_flags:
+            flag_p = f"__fenl_from_{self.primary}"
+            payload = [c for c in self.df.columns if c not in META]
+            self.df = self.df.withColumn(flag_p, F.lit(True))
+            self.table_flags[self.primary] = flag_p
+            self.table_fields[self.primary] = {c: c for c in payload}
+        odf = self.tables[name].df
+        flag = f"__fenl_from_{name}"
+        mapping: dict[str, str] = {}
+        proj = [F.col(KEY), F.col(TIME), F.col(SUBSORT)]
+        for c in odf.columns:
+            if c in META:
+                continue
+            actual = f"__fenl_tbl_{name}__{c}"
+            proj.append(F.col(c).alias(actual))
+            mapping[c] = actual
+        odf2 = odf.select(*proj).withColumn(flag, F.lit(True))
+        self.df = self.df.join(odf2, on=[KEY, TIME, SUBSORT], how="full_outer")
+        self.table_flags[name] = flag
+        self.table_fields[name] = mapping
+        for f in self.table_flags.values():
+            self.df = self.df.withColumn(f, F.coalesce(F.col(f), F.lit(False)))
 
     def _inject_ticks(self, unit: str) -> None:
         from kaskada_spark.operators.tick import TICK_COL, with_ticks
@@ -165,7 +200,7 @@ class Compiler:
             TICK_COL
         )
         # rows added by this union have nulls for earlier flags
-        for other in self.tick_flags.values():
+        for other in list(self.tick_flags.values()) + list(self.table_flags.values()):
             self.df = self.df.withColumn(other, F.coalesce(F.col(other), F.lit(False)))
         self.tick_flags[unit] = flag
 
@@ -192,7 +227,20 @@ class Compiler:
             if c not in META and not c.startswith("__fenl_")
         ]
 
+    def _merged_table_val(self, name: str) -> CVal:
+        """A merged table's record: defined exactly on its own rows
+        (null elsewhere — the Merge operation's null interpolation)."""
+        flag = F.col(self.table_flags[name])
+        mapping = self.table_fields[name]
+        fields = {orig: CVal(F.col(actual), mask=flag) for orig, actual in mapping.items()}
+        struct = F.when(
+            flag, F.struct(*[F.col(a).alias(o) for o, a in mapping.items()])
+        )
+        return CVal(struct, mask=flag, fields=fields)
+
     def _table_val(self) -> CVal:
+        if self.primary in self.table_flags:
+            return self._merged_table_val(self.primary)
         cols = self._value_columns()
         fields = {c: CVal(F.col(c)) for c in cols}
         struct = F.struct(*[F.col(c).alias(c) for c in cols])
@@ -229,10 +277,13 @@ class Compiler:
             self.scope[name] = val  # compile once (CSE via caching)
             return val
         if name in self.tables:
+            if name in self.table_flags:
+                return self._merged_table_val(name)
             if name != self.primary:
                 raise FenlCompileError(
-                    f"table {name!r} is not the primary grouping; reference "
-                    f"foreign tables through lookup(key, {name}.value)"
+                    f"table {name!r} is not in this query's grouping universe; "
+                    f"reference foreign-grouping tables through "
+                    f"lookup(key, {name}.value)"
                 )
             return self._table_val()
         if name in self.formulas:
@@ -736,9 +787,13 @@ def compile_fenl(
         tables = {"Input": tables}
     node = parse(source)
     parsed_formulas = {n: parse(s) for n, s in (formulas or {}).items()}
-    primary = _primary_table(node, parsed_formulas, tables)
+    referenced = _referenced_tables(node, parsed_formulas, tables)
+    primary = referenced[0] if referenced else _primary_table(node, parsed_formulas, tables)
     ticks = _tick_units(node, parsed_formulas)
-    comp = Compiler(tables, primary, parsed_formulas, tick_units=ticks)
+    comp = Compiler(
+        tables, primary, parsed_formulas, tick_units=ticks,
+        merge_tables=tuple(t for t in referenced if t != primary),
+    )
     result = comp.compile(node)
     if not isinstance(result, CVal):
         raise FenlCompileError("query does not produce a value")
@@ -803,12 +858,12 @@ def _tick_units(node: A.Node, formulas: dict[str, A.Node]) -> tuple[str, ...]:
     return tuple(units)
 
 
-def _primary_table(
+def _referenced_tables(
     node: A.Node, formulas: dict[str, A.Node], tables: dict[str, Timeline]
-) -> str:
-    """The primary grouping = the first table the query references
-    outside lookup values (reference: one primary_grouping per query,
-    plan.proto:20-27)."""
+) -> list[str]:
+    """Tables referenced outside lookup values, in first-use order. The
+    first is the primary grouping (plan.proto:20-27); the rest merge
+    into the universe as implicit joins."""
     names = set(tables)
     found: list[str] = []
     seen: set[str] = set()
@@ -837,6 +892,13 @@ def _primary_table(
             walk(c, env)
 
     walk(node, dict(formulas))
+    return found
+
+
+def _primary_table(
+    node: A.Node, formulas: dict[str, A.Node], tables: dict[str, Timeline]
+) -> str:
+    found = _referenced_tables(node, formulas, tables)
     if found:
         return found[0]
     if len(tables) == 1:

@@ -724,3 +724,83 @@ def test_changed_since_decoration(spark):
         ("2021-01-04", "Ben", 51.900000000000006),
         ("2021-01-04", "Ryan", 69.5),
     ], got
+
+
+# ----------------------------------------------------------------------
+# implicit joins (reference e2e multiple_tables.rs)
+# ----------------------------------------------------------------------
+PURCHASES = """time,key,total
+2022-01-03T00:39:57,A,1
+2022-01-03T01:39:57,B,10
+2022-01-03T02:39:57,A,2
+2022-01-03T03:39:57,B,20
+2022-01-03T04:39:57,C,100
+2022-01-03T05:39:57,C,200
+2022-01-03T06:39:57,A,3
+"""
+
+
+def _tl_sub0(spark, csv):
+    pdf = pd.read_csv(io.StringIO(csv), parse_dates=["time"])
+    df = spark.createDataFrame(pdf).withColumn("subsort", F.lit(0))
+    return Timeline.from_events(df, time_col="time", key_col="key", subsort_col="subsort")
+
+
+def test_implicit_join_identical_tables(spark):
+    # multiple_tables.rs test_identical_table_join: same rows align 1:1
+    q = "{ t1_val: Purchases.total, t2_val: P2.total, sum: Purchases.total + P2.total }"
+    out = fenl(q, {"Purchases": _tl_sub0(spark, PURCHASES), "P2": _tl_sub0(spark, PURCHASES)})
+    got = _rows(out, ["_time", "_key", "t1_val", "t2_val", "sum"])
+    assert got == _expect(
+        """_time,_key,t1_val,t2_val,sum
+2022-01-03T00:39:57,A,1,1,2
+2022-01-03T01:39:57,B,10,10,20
+2022-01-03T02:39:57,A,2,2,4
+2022-01-03T03:39:57,B,20,20,40
+2022-01-03T04:39:57,C,100,100,200
+2022-01-03T05:39:57,C,200,200,400
+2022-01-03T06:39:57,A,3,3,6
+""",
+        ["_time", "_key", "t1_val", "t2_val", "sum"],
+        parse_time=("_time",),
+    ), got
+
+
+def test_implicit_join_different_dates(spark):
+    # multiple_tables.rs test_tables_different_dates: union of rows,
+    # null interpolation per side, null-strict sum
+    nd = """time,key,total
+2022-01-03T18:39:57,B,5
+2022-01-03T20:39:57,A,4
+2022-01-03T21:39:57,B,15
+2022-01-03T22:39:57,A,8
+2022-01-03T23:39:57,C,100
+2022-01-04T00:39:57,C,200
+2022-01-04T01:39:57,B,20
+"""
+    q = "{ t1_val: Purchases.total, t2_val: NDPurchases.total, sum: Purchases.total + NDPurchases.total }"
+    out = fenl(q, {"Purchases": _tl_sub0(spark, PURCHASES), "NDPurchases": _tl_sub0(spark, nd)})
+    rows = out.collect()
+    assert len(rows) == 14
+    assert all(r["sum"] is None for r in rows)  # domains never coincide
+    t1 = sorted(r["t1_val"] for r in rows if r["t1_val"] is not None)
+    t2 = sorted(r["t2_val"] for r in rows if r["t2_val"] is not None)
+    assert t1 == [1, 2, 3, 10, 20, 100, 200]
+    assert t2 == [4, 5, 8, 15, 20, 100, 200]
+
+
+def test_implicit_join_aggregates_span_tables(spark):
+    # aggregation over one side of the merged universe counts only that
+    # side's rows but latches on the union's row domain
+    nd = """time,key,total
+2022-01-03T01:00:00,A,1000
+2022-01-03T05:00:00,A,2000
+"""
+    q = "{ p_sum: sum(Purchases.total), nd_cnt: count(NDPurchases) }"
+    out = fenl(q, {"Purchases": _tl_sub0(spark, PURCHASES), "NDPurchases": _tl_sub0(spark, nd)})
+    a_rows = sorted(
+        ((r["_time"], r["p_sum"], r["nd_cnt"]) for r in out.collect() if r["_key"] == "A"),
+    )
+    # A timeline: 00:39(p=1), 01:00(nd), 02:39(p=2), 05:00(nd), 06:39(p=3)
+    assert [x[1] for x in a_rows] == [1, 1, 3, 3, 6]
+    assert [x[2] for x in a_rows] == [0, 1, 1, 2, 2]
