@@ -306,6 +306,22 @@ def q_fenl_when(spark, sf_dir):
     return out.select("event_id", "user_id", "value")
 
 
+def q_fenl_merge(spark, sf_dir):
+    """Implicit join: two same-grouping tables merge-align on
+    (key, time, subsort) just by being referenced together."""
+    from kaskada_spark.fenl import fenl
+
+    ev = Timeline(_events(spark, sf_dir).df.withColumn(KEY, F.col(KEY).cast("long")))
+    od = _orders(spark, sf_dir)
+    out = fenl("{ v: Events.value, tp: Orders.o_totalprice }", {"Events": ev, "Orders": od})
+    return out.select(
+        F.col(KEY).alias("k"),
+        F.col(TIME).alias("t"),
+        F.col(SUBSORT).alias("s"),
+        "v", "tp",
+    )
+
+
 def q_fenl_since(spark, sf_dir):
     from kaskada_spark.fenl import fenl
 
@@ -554,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fenl_running": q_fenl_running,
         "fenl_when": q_fenl_when,
         "fenl_since": q_fenl_since,
+        "fenl_merge": q_fenl_merge,
         "lookup_asof": q_lookup_asof,
         "merge_align": q_merge_align,
         "tokens_table": q_tokens_table,
@@ -799,6 +816,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) OVER (PARTITION BY user_id, wid ORDER BY ts, event_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt_since
             FROM w
+        """,
+        "fenl_merge": """
+            WITH l AS (
+              SELECT CAST(user_id AS BIGINT) AS k, ts AS t, event_id AS s, value AS v FROM events
+            ), r AS (
+              SELECT o_custkey AS k, o_orderdate AS t, o_orderkey AS s, o_totalprice AS tp FROM orders
+            )
+            SELECT COALESCE(l.k, r.k) AS k, COALESCE(l.t, r.t) AS t,
+                   COALESCE(l.s, r.s) AS s, l.v, r.tp
+            FROM l FULL OUTER JOIN r ON l.k = r.k AND l.t = r.t AND l.s = r.s
         """,
         "lookup_asof": """
             WITH u AS (
