@@ -14,10 +14,14 @@ API and lets Catalyst/Tungsten/AQE pick physical strategies, which is
 what makes it viable at 100 TB / 1000-executor scale.
 """
 
+from kaskada_spark.fenl import fenl
 from kaskada_spark.session import get_spark
 from kaskada_spark.timeline import Timeline
-from kaskada_spark.windows import Since, Sliding
+from kaskada_spark.windows import Since, Sliding, Tick, daily, hourly, minutely, monthly, yearly
 
-__all__ = ["get_spark", "Timeline", "Since", "Sliding"]
+__all__ = [
+    "get_spark", "Timeline", "Since", "Sliding", "Tick", "fenl",
+    "minutely", "hourly", "daily", "monthly", "yearly",
+]
 
 __version__ = "0.1.0"
