@@ -804,3 +804,58 @@ def test_implicit_join_aggregates_span_tables(spark):
     # A timeline: 00:39(p=1), 01:00(nd), 02:39(p=2), 05:00(nd), 06:39(p=3)
     assert [x[1] for x in a_rows] == [1, 1, 3, 3, 6]
     assert [x[2] for x in a_rows] == [0, 1, 1, 2, 2]
+
+
+# ----------------------------------------------------------------------
+# decorations (reference e2e decoration_tests.rs, Times fixture
+# fixtures.rs:159-182; times shifted to UTC)
+# ----------------------------------------------------------------------
+TIMES = """time,key,n
+1994-12-20T00:39:57,A,2
+1995-10-20T00:40:57,B,4
+1996-08-20T00:41:57,B,5
+1997-12-12T00:42:57,B,
+1998-12-13T00:43:57,B,8
+2004-12-06T00:44:57,B,23
+"""
+
+
+def test_decoration_last_all(spark):
+    # test_last_timestamp_ns: ALL decoration, last latches across nulls
+    out = fenl("{ last: last(Times.n) }", {"Times": _tl(spark, TIMES)})
+    got = [(r["_key"], r["last"]) for r in out.orderBy("_time").collect()]
+    assert got == [("A", 2), ("B", 4), ("B", 5), ("B", 5), ("B", 8), ("B", 23)], got
+
+
+def test_decoration_final(spark):
+    # test_last_timestamp_ns_finished
+    out = fenl("{ last: last(Times.n) }", {"Times": _tl(spark, TIMES)}, behavior="final")
+    got = sorted((r["_key"], r["last"]) for r in out.collect())
+    assert got == [("A", 2), ("B", 23)], got
+
+
+def test_decoration_changed_since(spark):
+    # test_last_timestamp_ns_changed_since: inclusive lower bound
+    out = fenl(
+        "{ last: last(Times.n) }", {"Times": _tl(spark, TIMES)},
+        changed_since="1995-01-01 00:00:00",
+    )
+    got = [(r["_key"], r["last"]) for r in out.orderBy("_time").collect()]
+    assert got == [("B", 4), ("B", 5), ("B", 5), ("B", 8), ("B", 23)], got
+    # equal-to-event-time boundary is included
+    out2 = fenl(
+        "{ last: last(Times.n) }", {"Times": _tl(spark, TIMES)},
+        changed_since="1997-12-12 00:42:57",
+    )
+    assert out2.count() == 3
+
+
+def test_decoration_changed_since_final(spark):
+    # test_last_timestamp_ns_changed_since_finished: only entities with
+    # rows past changed_since emit, but values cover full history
+    out = fenl(
+        "{ last: last(Times.n) }", {"Times": _tl(spark, TIMES)},
+        behavior="final", changed_since="1995-01-01 00:00:00",
+    )
+    got = [(r["_key"], r["last"]) for r in out.collect()]
+    assert got == [("B", 23)], got
