@@ -43,7 +43,12 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "32000000"))
+# 64M rows: large enough that fixed per-run costs (streaming query
+# startup, checkpoint setup, first-batch planning) stay under ~10% of
+# the smallest level's wall time — at 32M those constants dominate the
+# local[8] run and drag the measured 2->8 efficiency below its true
+# steady-state value (BENCH.md).
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "64000000"))
 # Scaling levels: N=2 -> 4N=8 is the headline efficiency pair (both in
 # the regime where this sandbox VM scales JVM threads cleanly); the max
 # level adds the absolute-throughput ceiling. See BENCH.md for the
@@ -95,7 +100,7 @@ def worker(master: str, input_dir: str, n_rows: int) -> None:
     spark = get_spark(app_name=f"bench-{master}", master=master, pretouch=True)
     spark.read.parquet(input_dir).count()  # warm file listing + page cache
     runs = []
-    for _ in range(2):
+    for _ in range(3):  # first pays JIT; best-of-3 keeps steady state stable
         work = tempfile.mkdtemp(prefix="bench_worker_")
         try:
             t0 = time.time()
