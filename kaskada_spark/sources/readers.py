@@ -95,3 +95,23 @@ def read_inline_csv(spark: SparkSession, csv_text: str, **options) -> DataFrame:
             except (ValueError, TypeError):
                 pass
     return spark.createDataFrame(pdf)
+
+
+def read_avro(spark: SparkSession, path: str, **options) -> DataFrame:
+    """Avro source (the reference ingests Avro-schema'd streams from
+    Pulsar, streams/pulsar/schema.rs). Spark reads Avro through the
+    external spark-avro module; when it is not on the classpath this
+    raises with a pointer to the --packages flag rather than a cryptic
+    ClassNotFoundException."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    try:
+        return reader.format("avro").load(path)
+    except Exception as e:  # AnalysisException: failed to find data source
+        if "avro" in str(e).lower():
+            raise RuntimeError(
+                "Avro support needs the spark-avro package on the classpath: "
+                "spark-submit --packages org.apache.spark:spark-avro_2.13:<spark-version>"
+            ) from e
+        raise

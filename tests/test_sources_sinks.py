@@ -50,3 +50,15 @@ def test_csv_sink_roundtrip(spark, tmp_path):
     assert back.count() == 3
     lineage = sink.read_lineage(spark)
     assert lineage.agg(F.sum("n_rows")).collect()[0][0] == 3
+
+
+def test_avro_source_gated(spark, tmp_path):
+    from kaskada_spark.sources.readers import read_avro
+
+    try:
+        df = read_avro(spark, str(tmp_path / "missing.avro"))
+        df.count()
+    except RuntimeError as e:
+        assert "spark-avro" in str(e)  # helpful gate when module absent
+    except Exception:
+        pass  # module present but path missing — also acceptable
