@@ -859,3 +859,118 @@ def test_decoration_changed_since_final(spark):
     )
     got = [(r["_key"], r["last"]) for r in out.collect()]
     assert got == [("B", 23)], got
+
+
+# ----------------------------------------------------------------------
+# calendar tick goldens (reference e2e tick_tests.rs:486-545)
+# ----------------------------------------------------------------------
+MONTHS_FIXTURE = """time,key,n
+1996-12-19T20:39:57,A,10
+1996-12-19T20:39:58,B,3.9
+1997-01-21T00:32:59,A,6.2
+1997-01-21T00:44:00,A,9.25
+1997-02-21T00:45:01,A,3
+1997-04-22T00:20:02,A,8
+1997-04-22T00:25:02,B,23.9
+1997-04-22T00:30:03,A,
+1997-05-23T00:40:04,A,10
+"""
+
+
+def test_catalog_since_monthly(spark):
+    # tick_tests.rs test_since_monthly: ticks for EVERY seen entity at
+    # every month boundary (even months with no events for it)
+    q = "{ n: Foo.n, sum_since: sum(Foo.n, window=since(monthly())) }"
+    out = fenl(q, {"Foo": _tl(spark, MONTHS_FIXTURE)})
+    got = _rows(out, ["_time", "_key", "n", "sum_since"])
+    assert got == _expect(
+        """_time,_key,n,sum_since
+1996-12-19T20:39:57,A,10.0,10.0
+1996-12-19T20:39:58,B,3.9,3.9
+1997-01-01T00:00:00,A,,10.0
+1997-01-01T00:00:00,B,,3.9
+1997-01-21T00:32:59,A,6.2,6.2
+1997-01-21T00:44:00,A,9.25,15.45
+1997-02-01T00:00:00,A,,15.45
+1997-02-01T00:00:00,B,,
+1997-02-21T00:45:01,A,3.0,3.0
+1997-03-01T00:00:00,A,,3.0
+1997-03-01T00:00:00,B,,
+1997-04-01T00:00:00,A,,
+1997-04-01T00:00:00,B,,
+1997-04-22T00:20:02,A,8.0,8.0
+1997-04-22T00:25:02,B,23.9,23.9
+1997-04-22T00:30:03,A,,8.0
+1997-05-01T00:00:00,A,,8.0
+1997-05-01T00:00:00,B,,23.9
+1997-05-23T00:40:04,A,10.0,10.0
+""",
+        ["_time", "_key", "n", "sum_since"],
+        parse_time=("_time",),
+    ), got
+
+
+def test_catalog_since_yearly(spark):
+    # tick_tests.rs test_since_yearly (fixture spread over years)
+    years = """time,key,n
+1996-12-19T20:39:57,A,10
+1996-12-19T20:39:58,B,3.9
+1998-01-21T00:32:59,A,6.2
+1998-01-21T00:44:00,A,9.25
+1999-02-21T00:45:01,A,3
+1999-04-22T00:20:02,A,8
+2001-04-22T00:25:02,B,23.9
+2001-04-22T00:30:03,A,
+2001-05-23T00:40:04,A,10
+"""
+    q = "{ n: Foo.n, sum_since: sum(Foo.n, window=since(yearly())) }"
+    out = fenl(q, {"Foo": _tl(spark, years)})
+    got = _rows(out, ["_time", "_key", "n", "sum_since"])
+    assert got == _expect(
+        """_time,_key,n,sum_since
+1996-12-19T20:39:57,A,10.0,10.0
+1996-12-19T20:39:58,B,3.9,3.9
+1997-01-01T00:00:00,A,,10.0
+1997-01-01T00:00:00,B,,3.9
+1998-01-01T00:00:00,A,,
+1998-01-01T00:00:00,B,,
+1998-01-21T00:32:59,A,6.2,6.2
+1998-01-21T00:44:00,A,9.25,15.45
+1999-01-01T00:00:00,A,,15.45
+1999-01-01T00:00:00,B,,
+1999-02-21T00:45:01,A,3.0,3.0
+1999-04-22T00:20:02,A,8.0,11.0
+2000-01-01T00:00:00,A,,11.0
+2000-01-01T00:00:00,B,,
+2001-01-01T00:00:00,A,,
+2001-01-01T00:00:00,B,,
+2001-04-22T00:25:02,B,23.9,23.9
+2001-04-22T00:30:03,A,,
+2001-05-23T00:40:04,A,10.0,10.0
+""",
+        ["_time", "_key", "n", "sum_since"],
+        parse_time=("_time",),
+    ), got
+
+
+def test_tick_when_produces_boundary_rows(spark):
+    # tick_tests.rs test_tick_with_when_produces_values_on_window_bounds
+    days = """time,key,n
+1996-12-19T20:39:57,A,10
+1996-12-19T20:39:58,B,3.9
+1996-12-21T20:39:57,A,16.45
+1996-12-21T20:39:58,A,10
+"""
+    q = "sum(Foo.n, window=since(daily())) | when(daily())"
+    out = fenl(q, {"Foo": _tl(spark, days)})
+    got = _rows(out, ["_time", "_key", "result"])
+    assert got == _expect(
+        """_time,_key,result
+1996-12-20T00:00:00,A,10.0
+1996-12-20T00:00:00,B,3.9
+1996-12-21T00:00:00,A,
+1996-12-21T00:00:00,B,
+""",
+        ["_time", "_key", "result"],
+        parse_time=("_time",),
+    ), got
