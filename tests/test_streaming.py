@@ -507,3 +507,43 @@ def test_stream_shift_by_equals_batch(spark, tmp_path):
     # nothing emitted beyond the watermark frontier rule
     for kk, (t, _) in got.items():
         assert t <= wm_final
+
+
+def test_stream_resume_sliding_lag_state(spark, events_tl, tmp_path):
+    """Kill/resume with the sliding-window deque and lag-deque state:
+    run files 1-2, stop, DELETE file 1, add file 3, resume — combined
+    output must equal the batch lowering on all data (proves the deque
+    state alone is sufficient, resumeable_tests.rs pattern)."""
+    from kaskada_spark.windows import Sliding
+
+    base = events_tl.df.withColumn("__fire", F.col("event_type") == "purchase")
+    tl = Timeline(base)
+    specs = [
+        AggSpec("sum", "value", "sl_sum", since="__fire", n=2),
+        AggSpec("lag", "value", "prev2", n=2),
+    ]
+    full = _write_time_split(base, ["_time", "_subsort"], str(tmp_path / "full"), 3)
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    files = sorted(os.listdir(full))
+    for f in files[:2]:
+        shutil.copy2(os.path.join(full, f), os.path.join(in_dir, f))
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    _run_stream(spark, in_dir, base.schema, specs, ck, out)
+
+    os.remove(os.path.join(in_dir, files[0]))
+    shutil.copy2(os.path.join(full, files[2]), os.path.join(in_dir, files[2]))
+    sink = _run_stream(spark, in_dir, base.schema, specs, ck, out)
+
+    exp_tl = tl.sum("value", window=Sliding(2, F.col("__fire")), alias="sl_sum").lag(
+        "value", 2, alias="prev2"
+    )
+    exp = {r["event_id"]: (r["sl_sum"], r["prev2"]) for r in exp_tl.df.collect()}
+    got = {r["event_id"]: (r["sl_sum"], r["prev2"]) for r in sink.read_output(spark).collect()}
+    assert len(got) == len(exp)
+    for eid, evals in exp.items():
+        for i, (e, g) in enumerate(zip(evals, got[eid])):
+            if e is None:
+                assert g is None or g != g, f"col {i} at {eid}"
+            else:
+                assert g == pytest.approx(e, rel=1e-12), f"col {i} at {eid}"
