@@ -20,6 +20,15 @@ Semantics (from reference e2e tests, windowed_aggregation_tests.rs):
 Tick conditions (``minutely() … yearly()``) are represented as the
 ``Tick`` descriptor; in batch mode they lower to calendar-bucket
 partitioning (`date_trunc`), in streaming to state resets at boundaries.
+
+Boundary fine print: the DSL's `date_trunc` lowering assigns an event
+at exactly a boundary to the NEW window. The reference instead orders
+ticks after coincident events, so such an event belongs to the CLOSING
+window (tick subsort sentinel, operation/tick.rs:33-60). The
+reference-exact behavior is available through `operators/tick.with_ticks`
++ `Since(F.col(TICK_COL))` (what q_tick_daily does) and is what the
+Fenl frontend compiles to; the two differ only for events landing on a
+boundary to the nanosecond.
 """
 
 from __future__ import annotations
