@@ -974,3 +974,49 @@ def test_tick_when_produces_boundary_rows(spark):
         ["_time", "_key", "result"],
         parse_time=("_time",),
     ), got
+
+
+# ----------------------------------------------------------------------
+# scalar null-semantics goldens (eq.toml, not.toml, len.toml)
+# ----------------------------------------------------------------------
+def test_catalog_eq_null_strict(spark):
+    tl = _tl(
+        spark,
+        """time,key,a,b
+2021-01-01T00:00:00,Ben,50.7,6.0
+2021-01-02T00:00:00,Ryan,,70
+2021-01-03T00:00:00,Ryan,67.2,71.3
+2021-01-04T00:00:00,Ben,1.2,1.2
+2021-01-05T00:00:00,Ben,65,
+2021-01-06T00:00:00,Jordan,2.3,68.7
+2021-01-07T00:00:00,Ryan,,
+""",
+    )
+    got = [r["result"] for r in fenl("Input.a == Input.b", tl).orderBy("_time").collect()]
+    assert got == [False, None, False, True, None, False, None], got
+
+
+def test_catalog_not_kleene(spark):
+    tl = _tl(
+        spark,
+        """time,key,a
+2021-01-01T00:00:00,A,True
+2021-01-03T00:00:00,A,False
+2021-02-01T00:00:00,A,
+""",
+    )
+    got = [r["result"] for r in fenl("!Input.a", tl).orderBy("_time").collect()]
+    assert got == [False, True, None], got
+
+
+def test_catalog_len(spark):
+    tl = _tl(
+        spark,
+        """time,key,value
+2021-01-01T00:00:00,Ben,Hello World
+2021-01-03T00:00:00,Ben,Hello
+2021-01-04T00:00:00,Ryan,hi
+""",
+    )
+    got = [r["result"] for r in fenl("Input.value | len()", tl).orderBy("_time").collect()]
+    assert got == [11, 5, 2], got
