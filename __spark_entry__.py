@@ -428,17 +428,23 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing (rows-only check: decode is a deterministic
-    stub, not SQL-expressible): binary payloads -> mapInPandas feature
-    extraction, aggregated per media type."""
+    """Multimodal plumbing, fully oracle-checked: binary payloads ->
+    mapInPandas feature extraction (md5-hex-seeded LCG decode stub,
+    kaskada_spark/operators/multimodal.py) -> row-level features. The
+    DuckDB oracle reproduces the decode exactly via HUGEINT arithmetic,
+    so this is a value-hash-checked query, not a rows-only one."""
     from kaskada_spark.operators.multimodal import extract_features, synthesize_media
 
     media = synthesize_media(spark, 200)
     feats = extract_features(media)
     typed = feats.join(media.select("media_id", F.col("meta.media_type").alias("mt")), "media_id")
-    return typed.groupBy("mt").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("n_bytes").alias("total_bytes"),
+    return typed.select(
+        "media_id",
+        "mt",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.element_at("features", 1).cast("double").alias("f0"),
+        F.element_at("features", 8).cast("double").alias("f7"),
+        F.element_at("features", 16).cast("double").alias("f15"),
     )
 
 
@@ -798,7 +804,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(value) {_RUN} AS n_vals,
                    MIN(value) {_RUN} AS lo,
                    MAX(value) {_RUN} AS hi,
-                   SUM(CAST(FLOOR(value) AS BIGINT)) {_RUN} AS total_f
+                   CAST(SUM(CAST(FLOOR(value) AS BIGINT)) {_RUN} AS BIGINT) AS total_f
             FROM events
         """,
         "fenl_when": """
@@ -865,15 +871,15 @@ def oracle_sql() -> dict[str, str]:
             WITH {TOKENS_ORACLE_CTE.strip()}
             SELECT doc_id, source, len(tokens) AS n_tok,
                    tokens[1] AS tok_first, tokens[-1] AS tok_last,
-                   list_aggregate(list_transform(tokens, t -> CAST(t AS BIGINT)), 'sum') AS tok_sum
+                   CAST(list_aggregate(list_transform(tokens, t -> CAST(t AS BIGINT)), 'sum') AS BIGINT) AS tok_sum
             FROM tokens_tbl
         """,
         "tokens_windowed": f"""
             WITH {TOKENS_ORACLE_CTE.strip()}
             SELECT source, date_trunc('minute', _time) AS bucket,
                    COUNT(*) AS n_seq,
-                   SUM(len(tokens)) AS total_tokens,
-                   SUM(list_aggregate(list_transform(tokens, t -> CAST(t AS BIGINT)), 'sum')) AS tok_checksum
+                   CAST(SUM(len(tokens)) AS BIGINT) AS total_tokens,
+                   CAST(SUM(list_aggregate(list_transform(tokens, t -> CAST(t AS BIGINT)), 'sum')) AS BIGINT) AS tok_checksum
             FROM tokens_tbl
             GROUP BY 1, 2
         """,
@@ -1035,5 +1041,40 @@ def _pipeline_oracles() -> dict[str, str]:
                      i -> i * {_sql_hash28('ws[i]')}
                    )), 0) AS BIGINT) AS fp
             FROM w
+        """,
+        # Reproduces kaskada_spark/operators/multimodal.py exactly:
+        # synthesize_media payload = unhex(md5('42' || id)); decode stub
+        # seeds a 64-bit LCG from md5(lower(hex(payload)))[:16] and emits
+        # (x >> 11) / 2^53 per step, rounded through float32. HUGEINT
+        # keeps the mod-2^64 arithmetic exact (x*A < 2^127).
+        "media_features": """
+            WITH m AS (
+              SELECT i AS id, 'm-' || CAST(i AS VARCHAR) AS media_id,
+                     unhex(md5('42' || CAST(i AS VARCHAR))) AS payload,
+                     CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS mt
+              FROM (SELECT unnest(generate_series(0, 199)) AS i)
+            ), s AS (
+              SELECT media_id, mt,
+                     CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+                     CAST(CAST(('0x' || substr(md5(lower(hex(payload))), 1, 16)) AS UBIGINT) AS HUGEINT) AS seed
+              FROM m
+            ), l AS (
+              SELECT media_id, mt, n_bytes,
+                list_reduce(list_prepend(seed, CAST(range(1, 2) AS HUGEINT[])),
+                  (acc, i) -> (acc * 6364136223846793005 + 1442695040888963407)
+                              % CAST(18446744073709551616 AS HUGEINT)) AS x1,
+                list_reduce(list_prepend(seed, CAST(range(1, 9) AS HUGEINT[])),
+                  (acc, i) -> (acc * 6364136223846793005 + 1442695040888963407)
+                              % CAST(18446744073709551616 AS HUGEINT)) AS x8,
+                list_reduce(list_prepend(seed, CAST(range(1, 17) AS HUGEINT[])),
+                  (acc, i) -> (acc * 6364136223846793005 + 1442695040888963407)
+                              % CAST(18446744073709551616 AS HUGEINT)) AS x16
+              FROM s
+            )
+            SELECT media_id, mt, n_bytes,
+                   CAST(CAST((x1 >> 11) / 9007199254740992.0 AS REAL) AS DOUBLE) AS f0,
+                   CAST(CAST((x8 >> 11) / 9007199254740992.0 AS REAL) AS DOUBLE) AS f7,
+                   CAST(CAST((x16 >> 11) / 9007199254740992.0 AS REAL) AS DOUBLE) AS f15
+            FROM l
         """,
     }

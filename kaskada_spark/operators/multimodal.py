@@ -71,10 +71,14 @@ FRAMES_SCHEMA = T.StructType(
 def _decode_payload(payload: bytes) -> np.ndarray:
     """STUB decode: a real build decodes pixels/samples here (PIL,
     soundfile, pyav). Deterministic fake: FEATURE_DIM floats derived
-    from md5(payload) so tests are reproducible across engines/runs."""
+    from md5 of the payload's hex form so tests are reproducible across
+    engines/runs — and SQL-reproducible (DuckDB md5 takes VARCHAR only,
+    so the seed hashes ``payload.hex()`` = ``lower(hex(payload))``; the
+    LCG then unrolls to closed-form HUGEINT arithmetic — see the
+    ``media_features`` oracle in __spark_entry__.py)."""
     if payload is None:
         raise NotImplementedError("null payload cannot be decoded")
-    h = hashlib.md5(payload).digest()
+    h = hashlib.md5(payload.hex().encode()).digest()
     seed = int.from_bytes(h[:8], "big")
     vals = np.empty(FEATURE_DIM, dtype=np.float64)
     x = seed

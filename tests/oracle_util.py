@@ -52,6 +52,16 @@ def compare(spark_df, oracle_sql: str, sf_dir: str, float_ulps: bool = True) -> 
     assert len(sdf) == len(odf), f"row count {len(sdf)} != {len(odf)}"
     for c in sdf.columns:
         a, b = sdf[c], odf[c]
+        # Driver-hash parity guard: the driver's value hash is
+        # dtype-KIND-sensitive (float vs int render differently even for
+        # equal values — e.g. DuckDB HUGEINT -> float64 vs Spark bigint),
+        # so a float/int kind split is a mismatch even if values agree.
+        num_kinds = {"i", "u", "f"}
+        if a.dtype.kind in num_kinds and b.dtype.kind in num_kinds:
+            assert (a.dtype.kind == "f") == (b.dtype.kind == "f"), (
+                f"column {c!r} dtype-kind mismatch (driver hash would differ): "
+                f"spark {a.dtype} vs oracle {b.dtype} — add explicit casts on both sides"
+            )
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             mism = []
             for i, (x, y) in enumerate(zip(a, b)):
