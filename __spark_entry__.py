@@ -236,6 +236,151 @@ def q_scalar_showcase(spark, sf_dir):
 
 
 # ----------------------------------------------------------------------
+# catalog sweep: EVERY scalar InstOp oracle-checked (reference catalog,
+# crates/sparrow-catalog/catalog/*.toml — 49 scalar ops across 4 grouped
+# queries + a hash-property query; §2.2 scalars)
+# ----------------------------------------------------------------------
+def q_scalar_sweep_arith(spark, sf_dir):
+    """add sub mul div neg ceil floor round clamp powf sqrt exp
+    zip_min zip_max (catalog add.toml ... zip_max.toml). Transcendentals
+    (powf/exp) round to 6 decimals for cross-engine bit stability;
+    sqrt is IEEE-correctly-rounded so it compares raw."""
+    from kaskada_spark.functions import scalar as S
+
+    ev = read_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        S.add(v, F.lit(1.5)).alias("v_add"),
+        S.sub(v, F.lit(0.25)).alias("v_sub"),
+        S.mul(v, F.lit(2.0)).alias("v_mul"),
+        S.div(v, F.lit(2.0)).alias("v_div"),
+        S.neg(v).alias("v_neg"),
+        S.ceil(v).cast("long").alias("v_ceil"),
+        S.floor(v).cast("long").alias("v_floor"),
+        S.round_(v).alias("v_round"),
+        S.clamp(v, F.lit(50.0), F.lit(150.0)).alias("v_clamp"),
+        S.round_(S.powf(v, F.lit(2.0)), 6).alias("v_pow2"),
+        S.sqrt(v).alias("v_sqrt"),
+        S.round_(S.exp(S.div(v, F.lit(200.0))), 6).alias("v_exp"),
+        S.zip_min(v, F.lit(100.0)).alias("v_zmin"),
+        S.zip_max(v, F.lit(100.0)).alias("v_zmax"),
+    )
+
+
+def q_scalar_sweep_logic(spark, sf_dir):
+    """eq neq lt lte gt gte not logical_and logical_or if null_if
+    coalesce else — Kleene 3-valued over generated nulls (catalog
+    eq.toml ... else.toml; reference LogicalAndKleeneEvaluator)."""
+    from kaskada_spark.functions import scalar as S
+
+    ev = read_table(spark, sf_dir, "events")
+    v, ety = F.col("value"), F.col("event_type")
+    b1 = S.gt(v, F.lit(100.0))
+    b2 = S.eq(ety, F.lit("click"))
+    nb = S.if_(S.gt(v, F.lit(120.0)), b1)  # null when v <= 120
+    return ev.select(
+        "event_id",
+        S.eq(v, F.lit(100.0)).alias("c_eq"),
+        S.neq(ety, F.lit("view")).alias("c_neq"),
+        S.lt(v, F.lit(50.0)).alias("c_lt"),
+        S.lte(v, F.lit(50.0)).alias("c_lte"),
+        S.gt(v, F.lit(150.0)).alias("c_gt"),
+        S.gte(v, F.lit(150.0)).alias("c_gte"),
+        S.not_(b1).alias("l_not"),
+        S.logical_and(b2, nb).alias("l_and"),
+        S.logical_or(b2, nb).alias("l_or"),
+        S.if_(b2, v).alias("l_if"),
+        S.null_if(b2, v).alias("l_nullif"),
+        S.coalesce(S.if_(b2, v), F.lit(-1.0)).alias("l_coalesce"),
+        S.else_(F.lit(-1.0), S.if_(b1, v)).alias("l_else"),
+    )
+
+
+def q_scalar_sweep_string_time(spark, sf_dir):
+    """len upper lower substring (null/negative index rules,
+    evaluators/string.rs:101) + day_of_month(0) day_of_year(0)
+    month_of_year(0) year time_of + seconds days months add_time
+    seconds_between days_between months_between (catalog
+    len.toml ... months_between.toml)."""
+    from kaskada_spark.functions import scalar as S
+
+    tl = _events(spark, sf_dir)
+    ety, ts = F.col("event_type"), F.col("ts")
+    ref = F.lit("2024-12-31 12:00:00").cast("timestamp")
+    return tl.df.select(
+        "event_id",
+        S.len_(ety).alias("s_len"),
+        S.upper(ety).alias("s_upper"),
+        S.lower(S.upper(ety)).alias("s_lower"),
+        S.substring(ety, F.lit(1), F.lit(-1)).alias("s_sub_neg"),
+        S.substring(ety, None, F.lit(3)).alias("s_sub_head"),
+        S.day_of_month(ts).alias("t_dom"),
+        S.day_of_month0(ts).alias("t_dom0"),
+        S.day_of_year(ts).alias("t_doy"),
+        S.day_of_year0(ts).alias("t_doy0"),
+        S.month_of_year(ts).alias("t_moy"),
+        S.month_of_year0(ts).alias("t_moy0"),
+        S.year(ts).alias("t_year"),
+        S.time_of(tl).alias("t_of"),
+        S.add_time(S.seconds(F.round(F.col("value")).cast("long")), ts).alias("t_add_sec"),
+        S.add_time(S.days((F.col("event_id") % 30).cast("int")), ts).alias("t_add_day"),
+        S.add_time(S.months(F.lit(2).cast("int")), ts).alias("t_add_mon"),
+        S.seconds_between(ts, ref).alias("t_sb"),
+        S.days_between(ts, ref).alias("t_db"),
+        S.months_between(ts, ref).alias("t_mb"),
+    )
+
+
+def q_scalar_sweep_record_json(spark, sf_dir):
+    """record field_ref extend select_fields remove_fields cast
+    is_valid json/json_field (catalog record.toml, extend.toml,
+    select_fields.toml, remove_fields.toml, json.toml; inst.rs
+    FieldRef/Record/Cast)."""
+    from kaskada_spark.functions import scalar as S
+
+    ev = read_table(spark, sf_dir, "events")
+    v, ety, props = F.col("value"), F.col("event_type"), F.col("props")
+    rec = S.record(a=v, b=ety)
+    ext = S.extend_record(rec, c=S.mul(v, F.lit(2.0)))
+    sel = S.select_fields(ext, "a", "c")
+    rem = S.remove_fields(ext, "b")
+    return ev.select(
+        "event_id",
+        S.field_ref(rec, "b").alias("r_b"),
+        S.field_ref(ext, "c").alias("r_ext_c"),
+        S.field_ref(sel, "a").alias("r_sel_a"),
+        S.field_ref(rem, "c").alias("r_rem_c"),
+        S.cast_(v, "long").alias("r_cast_i"),
+        S.cast_(F.col("event_id"), "double").alias("r_cast_f"),
+        S.is_valid(v).alias("r_valid"),
+        S.is_valid(S.if_(F.lit(False), v)).alias("r_invalid"),
+        S.json_field(props, "k").alias("j_k"),
+        S.cast_(S.json_field(props, "k"), "long").alias("j_k_int"),
+    )
+
+
+def q_scalar_sweep_hash(spark, sf_dir):
+    """hash (sparrow-kernels/src/hash.rs): the 64-bit kernel itself is
+    engine-specific (xxhash64 here), so the oracle checks its semantic
+    contract instead of bit values — deterministic (same input -> same
+    hash) and collision-free on this domain (distinct hash count ==
+    distinct value count, for strings and for bigints)."""
+    from kaskada_spark.functions import scalar as S
+
+    ev = read_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("event_type").alias("n_type"),
+        F.countDistinct(S.hash_(F.col("event_type"))).alias("n_type_hash"),
+        F.countDistinct("user_id").alias("n_user"),
+        F.countDistinct(S.hash_(F.col("user_id"))).alias("n_user_hash"),
+        F.count_if(
+            S.hash_(F.col("event_type")) != S.hash_(F.col("event_type"))
+        ).alias("n_nondet"),
+    )
+
+
+# ----------------------------------------------------------------------
 # temporal joins: lookup (as-of) & merge-align (§2.1)
 # ----------------------------------------------------------------------
 def q_lookup_asof(spark, sf_dir):
@@ -572,6 +717,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "final_at": q_final_at,
         "session_windows": q_session_windows,
         "scalar_showcase": q_scalar_showcase,
+        "scalar_sweep_arith": q_scalar_sweep_arith,
+        "scalar_sweep_logic": q_scalar_sweep_logic,
+        "scalar_sweep_string_time": q_scalar_sweep_string_time,
+        "scalar_sweep_record_json": q_scalar_sweep_record_json,
+        "scalar_sweep_hash": q_scalar_sweep_hash,
         "entity_slice": q_entity_slice,
         "fenl_running": q_fenl_running,
         "fenl_when": q_fenl_when,
@@ -788,6 +938,93 @@ def oracle_sql() -> dict[str, str]:
                    CAST((2024 - year(ts)) * 12 + (12 - month(ts)) AS INT) AS mb,
                    value IS NOT NULL AS valid,
                    value AS rec_a
+            FROM events
+        """,
+        "scalar_sweep_arith": """
+            SELECT event_id,
+                   value + 1.5 AS v_add,
+                   value - 0.25 AS v_sub,
+                   value * 2.0 AS v_mul,
+                   value / 2.0 AS v_div,
+                   -value AS v_neg,
+                   CAST(ceil(value) AS BIGINT) AS v_ceil,
+                   CAST(floor(value) AS BIGINT) AS v_floor,
+                   round(value) AS v_round,
+                   CASE WHEN value < 50.0 THEN 50.0
+                        WHEN value > 150.0 THEN 150.0 ELSE value END AS v_clamp,
+                   round(pow(value, 2.0), 6) AS v_pow2,
+                   sqrt(value) AS v_sqrt,
+                   round(exp(value / 200.0), 6) AS v_exp,
+                   least(value, 100.0) AS v_zmin,
+                   greatest(value, 100.0) AS v_zmax
+            FROM events
+        """,
+        "scalar_sweep_logic": """
+            SELECT event_id,
+                   value = 100.0 AS c_eq,
+                   event_type != 'view' AS c_neq,
+                   value < 50.0 AS c_lt,
+                   value <= 50.0 AS c_lte,
+                   value > 150.0 AS c_gt,
+                   value >= 150.0 AS c_gte,
+                   NOT (value > 100.0) AS l_not,
+                   (event_type = 'click') AND
+                     (CASE WHEN value > 120.0 THEN value > 100.0 END) AS l_and,
+                   (event_type = 'click') OR
+                     (CASE WHEN value > 120.0 THEN value > 100.0 END) AS l_or,
+                   CASE WHEN event_type = 'click' THEN value END AS l_if,
+                   CASE WHEN NOT COALESCE(event_type = 'click', FALSE)
+                        THEN value END AS l_nullif,
+                   COALESCE(CASE WHEN event_type = 'click' THEN value END, -1.0) AS l_coalesce,
+                   COALESCE(CASE WHEN value > 100.0 THEN value END, -1.0) AS l_else
+            FROM events
+        """,
+        "scalar_sweep_string_time": """
+            SELECT event_id,
+                   CAST(length(event_type) AS INT) AS s_len,
+                   upper(event_type) AS s_upper,
+                   lower(upper(event_type)) AS s_lower,
+                   substr(event_type, 2,
+                          greatest(length(event_type) - 2, 0)) AS s_sub_neg,
+                   substr(event_type, 1, 3) AS s_sub_head,
+                   CAST(dayofmonth(ts) AS INT) AS t_dom,
+                   CAST(dayofmonth(ts) - 1 AS INT) AS t_dom0,
+                   CAST(dayofyear(ts) AS INT) AS t_doy,
+                   CAST(dayofyear(ts) - 1 AS INT) AS t_doy0,
+                   CAST(month(ts) AS INT) AS t_moy,
+                   CAST(month(ts) - 1 AS INT) AS t_moy0,
+                   CAST(year(ts) AS INT) AS t_year,
+                   ts AS t_of,
+                   ts + to_seconds(CAST(round(value) AS BIGINT)) AS t_add_sec,
+                   ts + to_days(CAST(event_id % 30 AS INT)) AS t_add_day,
+                   ts + INTERVAL 2 MONTH AS t_add_mon,
+                   CAST(floor(epoch(TIMESTAMP '2024-12-31 12:00:00'))
+                        - floor(epoch(ts)) AS BIGINT) AS t_sb,
+                   CAST(trunc((floor(epoch(TIMESTAMP '2024-12-31 12:00:00'))
+                        - floor(epoch(ts))) / 86400.0) AS INT) AS t_db,
+                   CAST((2024 - year(ts)) * 12 + (12 - month(ts)) AS INT) AS t_mb
+            FROM events
+        """,
+        "scalar_sweep_record_json": """
+            SELECT event_id,
+                   event_type AS r_b,
+                   value * 2.0 AS r_ext_c,
+                   value AS r_sel_a,
+                   value * 2.0 AS r_rem_c,
+                   CAST(trunc(value) AS BIGINT) AS r_cast_i,
+                   CAST(event_id AS DOUBLE) AS r_cast_f,
+                   value IS NOT NULL AS r_valid,
+                   FALSE AS r_invalid,
+                   json_extract_string(props, '$.k') AS j_k,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS j_k_int
+            FROM events
+        """,
+        "scalar_sweep_hash": """
+            SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_type,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_type_hash,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_user,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_user_hash,
+                   CAST(0 AS BIGINT) AS n_nondet
             FROM events
         """,
         "entity_slice": f"""
