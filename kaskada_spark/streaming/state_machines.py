@@ -28,6 +28,7 @@ from __future__ import annotations
 import math
 from typing import Iterator, NamedTuple
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -56,7 +57,12 @@ _STATE_COMPS = {
     "min": ("min",),
     "max": ("max",),
     "mean": ("sum", "cnt"),
-    "variance": ("sum", "sumsq", "cnt"),
+    # variance state is shift-centered: sum/sumsq accumulate (x - off)
+    # where off is the window's first value, killing the catastrophic
+    # cancellation of raw sumsq/n - mean^2 (reference uses incremental
+    # M2, arrow_agg_evaluator.rs; the shifted form is its vectorizable
+    # batch-mergeable equivalent)
+    "variance": ("sum", "sumsq", "cnt", "off"),
     "last": ("last",),
     "first": ("first",),
     "lag": (),  # deque-only state
@@ -67,15 +73,47 @@ _STATE_COMPS = {
 #: closed sub-accumulators per entity, combined with the running partial)
 _SLIDING_OPS = ("sum", "count", "min", "max", "mean")
 
+#: ops whose value type follows the input type (reference has dedicated
+#: string/boolean accumulators, evaluators/aggregation/{string,boolean}/)
+_TYPED_OPS = ("min", "max", "first", "last")
 
-def _state_schema(specs: list[AggSpec]) -> T.StructType:
+
+def _value_kind(input_schema: T.StructType, spec: AggSpec) -> str:
+    """'num' (double state), 'str' or 'bool' (typed state, _TYPED_OPS only)."""
+    if spec.op == "count_if":
+        return "num"
+    dt = input_schema[spec.col].dataType if spec.col in input_schema.names else T.DoubleType()
+    if isinstance(dt, T.StringType):
+        kind = "str"
+    elif isinstance(dt, T.BooleanType):
+        kind = "bool"
+    else:
+        return "num"
+    if spec.op not in _TYPED_OPS or spec.is_sliding:
+        raise ValueError(
+            f"streaming {spec.op!r} over a {kind} column is not supported "
+            f"(typed state exists for {_TYPED_OPS}, numeric otherwise)"
+        )
+    return kind
+
+
+def _typed_dt(kind: str) -> T.DataType:
+    return {"num": T.DoubleType(), "str": T.StringType(), "bool": T.BooleanType()}[kind]
+
+
+def _state_schema(specs: list[AggSpec], kinds: dict[str, str]) -> T.StructType:
     fields = [
         T.StructField("max_time", T.LongType()),     # ns epoch high-water mark
         T.StructField("max_subsort", T.LongType()),
     ]
     for s in specs:
         for comp in _STATE_COMPS[s.op]:
-            typ = T.LongType() if comp == "cnt" else T.DoubleType()
+            if comp == "cnt":
+                typ = T.LongType()
+            elif s.op in _TYPED_OPS:
+                typ = _typed_dt(kinds[s.alias])
+            else:
+                typ = T.DoubleType()
             fields.append(T.StructField(f"{s.alias}__{comp}", typ))
         if s.op == "lag":
             fields.append(T.StructField(f"{s.alias}__deque", T.ArrayType(T.DoubleType())))
@@ -87,10 +125,17 @@ def _state_schema(specs: list[AggSpec]) -> T.StructType:
     return T.StructType(fields)
 
 
-def _output_schema(input_schema: T.StructType, specs: list[AggSpec]) -> T.StructType:
+def _output_schema(
+    input_schema: T.StructType, specs: list[AggSpec], kinds: dict[str, str]
+) -> T.StructType:
     fields = list(input_schema.fields)
     for s in specs:
-        typ = T.LongType() if s.op == "count" else T.DoubleType()
+        if s.op == "count":
+            typ = T.LongType()
+        elif s.op in _TYPED_OPS:
+            typ = _typed_dt(kinds[s.alias])
+        else:
+            typ = T.DoubleType()
         fields.append(T.StructField(s.alias, typ))
     return T.StructType(fields)
 
@@ -110,9 +155,10 @@ def running_agg_stream(
     """
     if watermark:
         tdf = tdf.withWatermark(TIME, watermark)
-    out_schema = _output_schema(tdf.schema, specs)
-    state_schema = _state_schema(specs)
-    func = _make_update_fn(specs, [f.name for f in tdf.schema.fields])
+    kinds = {s.alias: _value_kind(tdf.schema, s) for s in specs}
+    out_schema = _output_schema(tdf.schema, specs, kinds)
+    state_schema = _state_schema(specs, kinds)
+    func = _make_update_fn(specs, [f.name for f in tdf.schema.fields], kinds)
     return tdf.groupBy(KEY).applyInPandasWithState(
         func, out_schema, state_schema, output_mode, GroupStateTimeout.NoTimeout
     )
@@ -132,8 +178,16 @@ def _state_field_names(specs: list[AggSpec]) -> list[str]:
     return names
 
 
-def _make_update_fn(specs: list[AggSpec], input_cols: list[str]):
+def _make_update_fn(specs: list[AggSpec], input_cols: list[str], kinds: dict[str, str] | None = None):
     state_comp_names = _state_field_names(specs)
+    kinds = kinds or {s.alias: "num" for s in specs}
+    # state fields that hold typed (non-float) values pass through _coerce
+    typed_fields = {
+        f"{s.alias}__{comp}"
+        for s in specs
+        if kinds[s.alias] != "num"
+        for comp in _STATE_COMPS[s.op]
+    }
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -161,7 +215,10 @@ def _make_update_fn(specs: list[AggSpec], input_cols: list[str]):
 
             out = pdf.copy()
             for s in specs:
-                vals = pd.to_numeric(pdf[s.col], errors="coerce")
+                if kinds[s.alias] == "num":
+                    vals = pd.to_numeric(pdf[s.col], errors="coerce")
+                else:
+                    vals = pdf[s.col].astype(object).where(pdf[s.col].notna(), None)
                 if s.op == "lag":
                     _apply_lag(out, st, s, vals)
                     continue
@@ -178,7 +235,7 @@ def _make_update_fn(specs: list[AggSpec], input_cols: list[str]):
                 if s.is_sliding:
                     _apply_sliding(out, st, s, vals, wid, fired_end)
                 else:
-                    _apply_agg(out, st, s, vals, wid, fired_end)
+                    _apply_agg(out, st, s, vals, wid, fired_end, kinds[s.alias])
             yield out
 
         def _coerce(name, v):
@@ -186,6 +243,8 @@ def _make_update_fn(specs: list[AggSpec], input_cols: list[str]):
                 return None if v is None else [None if pd.isna(x) else float(x) for x in v]
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 return None
+            if name in typed_fields:
+                return v
             return int(v) if name.endswith("__cnt") else float(v)
 
         flat = [int(st["max_time"]), int(st["max_subsort"])] + [
@@ -213,7 +272,8 @@ def _apply_lag(out, st, spec: AggSpec, vals: pd.Series) -> None:
 
 
 def _sl_combine(op: str, comp: str, closed_vals: list, cur: pd.Series) -> pd.Series:
-    """Combine closed sub-accumulator values with the running partial."""
+    """Combine closed sub-accumulator values with the running partial.
+    min/max carries use np.fmin/np.fmax — NaN-skipping AND vectorized."""
     closed = [v for v in closed_vals if v is not None and not pd.isna(v)]
     if op in ("sum", "count", "mean"):
         offset = sum(closed)
@@ -221,11 +281,13 @@ def _sl_combine(op: str, comp: str, closed_vals: list, cur: pd.Series) -> pd.Ser
             return cur
         return cur.fillna(0) + offset
     if op == "min":
-        m = min(closed) if closed else None
-        return cur if m is None else cur.combine(pd.Series(m, index=cur.index), min_nanskip)
+        if not closed:
+            return cur
+        return pd.Series(np.fmin(cur.to_numpy(dtype="float64"), min(closed)), index=cur.index)
     if op == "max":
-        m = max(closed) if closed else None
-        return cur if m is None else cur.combine(pd.Series(m, index=cur.index), max_nanskip)
+        if not closed:
+            return cur
+        return pd.Series(np.fmax(cur.to_numpy(dtype="float64"), max(closed)), index=cur.index)
     raise ValueError(op)
 
 
@@ -257,11 +319,17 @@ def _apply_sliding(
             series[~has] = float("nan")
             combine = lambda s, p: s.fillna(0) + p  # noqa: E731
         elif comp == "min":
-            series = vals.groupby(wid).cummin()
-            combine = lambda s, p: s.combine(pd.Series(p, index=s.index), min_nanskip)  # noqa: E731
+            # cummin leaves NaN at null-input rows; ffill latches the
+            # running min there (batch F.min-over-frame parity)
+            series = vals.groupby(wid).cummin().groupby(wid).ffill()
+            combine = lambda s, p: pd.Series(  # noqa: E731
+                np.fmin(s.to_numpy(dtype="float64"), p), index=s.index
+            )
         elif comp == "max":
-            series = vals.groupby(wid).cummax()
-            combine = lambda s, p: s.combine(pd.Series(p, index=s.index), max_nanskip)  # noqa: E731
+            series = vals.groupby(wid).cummax().groupby(wid).ffill()
+            combine = lambda s, p: pd.Series(  # noqa: E731
+                np.fmax(s.to_numpy(dtype="float64"), p), index=s.index
+            )
         prev = st.get(f"{a}__{comp}")
         run = series.copy()
         if prev is not None and not (isinstance(prev, float) and math.isnan(prev)):
@@ -314,7 +382,50 @@ def _apply_sliding(
     out[a] = result.astype("int64") if spec.op == "count" else result
 
 
-def _apply_agg(out, st, spec: AggSpec, vals: pd.Series, wid: pd.Series, fired_end: bool = False) -> None:
+def _num_minmax_combine(is_min: bool):
+    fn = np.fmin if is_min else np.fmax
+    return lambda s, p: pd.Series(fn(s.to_numpy(dtype="float64"), p), index=s.index)
+
+
+def _obj_minmax_run(vals: pd.Series, wid: pd.Series, is_min: bool) -> pd.Series:
+    """Running min/max of an object (string/bool) series per window,
+    latched at null-input rows — via ordered categorical codes so the
+    accumulation itself is the numeric cummin/cummax kernel (mirrors the
+    reference's string accumulators, evaluators/aggregation/string/)."""
+    uniq = sorted({v for v in vals.tolist() if v is not None and not pd.isna(v)})
+    if not uniq:
+        return pd.Series([None] * len(vals), index=vals.index, dtype=object)
+    cat = pd.Categorical(vals, categories=uniq, ordered=True)
+    codes = pd.Series(cat.codes, index=vals.index).astype("float64")
+    codes[codes < 0] = float("nan")
+    run = (codes.groupby(wid).cummin() if is_min else codes.groupby(wid).cummax())
+    run = run.groupby(wid).ffill()
+    filled = run.fillna(0).astype("int64").to_numpy()
+    decoded = pd.Series(np.asarray(uniq, dtype=object)[filled], index=vals.index, dtype=object)
+    decoded[run.isna()] = None
+    return decoded
+
+
+def _obj_minmax_combine(is_min: bool):
+    def combine(s: pd.Series, p) -> pd.Series:
+        arr = s.to_numpy(dtype=object).copy()
+        isna = pd.isna(arr)
+        arr[isna] = p
+        nn_idx = np.flatnonzero(~isna)
+        if len(nn_idx):
+            sub = arr[nn_idx]
+            worse = (sub > p) if is_min else (sub < p)
+            sub[worse] = p
+            arr[nn_idx] = sub
+        return pd.Series(arr, index=s.index, dtype=object)
+
+    return combine
+
+
+def _apply_agg(
+    out, st, spec: AggSpec, vals: pd.Series, wid: pd.Series,
+    fired_end: bool = False, kind: str = "num",
+) -> None:
     """Vectorized accumulator update + running-value emission.
 
     State carries into the batch's first window (wid 0); later windows
@@ -340,7 +451,7 @@ def _apply_agg(out, st, spec: AggSpec, vals: pd.Series, wid: pd.Series, fired_en
             st[f"{a}__{comp}"] = None if tail.empty or pd.isna(tail.iloc[-1]) else tail.iloc[-1]
         return run
 
-    if spec.op in ("sum", "mean", "variance"):
+    if spec.op in ("sum", "mean"):
         gs = vals.fillna(0).groupby(wid).cumsum()
         has = nn.groupby(wid).cumsum() > 0
         gs[~has] = float("nan")
@@ -348,11 +459,6 @@ def _apply_agg(out, st, spec: AggSpec, vals: pd.Series, wid: pd.Series, fired_en
     if spec.op in ("count", "mean", "variance"):
         gc = nn.astype("int64").groupby(wid).cumsum()
         run_cnt = carry("cnt", lambda s, p: s + int(p), gc.astype("float64"))
-    if spec.op == "variance":
-        sq = vals * vals
-        gq = sq.fillna(0).groupby(wid).cumsum()
-        gq[~(nn.groupby(wid).cumsum() > 0)] = float("nan")
-        run_sumsq = carry("sumsq", lambda s, p: s.fillna(0) + p, gq)
     if spec.op == "sum":
         out[a] = run_sum
     elif spec.op == "count":
@@ -360,36 +466,51 @@ def _apply_agg(out, st, spec: AggSpec, vals: pd.Series, wid: pd.Series, fired_en
     elif spec.op == "mean":
         out[a] = run_sum / run_cnt.where(run_cnt > 0)
     elif spec.op == "variance":
+        # shift-centered accumulation: off = the window's first value
+        # (carried across batches), sums taken over d = x - off. Exactly
+        # equal to the raw form in exact arithmetic, numerically stable
+        # when |mean| >> stddev. Null until n >= 2 (variance.toml golden).
+        off = vals.groupby(wid).transform("first")
+        prev_off = st.get(f"{a}__off")
+        if prev_off is not None and not (isinstance(prev_off, float) and math.isnan(prev_off)):
+            off = off.copy()
+            off[first_win] = prev_off
+        d = vals - off
+        gs = d.fillna(0).groupby(wid).cumsum()
+        has = nn.groupby(wid).cumsum() > 0
+        gs[~has] = float("nan")
+        run_sum_d = carry("sum", lambda s, p: s.fillna(0) + p, gs)
+        gq = (d * d).fillna(0).groupby(wid).cumsum()
+        gq[~has] = float("nan")
+        run_sumsq_d = carry("sumsq", lambda s, p: s.fillna(0) + p, gq)
+        if fired_end:
+            st[f"{a}__off"] = None
+        else:
+            tail = off[in_last]
+            st[f"{a}__off"] = (
+                None if tail.empty or pd.isna(tail.iloc[-1]) else float(tail.iloc[-1])
+            )
         n = run_cnt.where(run_cnt > 0)
-        m = run_sum / n
-        out[a] = run_sumsq / n - m * m
+        m = run_sum_d / n
+        out[a] = (run_sumsq_d / n - m * m).where(run_cnt >= 2)
     elif spec.op == "first":
         first_pos = nn & (nn.groupby(wid).cumsum() == 1)
         seed = vals.where(first_pos)
         run_first = seed.groupby(wid).ffill()
         out[a] = carry("first", lambda s, p: pd.Series(p, index=s.index), run_first)
-    elif spec.op == "min":
-        out[a] = carry("min", lambda s, p: s.combine(pd.Series(p, index=s.index), min_nanskip), vals.groupby(wid).cummin())
-    elif spec.op == "max":
-        out[a] = carry("max", lambda s, p: s.combine(pd.Series(p, index=s.index), max_nanskip), vals.groupby(wid).cummax())
+    elif spec.op in ("min", "max"):
+        is_min = spec.op == "min"
+        if kind == "num":
+            # cummin/cummax leave NaN at null-input rows; ffill latches
+            # (batch F.min-over-frame parity); carries via np.fmin/fmax
+            run = vals.groupby(wid).cummin() if is_min else vals.groupby(wid).cummax()
+            run = run.groupby(wid).ffill()
+            out[a] = carry(spec.op, _num_minmax_combine(is_min), run)
+        else:
+            run = _obj_minmax_run(vals, wid, is_min)
+            out[a] = carry(spec.op, _obj_minmax_combine(is_min), run)
     elif spec.op == "last":
         ff = vals.groupby(wid).ffill()
         out[a] = carry("last", lambda s, p: s.fillna(p), ff)
     else:
         raise ValueError(f"unsupported streaming op {spec.op!r}")
-
-
-def min_nanskip(x, y):
-    if pd.isna(x):
-        return y
-    if pd.isna(y):
-        return x
-    return min(x, y)
-
-
-def max_nanskip(x, y):
-    if pd.isna(x):
-        return y
-    if pd.isna(y):
-        return x
-    return max(x, y)

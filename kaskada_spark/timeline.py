@@ -407,10 +407,12 @@ def _agg_over(op: str, col: Column, frame: W) -> Column:
     if op == "mean":
         return F.avg(col).over(frame)
     if op == "variance":
-        return F.var_pop(col).over(frame)
+        # population variance, null until two non-null inputs exist
+        # (variance.toml golden: n=1 -> null, n=2 -> var_pop)
+        return F.when(F.count(col).over(frame) >= 2, F.var_pop(col).over(frame))
     if op == "stddev":
         # reference rewrites stddev = variance ** 0.5 (functions/aggregation.rs:110-120)
-        return F.sqrt(F.var_pop(col).over(frame))
+        return F.when(F.count(col).over(frame) >= 2, F.sqrt(F.var_pop(col).over(frame)))
     if op == "first":
         return F.first(col, ignorenulls=True).over(frame)
     if op == "last":
@@ -471,9 +473,14 @@ def _merge_components(op: str, prev: dict, cur: dict) -> Column:
         c = F.coalesce(prev["c"], F.lit(0)) + F.coalesce(cur["c"], F.lit(0))
         return F.when(c > 0, s / c)
     if op in ("variance", "stddev"):
+        # q/c - (s/c)^2 is the only window-SUM-mergeable decomposition
+        # across closed sub-windows (Welford M2 merging is pairwise, not
+        # a frame SUM); cancellation-prone when |mean| >> stddev — for
+        # exact results feed decimal-cast inputs (see q_running_mean_var).
+        # Null until 2 non-null inputs (variance.toml golden).
         s = F.coalesce(prev["s"], F.lit(0.0)) + F.coalesce(cur["s"], F.lit(0.0))
         c = F.coalesce(prev["c"], F.lit(0)) + F.coalesce(cur["c"], F.lit(0))
         q = F.coalesce(prev["q"], F.lit(0.0)) + F.coalesce(cur["q"], F.lit(0.0))
-        var = F.when(c > 0, q / c - (s / c) * (s / c))
+        var = F.when(c >= 2, q / c - (s / c) * (s / c))
         return F.sqrt(var) if op == "stddev" else var
     raise ValueError(op)

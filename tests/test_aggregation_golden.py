@@ -73,10 +73,11 @@ def test_running_mean_variance(catalog_tl):
     m = collect_map(catalog_tl.mean("value", alias="m"), "m")
     v = collect_map(catalog_tl.variance("value", alias="v"), "v")
     assert m[3] == pytest.approx((50.7 + 1.2) / 2)
-    # population variance of [50.7, 1.2]
+    # population variance of [50.7, 1.2] (variance.toml golden: 612.5625)
     mu = (50.7 + 1.2) / 2
     assert v[3] == pytest.approx(((50.7 - mu) ** 2 + (1.2 - mu) ** 2) / 2)
-    assert v[0] == pytest.approx(0.0)   # single value -> var_pop 0
+    assert v[0] is None   # null until two non-null inputs (variance.toml)
+    assert v[4] == pytest.approx(((50.7 - mu) ** 2 + (1.2 - mu) ** 2) / 2)
 
 
 def test_lag_skips_null_inputs(catalog_tl):

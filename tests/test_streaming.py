@@ -168,6 +168,82 @@ def test_stream_resume_from_checkpoint(spark, events_tl, tmp_path):
     _assert_matches_batch(sink, spark, _batch_expected(events_tl))
 
 
+def test_stream_typed_string_aggs_equal_batch(spark, events_tl, tmp_path):
+    """first/last/min/max over a STRING column: typed state fields
+    (mirrors the reference's string accumulators,
+    evaluators/aggregation/string/), streaming ≡ batch."""
+    specs = [
+        AggSpec("first", "event_type", "first_ety"),
+        AggSpec("last", "event_type", "last_ety"),
+        AggSpec("min", "event_type", "min_ety"),
+        AggSpec("max", "event_type", "max_ety"),
+    ]
+    in_dir = _write_time_split(events_tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 3)
+    sink = _run_stream(
+        spark, in_dir, events_tl.df.schema, specs, str(tmp_path / "ck"), str(tmp_path / "out")
+    )
+    tl = (
+        events_tl.first("event_type", alias="first_ety")
+        .last("event_type", alias="last_ety")
+        .min("event_type", alias="min_ety")
+        .max("event_type", alias="max_ety")
+    )
+    cols = ("first_ety", "last_ety", "min_ety", "max_ety")
+    exp = {r["event_id"]: tuple(r[c] for c in cols) for r in tl.df.collect()}
+    got = {r["event_id"]: tuple(r[c] for c in cols) for r in sink.read_output(spark).collect()}
+    assert len(got) == len(exp)
+    for eid, e in exp.items():
+        assert got[eid] == e, f"at {eid}: {got[eid]} vs {e}"
+
+
+def test_stream_minmax_latch_across_nulls(spark, tmp_path):
+    """Running min/max must latch at null-input rows (batch parity) —
+    regression test for the NaN-at-null-rows cummin gap."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (t0, 1, "A", 5.0),
+        (t0.replace(minute=1), 2, "A", None),
+        (t0.replace(minute=2), 3, "A", 3.0),
+        (t0.replace(minute=3), 4, "A", None),
+    ]
+    schema = "_time timestamp, _subsort long, _key string, value double"
+    df = spark.createDataFrame(rows, schema)
+    in_dir = _write_time_split(df, ["_time", "_subsort"], str(tmp_path / "in"), 2)
+    specs = [AggSpec("min", "value", "mn"), AggSpec("max", "value", "mx")]
+    sink = _run_stream(spark, in_dir, df.schema, specs, str(tmp_path / "ck"), str(tmp_path / "out"))
+    got = {r["_subsort"]: (r["mn"], r["mx"]) for r in sink.read_output(spark).collect()}
+    assert got == {1: (5.0, 5.0), 2: (5.0, 5.0), 3: (3.0, 5.0), 4: (3.0, 5.0)}
+
+
+def test_stream_variance_null_until_two_and_stable(spark, tmp_path):
+    """Variance: null at n=1 (variance.toml golden) and numerically
+    stable for |mean| >> stddev (shift-centered accumulation)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    base = 1.0e9
+    rows = [
+        (t0.replace(minute=i), i, "A", base + float(i % 3))
+        for i in range(6)
+    ]
+    schema = "_time timestamp, _subsort long, _key string, value double"
+    df = spark.createDataFrame(rows, schema)
+    in_dir = _write_time_split(df, ["_time", "_subsort"], str(tmp_path / "in"), 3)
+    sink = _run_stream(
+        spark, in_dir, df.schema, [AggSpec("variance", "value", "v")],
+        str(tmp_path / "ck"), str(tmp_path / "out"),
+    )
+    got = {r["_subsort"]: r["v"] for r in sink.read_output(spark).collect()}
+    assert got[0] is None or got[0] != got[0]  # n=1 -> null
+    import statistics
+
+    for n in range(2, 7):
+        vals = [base + float(i % 3) for i in range(n)]
+        assert got[n - 1] == pytest.approx(statistics.pvariance(vals), rel=1e-9, abs=1e-9)
+
+
 def test_exactly_once_sink_idempotent_replay(spark, tmp_path):
     df = spark.range(100).withColumn("v", F.col("id") * 2)
     sink = ExactlyOnceSink(str(tmp_path / "out"))
