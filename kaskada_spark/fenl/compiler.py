@@ -93,13 +93,22 @@ class FenlCompileError(ValueError):
 
 @dataclass
 class CVal:
-    """A compiled value: a Column over the current universe frame."""
+    """A compiled value: a Column over the current universe frame.
+
+    ``gen`` pins the value to the universe generation it was compiled
+    in (-1 = universe-free, e.g. literals). Row-domain operators
+    (shift_*/with_key) re-root the universe and bump the generation;
+    combining a pre-rebase value with a post-rebase one is a compile
+    error (the reference instead merge-aligns the two timelines —
+    operation/merge.rs; an explicit error beats silently reading the
+    wrong rows)."""
 
     col: Column
     mask: Column | None = None  # discrete domain; None = defined at every row
     continuous: bool = False
     fields: dict[str, "CVal"] | None = None  # record structure when known
     is_json: bool = False
+    gen: int = -1
 
     @property
     def discrete(self) -> bool:
@@ -150,6 +159,7 @@ class Compiler:
         self.formulas = formulas or {}
         self.ast_bindings: dict[str, A.Node] = {}
         self._gen = 0
+        self.universe_gen = 0
         # Implicit joins ("automatic joins", reference README.md:53):
         # every same-grouping table the query references merges into the
         # universe as a full temporal union-align on (key, time, subsort)
@@ -218,6 +228,23 @@ class Compiler:
         self._gen += 1
         return f"__fenl_{prefix}{self._gen}"
 
+    def _chk(self, *vals) -> None:
+        """Reject cross-universe combinations (see CVal.gen)."""
+        for v in vals:
+            if isinstance(v, CVal) and v.gen >= 0 and v.gen != self.universe_gen:
+                raise FenlCompileError(
+                    "cannot combine a value computed before shift_to/shift_by/"
+                    "shift_until/with_key re-rooted the universe with one "
+                    "computed after it; bind the shifted/re-keyed value in its "
+                    "own query, or look it up via lookup()/an explicit merge "
+                    "of two timelines (reference merge-aligns re-rooted "
+                    "timelines, operation/merge.rs)"
+                )
+
+    def _v(self, col: Column, mask: Column | None = None, **kw) -> CVal:
+        """A CVal pinned to the current universe generation."""
+        return CVal(col, mask, gen=self.universe_gen, **kw)
+
     def _tl(self) -> Timeline:
         return Timeline(self.df)
 
@@ -232,24 +259,24 @@ class Compiler:
         (null elsewhere — the Merge operation's null interpolation)."""
         flag = F.col(self.table_flags[name])
         mapping = self.table_fields[name]
-        fields = {orig: CVal(F.col(actual), mask=flag) for orig, actual in mapping.items()}
+        fields = {orig: self._v(F.col(actual), mask=flag) for orig, actual in mapping.items()}
         struct = F.when(
             flag, F.struct(*[F.col(a).alias(o) for o, a in mapping.items()])
         )
-        return CVal(struct, mask=flag, fields=fields)
+        return self._v(struct, mask=flag, fields=fields)
 
     def _table_val(self) -> CVal:
         if self.primary in self.table_flags:
             return self._merged_table_val(self.primary)
         cols = self._value_columns()
-        fields = {c: CVal(F.col(c)) for c in cols}
+        fields = {c: self._v(F.col(c)) for c in cols}
         struct = F.struct(*[F.col(c).alias(c) for c in cols])
         ev = self._event_row()
         if ev is not None:
             # the table's record is null (not "new") on injected tick rows,
             # so count(Input) does not count ticks (since.toml example).
             struct = F.when(ev, struct)
-        return CVal(struct, fields=fields)
+        return self._v(struct, fields=fields)
 
     # -- compilation ---------------------------------------------------
     def compile(self, node: A.Node) -> CVal | WindowVal | TickVal:
@@ -262,11 +289,26 @@ class Compiler:
             col = col.cast(_NUM_SUFFIX_TYPES[node.suffix])
         return CVal(col)
 
+    def _chk_table_ref(self, name: str) -> None:
+        """A table can only be referenced while the universe is still
+        rooted at it — after shift_*/with_key re-root the row domain,
+        re-reading the original table would silently take rows from the
+        WRONG frame (the reference merge-aligns instead)."""
+        if self.universe_gen > 0:
+            raise FenlCompileError(
+                f"cannot reference {name!r} after shift_to/shift_by/"
+                "shift_until/with_key re-rooted the universe; combining a "
+                "re-rooted value with the original timeline needs an "
+                "explicit merge of two queries or lookup() (the reference "
+                "merge-aligns re-rooted timelines, operation/merge.rs)"
+            )
+
     def _c_ref(self, node: A.Ref) -> CVal:
         name = node.name
         if name == "$input":
             if not self.input_stack:
                 if len(self.tables) == 1:
+                    self._chk_table_ref("$input")
                     return self._table_val()
                 raise FenlCompileError("$input used outside a pipe")
             return self.input_stack[-1]
@@ -277,6 +319,7 @@ class Compiler:
             self.scope[name] = val  # compile once (CSE via caching)
             return val
         if name in self.tables:
+            self._chk_table_ref(name)
             if name in self.table_flags:
                 return self._merged_table_val(name)
             if name != self.primary:
@@ -296,6 +339,7 @@ class Compiler:
         base = self.compile(node.base)
         if not isinstance(base, CVal):
             raise FenlCompileError("field access on a non-value")
+        self._chk(base)
         if base.is_json:
             return CVal(S.json_field(base.col, node.field), base.mask)
         if base.fields is not None:
@@ -309,7 +353,8 @@ class Compiler:
     def _c_index(self, node: A.Index) -> CVal:
         base = self.compile(node.base)
         idx = self.compile(node.index)
-        return CVal(
+        self._chk(base, idx)
+        return self._v(
             F.element_at(base.col, idx.col + F.lit(1)),
             _or_masks(base, idx),
         )
@@ -321,12 +366,13 @@ class Compiler:
             if not isinstance(v, CVal):
                 raise FenlCompileError(f"record field {name!r} is not a value")
             fields[name] = v
+        self._chk(*fields.values())
         mask = _or_masks(*[v for v in fields.values() if v.discrete]) if any(
             v.discrete for v in fields.values()
         ) else None
         col = F.struct(*[v.col.alias(n) for n, v in fields.items()])
-        return CVal(col, mask, continuous=all(v.continuous for v in fields.values()),
-                    fields=fields)
+        return self._v(col, mask, continuous=all(v.continuous for v in fields.values()),
+                       fields=fields)
 
     def _c_pipe(self, node: A.Pipe) -> CVal:
         lhs = self.compile(node.lhs)
@@ -373,8 +419,9 @@ class Compiler:
             nargs, fn = _SCALARS[name]
             args = self._positional(node, nargs)
             vals = [self.compile(a) for a in args]
+            self._chk(*vals)
             cols = [v.col for v in vals]
-            return CVal(fn(*cols), _or_masks(*vals))
+            return self._v(fn(*cols), _or_masks(*vals))
         raise FenlCompileError(f"unknown function {name!r}")
 
     def _positional(self, node: A.Call, n: int, names: tuple[str, ...] = ()) -> list[A.Node]:
@@ -410,22 +457,24 @@ class Compiler:
             if not isinstance(w, WindowVal):
                 raise FenlCompileError(f"{op}() window must be since(...)/sliding(...)")
             window = w.spec
+        self._chk(v)
         alias = self._fresh(op)
         tl = self._tl().aggregate(op, _masked(v.col, v.mask), window=window, alias=alias)
         self.df = tl.df
-        return CVal(F.col(alias), continuous=True)
+        return self._v(F.col(alias), continuous=True)
 
     def _fn_lag(self, node: A.Call) -> CVal:
         n_node, v_node = self._positional(node, 2, ("n", "input"))
         n = self._const_int(n_node, "lag n")
         v = self.compile(v_node)
+        self._chk(v)
         alias = self._fresh("lag")
         tl = self._tl().lag(_masked(v.col, v.mask), n, alias=alias)
         self.df = tl.df
         # lag keeps discreteness (functions/time.rs:133-137): null at rows
         # where the input is null, but those rows stay in the domain
         # (lag.toml example output keeps every input row).
-        return CVal(F.col(alias))
+        return self._v(F.col(alias))
 
     def _const_int(self, node: A.Node, what: str) -> int:
         if isinstance(node, A.Literal) and isinstance(node.value, int):
@@ -488,6 +537,7 @@ class Compiler:
         cond_node, v_node = self._positional(node, 2, ("condition", "value"))
         cond = self.compile(cond_node)
         v = self.compile(v_node)
+        self._chk(cond, v)
         fire = self._window_cond(cond)
         mask = fire if v.mask is None or v.continuous else (v.mask & fire)
         return replace(v, col=_masked(v.col, mask), mask=mask, continuous=False)
@@ -496,38 +546,52 @@ class Compiler:
         """Swap the universe to a re-rooted timeline (after shift/
         with_key) and return its whole-record value."""
         self.df = tl.df
+        self.universe_gen += 1
         if keep_fields is not None:
-            fields = {n: CVal(F.col(n)) for n in keep_fields}
+            fields = {n: self._v(F.col(n)) for n in keep_fields}
             col = F.struct(*[F.col(n).alias(n) for n in fields])
-            return CVal(col, fields=fields)
+            return self._v(col, fields=fields)
         return self._table_val()
 
-    def _domain_input(self, v: CVal) -> tuple[Timeline, dict[str, CVal] | None]:
-        """Materialize a value's domain as its own timeline frame."""
+    def _domain_input(
+        self, v: CVal, extra: dict[str, Column] | None = None
+    ) -> tuple[Timeline, dict[str, None] | None]:
+        """Materialize a value's domain as its own timeline frame.
+
+        ``extra`` carries operator operand expressions (shift delta/
+        target, with_key key) INTO the frame before projection — they
+        may reference source columns that the projection drops."""
         df = self.df if v.mask is None else self.df.filter(v.mask)
+        extra = extra or {}
+        for n, c in extra.items():
+            df = df.withColumn(n, c)
         if v.fields is not None:
             names = []
             for n, fv in v.fields.items():
                 df = df.withColumn(n, _masked(fv.col, None))
                 names.append(n)
-            tl = Timeline(df.select(*META, *names))
-            return tl, {n: CVal(F.col(n)) for n in names}
+            tl = Timeline(df.select(*META, *extra, *names))
+            return tl, {n: None for n in names}
         df = df.withColumn("result", v.col)
-        return Timeline(df.select(*META, "result")), {"result": CVal(F.col("result"))}
+        return Timeline(df.select(*META, *extra, "result")), {"result": None}
 
     def _fn_shift_by(self, node: A.Call) -> CVal:
         d_node, v_node = self._positional(node, 2, ("delta", "value"))
         d = self.compile(d_node)
         v = self.compile(v_node)
-        tl, fields = self._domain_input(v)
-        return self._rebase(tl.shift_by(d.col), fields)
+        self._chk(d, v)
+        tl, fields = self._domain_input(v, {"__fenl_delta": d.col})
+        shifted = Timeline(tl.shift_by(F.col("__fenl_delta")).df.drop("__fenl_delta"))
+        return self._rebase(shifted, fields)
 
     def _fn_shift_to(self, node: A.Call) -> CVal:
         t_node, v_node = self._positional(node, 2, ("time", "value"))
         t = self.compile(t_node)
         v = self.compile(v_node)
-        tl, fields = self._domain_input(v)
-        return self._rebase(tl.shift_to(t.col), fields)
+        self._chk(t, v)
+        tl, fields = self._domain_input(v, {"__fenl_target": t.col})
+        shifted = Timeline(tl.shift_to(F.col("__fenl_target")).df.drop("__fenl_target"))
+        return self._rebase(shifted, fields)
 
     def _fn_shift_until(self, node: A.Call) -> CVal:
         p_node, v_node = self._positional(node, 2, ("predicate", "value"))
@@ -545,14 +609,16 @@ class Compiler:
         tl = Timeline(base.select(*META, *names, "__fenl_pred"))
         shifted = tl.shift_until(F.col("__fenl_pred"))
         out = Timeline(shifted.df.drop("__fenl_pred"))
-        return self._rebase(out, {n: CVal(F.col(n)) for n in names})
+        return self._rebase(out, {n: None for n in names})
 
     def _fn_with_key(self, node: A.Call) -> CVal:
         k_node, v_node = self._positional(node, 2, ("key", "value"))
         k = self.compile(k_node)
         v = self.compile(v_node)
-        tl, fields = self._domain_input(v)
-        return self._rebase(tl.with_key(k.col), fields)
+        self._chk(k, v)
+        tl, fields = self._domain_input(v, {"__fenl_newkey": k.col})
+        rekeyed = Timeline(tl.with_key(F.col("__fenl_newkey")).df.drop("__fenl_newkey"))
+        return self._rebase(rekeyed, fields)
 
     def _fn_lookup(self, node: A.Call) -> CVal:
         """lookup(key, value): as-of value of a foreign-grouping
@@ -568,7 +634,13 @@ class Compiler:
             raise FenlCompileError(
                 "lookup(value) must reference exactly one foreign table"
             )
-        sub = Compiler(self.tables, foreign_name, env)
+        # ticks used inside the lookup value belong to the FOREIGN
+        # universe: scan the value subtree (chasing env bindings) and
+        # inject them in the sub-compiler, not the primary one
+        sub = Compiler(
+            self.tables, foreign_name, env,
+            tick_units=_tick_units(v_node, env),
+        )
         fv = sub.compile(v_node)
         if not isinstance(fv, CVal):
             raise FenlCompileError("lookup value is not a value")
@@ -577,7 +649,7 @@ class Compiler:
         alias = self._fresh("lookup")
         out = self._tl().lookup(foreign_tl, key=k.col, values=["__fenl_lv"])
         self.df = out.df.withColumnRenamed("__fenl_lv", alias)
-        return CVal(F.col(alias), continuous=True)
+        return self._v(F.col(alias), continuous=True)
 
     # record ops -------------------------------------------------------
     def _fn_extend(self, node: A.Call) -> CVal:
@@ -587,11 +659,12 @@ class Compiler:
         for v, what in ((new, "new"), (old, "old")):
             if v.fields is None:
                 raise FenlCompileError(f"extend {what} argument must be a record")
+        self._chk(new, old)
         fields = dict(old.fields)
         fields.update(new.fields)  # new wins on collision (extend.toml)
         col = F.struct(*[v.col.alias(n) for n, v in fields.items()])
-        return CVal(col, _or_masks(new, old),
-                    continuous=new.continuous and old.continuous, fields=fields)
+        return self._v(col, _or_masks(new, old),
+                       continuous=new.continuous and old.continuous, fields=fields)
 
     def _fn_select_fields(self, node: A.Call) -> CVal:
         return self._field_subset(node, keep=True)
@@ -619,10 +692,32 @@ class Compiler:
         return replace(rec, col=col, fields=chosen)
 
     # misc surface functions -------------------------------------------
+    def _fn_div(self, node: A.Call) -> CVal:
+        """Fenl div returns the PROMOTED input type (catalog div.toml):
+        integer inputs -> integer (truncating) division, float inputs ->
+        float division; divide-by-zero -> null either way."""
+        from pyspark.sql import types as T
+
+        a_node, b_node = self._positional(node, 2, ("a", "b"))
+        a = self.compile(a_node)
+        b = self.compile(b_node)
+        self._chk(a, b)
+        integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ta, tb = (
+            self.df.select(a.col.alias("__a"), b.col.alias("__b")).schema
+        )
+        if isinstance(ta.dataType, integral) and isinstance(tb.dataType, integral):
+            # SQL `div`: truncating integer division (Rust i64 `/` parity)
+            col = F.when(b.col != F.lit(0), F.call_function("div", a.col, b.col))
+        else:
+            col = F.try_divide(a.col, b.col)
+        return self._v(col, _or_masks(a, b))
+
     def _fn_time_of(self, node: A.Call) -> CVal:
         (v_node,) = self._positional(node, 1, ("value",))
         v = self.compile(v_node)
-        return CVal(F.col(TIME), v.mask, v.continuous)
+        self._chk(v)
+        return self._v(F.col(TIME), v.mask, continuous=v.continuous)
 
     def _fn_json(self, node: A.Call) -> CVal:
         (v_node,) = self._positional(node, 1, ("s",))
@@ -633,30 +728,35 @@ class Compiler:
         c_node, v_node = self._positional(node, 2, ("condition", "value"))
         c = self.compile(c_node)
         v = self.compile(v_node)
-        return CVal(S.if_(_masked(c.col, c.mask), v.col), _or_masks(c, v))
+        self._chk(c, v)
+        return self._v(S.if_(_masked(c.col, c.mask), v.col), _or_masks(c, v))
 
     def _fn_null_if(self, node: A.Call) -> CVal:
         c_node, v_node = self._positional(node, 2, ("condition", "value"))
         c = self.compile(c_node)
         v = self.compile(v_node)
-        return CVal(S.null_if(_masked(c.col, c.mask), v.col), _or_masks(c, v))
+        self._chk(c, v)
+        return self._v(S.null_if(_masked(c.col, c.mask), v.col), _or_masks(c, v))
 
     def _fn_else_(self, node: A.Call) -> CVal:
         d_node, v_node = self._positional(node, 2, ("default", "value"))
         d = self.compile(d_node)
         v = self.compile(v_node)
-        return CVal(F.coalesce(v.col, d.col), _or_masks(d, v))
+        self._chk(d, v)
+        return self._v(F.coalesce(v.col, d.col), _or_masks(d, v))
 
     _fn_else = _fn_else_
 
     def _fn_coalesce(self, node: A.Call) -> CVal:
         vals = [self.compile(a) for a in (node.args or (A.Ref("$input"),))]
-        return CVal(F.coalesce(*[v.col for v in vals]), _or_masks(*vals))
+        self._chk(*vals)
+        return self._v(F.coalesce(*[v.col for v in vals]), _or_masks(*vals))
 
     def _fn_hash(self, node: A.Call) -> CVal:
         (v_node,) = self._positional(node, 1, ("input",))
         v = self.compile(v_node)
-        return CVal(S.hash_(v.col), v.mask, v.continuous)
+        self._chk(v)
+        return self._v(S.hash_(v.col), v.mask, continuous=v.continuous)
 
     def _fn_substring(self, node: A.Call) -> CVal:
         args = list(node.args)
@@ -668,7 +768,8 @@ class Compiler:
         end = self.compile(args[2]) if len(args) > 2 else (
             self.compile(kw["end"]) if "end" in kw else None
         )
-        return CVal(
+        self._chk(s, *(x for x in (start, end) if x))
+        return self._v(
             S.substring(s.col, start.col if start else None, end.col if end else None),
             _or_masks(s, *(x for x in (start, end) if x)),
         )
@@ -683,7 +784,8 @@ class Compiler:
         hi = self.compile(args[2]) if len(args) > 2 else (
             self.compile(kw["max"]) if "max" in kw else None
         )
-        return CVal(
+        self._chk(v, *(x for x in (lo, hi) if x))
+        return self._v(
             S.clamp(v.col, lo.col if lo else None, hi.col if hi else None),
             _or_masks(v, *(x for x in (lo, hi) if x)),
         )
@@ -718,7 +820,7 @@ _SCALARS = {
     "add": (2, S.add),
     "sub": (2, S.sub),
     "mul": (2, S.mul),
-    "div": (2, lambda a, b: F.try_divide(a, b)),  # Fenl: div-by-zero -> null
+    # div handled by _fn_div (integer vs float result type)
     "neg": (1, S.neg),
     "ceil": (1, S.ceil),
     "floor": (1, S.floor),
@@ -841,20 +943,42 @@ def _child_nodes(n: A.Node):
 
 def _tick_units(node: A.Node, formulas: dict[str, A.Node]) -> tuple[str, ...]:
     """Pre-scan for calendar tick functions so tick rows can join the
-    universe before any aggregation column is derived."""
+    universe before any aggregation column is derived.
+
+    lookup VALUE subtrees are skipped (mirroring _referenced_tables):
+    their ticks belong to the foreign universe and are injected by the
+    lookup's own sub-compiler, not the primary one. Let-bound and
+    formula references are chased lazily, like compilation itself."""
     from kaskada_spark.windows import TICK_UNITS
 
     units: list[str] = []
+    seen: set[str] = set()
 
-    def walk(n: A.Node) -> None:
-        if isinstance(n, A.Call) and n.func in TICK_UNITS and n.func not in units:
-            units.append(n.func)
+    def walk(n: A.Node, env: dict[str, A.Node]) -> None:
+        if isinstance(n, A.Call):
+            if n.func in TICK_UNITS and n.func not in units:
+                units.append(n.func)
+            if n.func == "lookup":
+                # only the key side lives in the primary universe
+                if n.args:
+                    walk(n.args[0], env)
+                for kname, knode in n.kwargs:
+                    if kname == "key":
+                        walk(knode, env)
+                return
+        if isinstance(n, A.Let):
+            new_env = dict(env)
+            for bname, bnode in n.bindings:
+                new_env[bname] = bnode
+            walk(n.body, new_env)
+            return
+        if isinstance(n, A.Ref) and n.name in env and n.name not in seen:
+            seen.add(n.name)
+            walk(env[n.name], env)
         for c in _child_nodes(n):
-            walk(c)
+            walk(c, env)
 
-    walk(node)
-    for f in formulas.values():
-        walk(f)
+    walk(node, dict(formulas))
     return tuple(units)
 
 

@@ -66,11 +66,22 @@ def asof_lookup_stream(
     primary = primary.withWatermark(TIME, watermark)
     foreign = foreign.withWatermark(TIME, watermark)
 
+    # Integral requesting keys ride as strings (lossless for any
+    # int64 — a bare nullable int column would go through pandas as
+    # float64 because of the union's null dat rows, corrupting keys
+    # beyond 2^53); every other type rides in its NATIVE form (float,
+    # string, bool, timestamp, binary, decimal all survive the
+    # Arrow->pandas trip with nulls intact).
+    key_dt = primary.schema[KEY].dataType
+    integral_key = isinstance(
+        key_dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
+    orig_dt = T.StringType() if integral_key else key_dt
     req = primary.select(
         key_c.cast(ftypes[KEY]).alias(KEY),
         TIME,
         SUBSORT,
-        F.col(KEY).cast("string").alias(_ORIG),
+        F.col(KEY).cast(orig_dt).alias(_ORIG),
         F.lit(True).alias(_IS_REQ),
         *[F.lit(None).cast(ftypes[v]).alias(f"__f_{v}") for v in values],
     )
@@ -78,7 +89,7 @@ def asof_lookup_stream(
         KEY,
         TIME,
         SUBSORT,
-        F.lit(None).cast("string").alias(_ORIG),
+        F.lit(None).cast(orig_dt).alias(_ORIG),
         F.lit(False).alias(_IS_REQ),
         *[F.col(v).alias(f"__f_{v}") for v in values],
     )
@@ -98,27 +109,25 @@ def asof_lookup_stream(
             T.StructField("have", T.BooleanType()),
             T.StructField("req_t", T.ArrayType(T.LongType())),
             T.StructField("req_s", T.ArrayType(T.LongType())),
-            T.StructField("req_k", T.ArrayType(T.StringType())),
+            T.StructField("req_k", T.ArrayType(orig_dt)),
             T.StructField("for_t", T.ArrayType(T.LongType())),
             T.StructField("for_s", T.ArrayType(T.LongType())),
         ]
         + [T.StructField(f"s_{v}", foreign.schema[v].dataType) for v in values]
         + [T.StructField(f"b_{v}", T.ArrayType(foreign.schema[v].dataType)) for v in values]
     )
-    func = _make_lookup_fn(list(values), primary.schema[KEY].dataType)
+    func = _make_lookup_fn(list(values), integral_key)
     return u.groupBy(KEY).applyInPandasWithState(
         func, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )
 
 
-def _make_lookup_fn(values: list[str], key_dtype):
+def _make_lookup_fn(values: list[str], integral_key: bool = False):
     state_names = (
         ["have", "req_t", "req_s", "req_k", "for_t", "for_s"]
         + [f"s_{v}" for v in values]
         + [f"b_{v}" for v in values]
     )
-    numeric_key = isinstance(key_dtype, (T.LongType, T.IntegerType, T.ShortType))
-
     def _native(x):
         if x is None or (isinstance(x, float) and pd.isna(x)):
             return None
@@ -151,7 +160,8 @@ def _make_lookup_fn(values: list[str], key_dtype):
                 if is_req[i]:
                     st["req_t"].append(int(tns[i]))
                     st["req_s"].append(int(pdf[SUBSORT][i]))
-                    st["req_k"].append(pdf[_ORIG][i])
+                    o = _native(pdf[_ORIG][i])
+                    st["req_k"].append(o)
                 else:
                     st["for_t"].append(int(tns[i]))
                     st["for_s"].append(int(pdf[SUBSORT][i]))
@@ -184,7 +194,7 @@ def _make_lookup_fn(values: list[str], key_dtype):
                 k = st["req_k"][i]
                 out_rows.append(
                     {
-                        KEY: int(k) if (numeric_key and k is not None) else k,
+                        KEY: int(k) if (integral_key and k is not None) else k,
                         TIME: pd.Timestamp(t),
                         SUBSORT: s_,
                         **{v: st[f"s_{v}"] for v in values},

@@ -1020,3 +1020,79 @@ def test_catalog_len(spark):
     )
     got = [r["result"] for r in fenl("Input.value | len()", tl).orderBy("_time").collect()]
     assert got == [11, 5, 2], got
+
+
+# ----------------------------------------------------------------------
+# universe-generation safety, integer div, lookup+tick (round-2 fixes)
+# ----------------------------------------------------------------------
+def test_cross_universe_combination_rejected(spark):
+    """A record mixing a value with its shifted self must be a compile
+    error, not silently-wrong rows (the reference would merge-align the
+    two timelines; we require an explicit formulation)."""
+    tl = _tl(spark, CATALOG_NUMS)
+    for q in (
+        "{ prev: Input.value | shift_by(seconds(86400)), cur: Input.value }",
+        "(Input.value | shift_by(seconds(86400))) + Input.value",
+        "{ k: with_key(Input.key, Input.value), cur: Input.value }",
+    ):
+        with pytest.raises(FenlCompileError, match="re-rooted the universe"):
+            fenl(q, tl).collect()
+    # cached let-binding referenced across the rebase is also caught
+    with pytest.raises(FenlCompileError, match="re-rooted the universe"):
+        fenl(
+            "let x = Input.value in { prev: x | shift_by(seconds(1)), cur: x }",
+            tl,
+        ).collect()
+
+
+def test_shifted_value_alone_still_works(spark):
+    tl = _tl(spark, CATALOG_NUMS)
+    out = fenl("Input.value | shift_by(seconds(86400))", tl)
+    assert out.count() > 0
+
+
+def test_div_integer_truncates_and_null_on_zero(spark):
+    # div.toml: result is the PROMOTED input type -> i64/i64 stays i64
+    csv = """time,sub,key,n,d
+2021-01-01T00:00:00,0,A,7,2
+2021-01-02T00:00:00,1,A,-7,2
+2021-01-03T00:00:00,2,A,5,0
+"""
+    pdf = pd.read_csv(io.StringIO(csv), parse_dates=["time"])
+    tl = Timeline.from_events(
+        spark.createDataFrame(pdf), time_col="time", key_col="key", subsort_col="sub"
+    )
+    out = fenl("Input.n / Input.d", tl)
+    assert dict(out.select("_subsort", "result").collect()) == {0: 3, 1: -3, 2: None}
+    assert dict(out.dtypes)["result"] == "bigint"
+    # float inputs keep float division
+    outf = fenl("(Input.n as f64) / (Input.d as f64)", tl)
+    got = dict(outf.select("_subsort", "result").collect())
+    assert got[0] == pytest.approx(3.5) and got[2] is None
+    assert dict(outf.dtypes)["result"] == "double"
+
+
+def test_lookup_with_tick_window_inside(spark):
+    """Ticks inside a lookup value belong to the foreign universe
+    (previously crashed with 'ticks were not pre-scanned'); the primary
+    universe must NOT get tick rows injected for them."""
+    sales = """time,store,amount
+2021-01-01T06:00:00,s1,10.0
+2021-01-01T18:00:00,s1,20.0
+2021-01-02T06:00:00,s1,40.0
+"""
+    visits = """time,user,store
+2021-01-01T12:00:00,u1,s1
+2021-01-02T12:00:00,u1,s1
+"""
+    sales_tl = _tl(spark, sales, key="store")
+    visits_tl = _tl(spark, visits, key="user")
+    q = "lookup(Visits.store, count(Sales, window=since(daily())))"
+    out = fenl(q, {"Visits": visits_tl, "Sales": sales_tl})
+    rows = {str(r["_time"])[:16]: r["result"] for r in out.collect()}
+    # primary universe: exactly the two visit rows, no injected ticks
+    assert len(rows) == 2
+    # at 01-01 12:00 one sale so far today; at 01-02 12:00 the daily tick
+    # reset the window, one sale in the new day
+    assert rows["2021-01-01 12:00"] == 1
+    assert rows["2021-01-02 12:00"] == 1

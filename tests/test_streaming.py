@@ -532,6 +532,47 @@ def test_stream_asof_lookup_equals_batch(spark, tmp_path):
     assert not mismatch, f"{len(mismatch)} mismatches, e.g. {list(mismatch.items())[:3]}"
 
 
+def test_stream_asof_lookup_double_key(spark, tmp_path):
+    """Requesting keys of non-integral type (here: double) survive the
+    state round-trip natively — regression for the string-coercion key
+    corruption (previously only long/int/short were restored)."""
+    import pandas as pd
+    from kaskada_spark.streaming.join import asof_lookup_stream
+
+    t0 = pd.Timestamp(2024, 5, 1, 12, 0)
+    f_rows = [(1, t0, 0, 100.0), (1, t0 + pd.Timedelta(minutes=10), 1, 110.0)]
+    p_rows = [
+        (2.5, t0 + pd.Timedelta(minutes=5), 1000),
+        (2.5, t0 + pd.Timedelta(minutes=15), 1001),
+        (7.25, t0 + pd.Timedelta(minutes=15), 1002),
+    ]
+    fdf = spark.createDataFrame(pd.DataFrame(f_rows, columns=["fk", "time", "seq", "price"]))
+    pdf = spark.createDataFrame(pd.DataFrame(p_rows, columns=["user", "time", "seq"]))
+    f_tl = Timeline.from_events(fdf, "time", "fk", "seq")
+    p_tl = Timeline.from_events(pdf, "time", "user", "seq")
+    p_dir = _write_time_split(p_tl.df, ["_time", "_subsort"], str(tmp_path / "p"), 2)
+    f_dir = _write_time_split(f_tl.df, ["_time", "_subsort"], str(tmp_path / "f"), 2)
+    ps = spark.readStream.schema(p_tl.df.schema).option("maxFilesPerTrigger", 1).parquet(p_dir)
+    fs = spark.readStream.schema(f_tl.df.schema).option("maxFilesPerTrigger", 1).parquet(f_dir)
+    out = asof_lookup_stream(ps, fs, key=F.lit(1).cast("long"), values=["price"])
+    assert dict(out.dtypes)["_key"] == "double"
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="_time")
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["_key"], r["_subsort"]): r["price"] for r in sink.read_output(spark).collect()}
+    assert got[(2.5, 1000)] == pytest.approx(100.0)
+    # at :15 both requests see the :10 update once settled
+    for k in ((2.5, 1001), (7.25, 1002)):
+        if k in got:
+            assert got[k] == pytest.approx(110.0)
+
+
 def test_stream_shift_by_equals_batch(spark, tmp_path):
     """Streaming shift_by: rows re-emit at their shifted time once the
     watermark passes it — identical rows to the batch shift_by for all
