@@ -217,8 +217,9 @@ def _make_lookup_fn(values: list[str], integral_key: bool = False):
         pending = st["req_t"] + st["for_t"]
         if pending:
             # wake when the watermark reaches the earliest pending row
+            # (1ms early — timers fire only when wm moves strictly past)
             wm_ms = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(max(min(pending) // 10**6, wm_ms + 1))
+            state.setTimeoutTimestamp(max(min(pending) // 10**6 - 1, wm_ms + 1))
 
         if out_rows:
             yield pd.DataFrame(out_rows)

@@ -73,6 +73,127 @@ def shift_by_stream(tdf: DataFrame, delta, watermark: str = "0 seconds") -> Data
     return shift_to_stream(tdf, F.col(TIME) + delta, watermark=watermark)
 
 
+_PRED = "__shift_pred"
+
+
+def shift_until_stream(
+    tdf: DataFrame,
+    predicate: Column,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming shift_until (reference operation/shift_until.rs): buffer
+    each row per entity until the first at-or-later row where
+    ``predicate`` fires, then emit all buffered rows at that row's time
+    (original subsorts kept — matches the batch operator exactly).
+
+    Rows settle only once the watermark passes the firing row, so a
+    late-but-in-watermark row can still slot between a buffered row and
+    its firing. Rows whose firing hasn't arrived stay in state (the
+    reference holds them to end-of-input); state is O(rows since last
+    firing) per entity."""
+    tdf = tdf.withWatermark(TIME, watermark)
+    buffered = tdf.withColumn(_PRED, F.coalesce(predicate, F.lit(False)))
+    payload = [c for c in tdf.columns if c not in (TIME, SUBSORT, KEY)]
+    out_schema = T.StructType(
+        [
+            T.StructField(TIME, T.TimestampType()),
+            T.StructField(SUBSORT, T.LongType()),
+            T.StructField(KEY, tdf.schema[KEY].dataType),
+        ]
+        + [tdf.schema[c] for c in payload]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ot", T.ArrayType(T.LongType())),
+            T.StructField("os", T.ArrayType(T.LongType())),
+            T.StructField("pred", T.ArrayType(T.BooleanType())),
+        ]
+        + [T.StructField(f"p_{c}", T.ArrayType(tdf.schema[c].dataType)) for c in payload]
+    )
+    func = _make_shift_until_fn(payload)
+    return buffered.groupBy(KEY).applyInPandasWithState(
+        func, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+def _make_shift_until_fn(payload: list[str]):
+    state_names = ["ot", "os", "pred"] + [f"p_{c}" for c in payload]
+
+    def _native(x):
+        if x is None or (isinstance(x, float) and pd.isna(x)):
+            return None
+        return x.item() if hasattr(x, "item") else x
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        k = key[0]
+        if state.exists:
+            raw = dict(zip(state_names, state.get))
+            st = {n: ([] if raw[n] is None else list(raw[n])) for n in state_names}
+        else:
+            st = {n: [] for n in state_names}
+
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            t_ns = pdf[TIME].astype("int64")
+            for i in pdf.index:
+                st["ot"].append(int(t_ns[i]))
+                st["os"].append(int(pdf[SUBSORT][i]))
+                st["pred"].append(bool(pdf[_PRED][i]))
+                for c in payload:
+                    st[f"p_{c}"].append(_native(pdf[c][i]))
+
+        wm_ns = state.getCurrentWatermarkMs() * 10**6
+        order = sorted(range(len(st["ot"])), key=lambda i: (st["ot"][i], st["os"][i]))
+        # settled firings: predicate rows the watermark has passed
+        firings = [
+            (st["ot"][i], st["os"][i])
+            for i in order
+            if st["pred"][i] and st["ot"][i] <= wm_ns
+        ]
+        emitted_idx: list[int] = []
+        rows: list[dict] = []
+        if firings:
+            fi = 0
+            for i in order:
+                okey = (st["ot"][i], st["os"][i])
+                while fi < len(firings) and firings[fi] < okey:
+                    fi += 1
+                if fi >= len(firings):
+                    break  # no settled firing at-or-after this row: keep
+                rows.append(
+                    {
+                        TIME: pd.Timestamp(firings[fi][0]),
+                        SUBSORT: st["os"][i],
+                        KEY: k,
+                        **{c: st[f"p_{c}"][i] for c in payload},
+                    }
+                )
+                emitted_idx.append(i)
+        if emitted_idx:
+            emitted = set(emitted_idx)
+            keep = [i for i in range(len(st["ot"])) if i not in emitted]
+            for n in state_names:
+                st[n] = [st[n][i] for i in keep]
+
+        state.update(tuple(st[n] for n in state_names))
+        pending_preds = [
+            st["ot"][i] for i in range(len(st["ot"])) if st["pred"][i]
+        ]
+        if pending_preds:
+            # wake when the watermark passes the earliest unsettled
+            # firing (1ms early — strict-inequality timer rule)
+            state.setTimeoutTimestamp(
+                max(min(pending_preds) // 10**6 - 1, state.getCurrentWatermarkMs() + 1)
+            )
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return update
+
+
 def _make_shift_fn(payload: list[str]):
     state_names = ["tgt", "ot", "os"] + [f"p_{c}" for c in payload]
 
@@ -129,8 +250,12 @@ def _make_shift_fn(payload: list[str]):
 
         state.update(tuple(st[n] for n in state_names))
         if st["tgt"]:
+            # arm 1ms EARLY: Spark fires event-time timers only when the
+            # watermark moves strictly beyond the timestamp, so a timer
+            # set exactly at the target would never fire when the final
+            # watermark lands on it
             state.setTimeoutTimestamp(
-                max(min(st["tgt"]) // 10**6, state.getCurrentWatermarkMs() + 1)
+                max(min(st["tgt"]) // 10**6 - 1, state.getCurrentWatermarkMs() + 1)
             )
 
     return update

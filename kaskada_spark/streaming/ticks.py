@@ -43,6 +43,54 @@ _STEP_NS = {
     "daily": 86400 * 10**9,
 }
 
+# variable-step calendar units (reference monthly/yearly tick producers,
+# operation/tick_producer.rs:6-42) — boundaries are month/year starts,
+# computed by calendar arithmetic instead of a fixed step
+_PERIOD = {"monthly": "M", "yearly": "Y"}
+
+
+class _Cal:
+    """Boundary arithmetic for one tick unit: fixed-step ns for
+    minutely/hourly/daily, calendar periods for monthly/yearly."""
+
+    def __init__(self, unit: str):
+        if unit not in _STEP_NS and unit not in _PERIOD:
+            raise ValueError(
+                f"streaming ticks support {sorted(_STEP_NS) + sorted(_PERIOD)}; got {unit!r}"
+            )
+        self.unit = unit
+        self.step_ns = _STEP_NS.get(unit)
+        self.freq = _PERIOD.get(unit)
+
+    def first_boundary(self, t_ns: int) -> int:
+        """First boundary at-or-after t (an event exactly ON a boundary
+        belongs to the window closing at that boundary — tick.py rule)."""
+        if self.step_ns:
+            return ((t_ns + self.step_ns - 1) // self.step_ns) * self.step_ns
+        per = pd.Timestamp(t_ns).to_period(self.freq)
+        floor = per.start_time.value
+        return floor if floor == t_ns else (per + 1).start_time.value
+
+    def next_boundary(self, b_ns: int) -> int:
+        if self.step_ns:
+            return b_ns + self.step_ns
+        return (pd.Timestamp(b_ns).to_period(self.freq) + 1).start_time.value
+
+    def prev_boundary(self, b_ns: int) -> int:
+        if self.step_ns:
+            return b_ns - self.step_ns
+        return (pd.Timestamp(b_ns).to_period(self.freq) - 1).start_time.value
+
+    def bucket(self, tns: pd.Series) -> pd.Series:
+        """Vectorized: each row's closing boundary (int64 ns)."""
+        if self.step_ns:
+            return ((tns + self.step_ns - 1) // self.step_ns) * self.step_ns
+        ts = pd.to_datetime(tns)
+        per = ts.dt.to_period(self.freq)
+        floor = per.dt.start_time.astype("int64")
+        nxt = (per + 1).dt.start_time.astype("int64")
+        return floor.where(floor == tns, nxt)
+
 
 class TickAggSpec(NamedTuple):
     op: str    # sum | count | min | max
@@ -84,26 +132,18 @@ def tick_agg_stream(
 ) -> DataFrame:
     """Per-entity since(tick) aggregates emitted AT each calendar
     boundary — one output row per (entity, closed window)."""
-    if tick.unit not in _STEP_NS:
-        raise ValueError(f"streaming ticks support {sorted(_STEP_NS)}; got {tick.unit!r}")
-    step_ns = _STEP_NS[tick.unit]
+    cal = _Cal(tick.unit)
     tdf = tdf.withWatermark(TIME, watermark)
     key_type = tdf.schema[KEY].dataType
     out_schema = _out_schema(key_type, specs)
     state_schema = _state_schema(specs)
-    func = _make_tick_fn(specs, step_ns)
+    func = _make_tick_fn(specs, cal)
     return tdf.groupBy(KEY).applyInPandasWithState(
         func, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )
 
 
-def _first_boundary(t_ns: int, step_ns: int) -> int:
-    """First boundary at-or-after t (an event exactly ON a boundary
-    belongs to the window closing at that boundary — tick.py rule)."""
-    return ((t_ns + step_ns - 1) // step_ns) * step_ns
-
-
-def _make_tick_fn(specs: list[TickAggSpec], step_ns: int):
+def _make_tick_fn(specs: list[TickAggSpec], cal: "_Cal"):
     comp_names = [f"{s.alias}__{c}" for s in specs for c in _COMPS[s.op]]
 
     def _empty_comps() -> dict:
@@ -164,11 +204,11 @@ def _make_tick_fn(specs: list[TickAggSpec], step_ns: int):
                 st["max_time"] = int(tns.iloc[-1])
                 st["max_subsort"] = int(pdf[SUBSORT].iloc[-1])
                 if st["next_tick_ns"] is None:
-                    st["next_tick_ns"] = _first_boundary(int(tns.iloc[0]), step_ns)
+                    st["next_tick_ns"] = cal.first_boundary(int(tns.iloc[0]))
 
                 # each row belongs to the window closing at its bucket
                 # boundary (time exactly on a boundary -> that boundary)
-                bucket = ((tns + step_ns - 1) // step_ns) * step_ns
+                bucket = cal.bucket(tns)
                 per_win: dict[int, dict] = {}
                 for b, grp_idx in pdf.groupby(bucket).groups.items():
                     grp = pdf.loc[grp_idx]
@@ -191,14 +231,14 @@ def _make_tick_fn(specs: list[TickAggSpec], step_ns: int):
                 max_bucket = max(per_win)
                 last_closes = int(tns.iloc[-1]) == max_bucket
                 b = st["next_tick_ns"]
-                target = max_bucket if last_closes else max_bucket - step_ns
+                target = max_bucket if last_closes else cal.prev_boundary(max_bucket)
                 while b <= target:
                     if b in per_win:
                         _merge(st, per_win[b])
                     emitted.append(_emit_row(k, b, st))
                     for n in comp_names:
                         st[n] = None
-                    b += step_ns
+                    b = cal.next_boundary(b)
                 st["next_tick_ns"] = b
                 # rows in the still-open window accumulate into state
                 if not last_closes and max_bucket >= b:
@@ -213,7 +253,7 @@ def _make_tick_fn(specs: list[TickAggSpec], step_ns: int):
                 emitted.append(_emit_row(k, st["next_tick_ns"], st))
                 for n in comp_names:
                     st[n] = None
-                st["next_tick_ns"] += step_ns
+                st["next_tick_ns"] = cal.next_boundary(st["next_tick_ns"])
 
         flat = [
             st["next_tick_ns"],
@@ -222,8 +262,10 @@ def _make_tick_fn(specs: list[TickAggSpec], step_ns: int):
         ] + [st[n] for n in comp_names]
         state.update(tuple(flat))
         if st["next_tick_ns"] is not None:
-            # wake this entity when the watermark reaches its next boundary
-            ts_ms = max(st["next_tick_ns"] // 10**6, wm_ms + 1)
+            # wake this entity when the watermark reaches its next
+            # boundary (1ms early — timers fire only when the watermark
+            # moves strictly past the set timestamp)
+            ts_ms = max(st["next_tick_ns"] // 10**6 - 1, wm_ms + 1)
             state.setTimeoutTimestamp(ts_ms)
 
         if emitted:

@@ -482,6 +482,90 @@ def test_stream_ticks_emit_on_silence(spark, tmp_path):
     assert not missing, f"missing ticks: {missing}"
 
 
+@pytest.mark.parametrize("unit", ["monthly", "yearly"])
+def test_stream_ticks_variable_step(spark, tmp_path, unit):
+    """Monthly/yearly streaming ticks: variable-step calendar boundaries
+    (reference tick_producer.rs monthly/yearly producers) — streaming
+    output must match the batch with_ticks + Since(tick) lowering,
+    including empty periods and boundary-coincident events."""
+    import pandas as pd
+    from kaskada_spark.operators.tick import TICK_COL
+    from kaskada_spark.streaming.ticks import TickAggSpec, tick_agg_stream
+    from kaskada_spark.windows import Since, Tick
+
+    if unit == "monthly":
+        # events across 6 months incl. an empty month (April) and an
+        # event exactly ON a month boundary (May 1 00:00)
+        times = [
+            pd.Timestamp(2023, 11, 15), pd.Timestamp(2023, 12, 20),
+            pd.Timestamp(2024, 1, 10), pd.Timestamp(2024, 2, 29),
+            pd.Timestamp(2024, 5, 1), pd.Timestamp(2024, 5, 18),
+        ]
+    else:
+        times = [
+            pd.Timestamp(2020, 6, 1), pd.Timestamp(2021, 3, 15),
+            pd.Timestamp(2021, 11, 2), pd.Timestamp(2024, 1, 1),
+            pd.Timestamp(2024, 7, 4),
+        ]
+    rows = [("A", t, i, float(i + 1)) for i, t in enumerate(times)]
+    rows += [("B", times[0], 100, 10.0), ("B", times[-1], 101, 20.0)]
+    pdf = pd.DataFrame(rows, columns=["key", "time", "seq", "v"])
+    tl = Timeline.from_events(spark.createDataFrame(pdf), "time", "key", "seq")
+
+    tick = Tick(unit)
+    bt = tl.with_ticks(tick)
+    bt = bt.count("v", window=Since(F.col(TICK_COL)), alias="cnt")
+    bt = bt.sum("v", window=Since(F.col(TICK_COL)), alias="s")
+    exp = {
+        (r["_key"], r["_time"]): (r["cnt"], r["s"])
+        for r in bt.df.filter(F.col(TICK_COL)).collect()
+    }
+
+    in_dir = _write_time_split(tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 4)
+    stream = (
+        spark.readStream.schema(tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = tick_agg_stream(
+        stream, tick, [TickAggSpec("count", "v", "cnt"), TickAggSpec("sum", "v", "s")]
+    )
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="tick_time")
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["_key"], r["tick_time"]): (r["cnt"], r["s"])
+        for r in sink.read_output(spark).collect()
+    }
+    for k, v in got.items():
+        assert k in exp, f"unexpected tick {k}"
+        assert v == exp[k], f"tick {k}: want {exp[k]}, got {v}"
+    if unit == "monthly":
+        # Feb 29 closes at Mar 1; April is empty; the May 1 00:00 event
+        # belongs to the window CLOSING at May 1 (tick orders after
+        # coincident events)
+        assert got[("A", pd.Timestamp(2024, 3, 1))] == (1, 4.0)
+        assert got[("A", pd.Timestamp(2024, 4, 1))] == (0, None)
+        assert got[("A", pd.Timestamp(2024, 5, 1))] == (1, 5.0)
+    else:
+        assert got[("A", pd.Timestamp(2022, 1, 1))] == (2, 5.0)
+        assert got[("A", pd.Timestamp(2023, 1, 1))] == (0, None)
+        # the Jan 1 2024 boundary-coincident event belongs to the window
+        # closing AT 2024-01-01
+        assert got[("A", pd.Timestamp(2024, 1, 1))] == (1, 4.0)
+    # every boundary strictly before the final event is present
+    fenced = {k for k in exp if k[1] <= times[-1].to_period(
+        "M" if unit == "monthly" else "Y").start_time}
+    missing = fenced - set(got)
+    assert not missing, f"missing ticks: {missing}"
+
+
 def test_stream_asof_lookup_equals_batch(spark, tmp_path):
     """Streaming stateful as-of lookup join ≡ the batch lookup lowering
     (north rule: 'stateful as-of/lookup joins keyed by entity').
@@ -664,3 +748,60 @@ def test_stream_resume_sliding_lag_state(spark, events_tl, tmp_path):
                 assert g is None or g != g, f"col {i} at {eid}"
             else:
                 assert g == pytest.approx(e, rel=1e-12), f"col {i} at {eid}"
+
+
+def test_stream_shift_until_equals_batch(spark, tmp_path):
+    """Streaming shift_until ≡ batch: rows buffer until the entity's
+    next predicate firing and re-emit at the firing's time with their
+    original subsort (reference operation/shift_until.rs)."""
+    import pandas as pd
+    from kaskada_spark.streaming.shift import shift_until_stream
+
+    t0 = pd.Timestamp(2024, 5, 1, 12, 0)
+    rows = []
+    for ent in (1, 2):
+        for j, m in enumerate(range(0, 60, 5)):
+            # predicate fires at minutes 15, 35, 55
+            rows.append((ent, t0 + pd.Timedelta(minutes=m), ent * 100 + j,
+                         float(m), m in (15, 35, 55)))
+    # a trailing unfired row per entity stays buffered (dropped in batch)
+    pdf = pd.DataFrame(rows, columns=["k", "time", "seq", "v", "fire"])
+    tl = Timeline.from_events(spark.createDataFrame(pdf), "time", "k", "seq")
+
+    batch = tl.shift_until(F.col("fire")).df
+    wm_final = t0 + pd.Timedelta(minutes=55)
+    exp = {
+        (r["_key"], r["_subsort"]): (r["_time"], r["v"])
+        for r in batch.collect()
+        if r["_time"] <= wm_final
+    }
+    assert exp, "batch produced no rows"
+
+    in_dir = _write_time_split(tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 4)
+    stream = (
+        spark.readStream.schema(tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = shift_until_stream(stream, F.col("fire"))
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="_time")
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["_key"], r["_subsort"]): (r["_time"], r["v"])
+        for r in sink.read_output(spark).collect()
+    }
+    # every batch row whose firing the final watermark passed must be
+    # emitted identically; nothing extra may appear
+    missing = {k for k in exp if k not in got}
+    assert not missing, f"missing {len(missing)}: {sorted(missing)[:5]}"
+    for kk, ev in exp.items():
+        assert got[kk] == ev, f"{kk}: want {ev}, got {got[kk]}"
+    extra = {k: v for k, v in got.items() if k not in exp}
+    assert not extra, f"unexpected rows: {extra}"
