@@ -532,6 +532,19 @@ def q_cosine_near_dup(spark, sf_dir):
     return cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.8, n_bits=4, dim=64)
 
 
+def q_cosine_near_dup_banded(spark, sf_dir):
+    """Multi-band LSH near-dup (the 100 TB-shape path): 2 independent
+    hyperplane tables at 6 bits each — candidates share a bucket in ANY
+    band, deduped before the exact cosine filter. Higher recall than one
+    4-bit table with far smaller buckets (64 vs 16 per band)."""
+    from kaskada_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.8, n_bits=6, dim=64, n_bands=2
+    )
+
+
 def q_lang_id(spark, sf_dir):
     from kaskada_spark.operators.text import detect_language
 
@@ -738,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_knn": q_embed_knn,
         "embed_knn_lsh": q_embed_knn_lsh,
         "cosine_near_dup": q_cosine_near_dup,
+        "cosine_near_dup_banded": q_cosine_near_dup_banded,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "token_counts": q_token_counts,
@@ -1227,6 +1241,27 @@ def _pipeline_oracles() -> dict[str, str]:
                    {_sql_cosine("l.vec", "r.vec")} AS sim
             FROM b l JOIN b r USING (bucket)
             WHERE l.doc < r.doc AND {_sql_cosine("l.vec", "r.vec")} > 0.8
+        """,
+        # band b planes use seed 42 + b * 1000003 (similarity.BAND_SEED_STRIDE)
+        "cosine_near_dup_banded": f"""
+            WITH b0 AS (
+              SELECT vec_id AS doc, {_sql_lsh_bucket("embedding", 6, 64, seed=42)} AS bucket
+              FROM embeddings
+            ), b1 AS (
+              SELECT vec_id AS doc, {_sql_lsh_bucket("embedding", 6, 64, seed=1000045)} AS bucket
+              FROM embeddings
+            ), cand AS (
+              SELECT l.doc AS id_a, r.doc AS id_b FROM b0 l JOIN b0 r USING (bucket)
+              WHERE l.doc < r.doc
+              UNION
+              SELECT l.doc AS id_a, r.doc AS id_b FROM b1 l JOIN b1 r USING (bucket)
+              WHERE l.doc < r.doc
+            )
+            SELECT c.id_a, c.id_b, {_sql_cosine("ea.embedding", "eb.embedding")} AS sim
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.id_a
+            JOIN embeddings eb ON eb.vec_id = c.id_b
+            WHERE {_sql_cosine("ea.embedding", "eb.embedding")} > 0.8
         """,
         "lang_id": f"""
             WITH {_WORDS_CTE.strip()}, h AS (

@@ -6,9 +6,27 @@ bucketing so candidate generation is a bucket-equi-join instead of a
 cross join; at 100 TB the corpus side stays partitioned, only the
 bucket table shuffles.
 
-All arithmetic is sequential-order double math via `aggregate`/
-`zip_with` higher-order functions (JVM-side, codegen) so an external
-engine reproduces identical doubles — no Python in the row path.
+Scale levers (a fixed small bucket count is a disguised cartesian at
+100 TB — each bucket holds n/2^bits rows and the self-join is
+O(n^2/2^bits)):
+
+- ``auto_n_bits``: size the bucket count from the corpus row count so
+  the EXPECTED bucket holds ~``target_bucket_rows`` rows; callers that
+  pass ``n_bits=None`` get this automatically (one count() job).
+- multi-band probing (``n_bands > 1``): B independent hyperplane
+  tables, candidates = pairs sharing a bucket in ANY band — recovers
+  the recall lost to more bits per band, exactly like the minhash
+  band/bucket scheme (operators/dedup.py).
+- salted split (``max_bucket_rows``): buckets over the cap are split by
+  a deterministic id-hash salt so no single join group exceeds the cap;
+  cross-split pairs inside a pathological bucket are sacrificed
+  (documented recall trade — LSH is already approximate, and a bucket
+  that large means the hash is not discriminating there anyway).
+
+All bucket/cosine arithmetic is sequential-order double math via
+`aggregate`/`zip_with` higher-order functions (JVM-side, codegen) so an
+external engine reproduces identical doubles — no Python in the row
+path.
 """
 
 from __future__ import annotations
@@ -98,37 +116,79 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out.cast("int")
 
 
+BAND_SEED_STRIDE = 1000003  # band b uses seed + b * stride (co-prime, stable)
+
+
+def auto_n_bits(
+    n_rows: int, target_bucket_rows: int = 256, lo: int = 4, hi: int = 24
+) -> int:
+    """Bucket-count sizing: 2^bits ≈ n_rows / target_bucket_rows, so the
+    expected bucket stays small enough that the bucket self-join is
+    O(n * target) instead of O(n^2 / 2^small_bits)."""
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_rows / target_bucket_rows))))
+
+
+def _banded(
+    df: DataFrame, vec_col: str, n_bits: int, n_bands: int, dim: int, seed: int
+) -> DataFrame:
+    """Attach (band, bucket) — one row per band per input row."""
+    entries = []
+    for band in range(n_bands):
+        planes = hyperplanes(dim, n_bits, seed + band * BAND_SEED_STRIDE)
+        entries.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+            )
+        )
+    return df.withColumn("__bb", F.explode(F.array(*entries))).select(
+        *df.columns, F.col("__bb.band").alias("band"), F.col("__bb.bucket").alias("bucket")
+    )
+
+
 def lsh_knn(
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
     query_ids: list,
     k: int = 5,
-    n_bits: int = 6,
+    n_bits: int | None = None,
     dim: int = 64,
     seed: int = 42,
+    n_bands: int = 1,
+    target_bucket_rows: int = 256,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH
-    bucket, ranked by exact cosine. Recall trades off with n_bits."""
-    planes = hyperplanes(dim, n_bits, seed)
-    bucketed = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("nvec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    """Approximate top-k: candidates restricted to buckets the query
+    shares in ANY band, ranked by exact cosine. ``n_bits=None`` sizes
+    the bucket count from the corpus (auto_n_bits); more bands recover
+    recall lost to more bits."""
+    if n_bits is None:
+        n_bits = auto_n_bits(corpus.count(), target_bucket_rows)
+    bucketed = _banded(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+        ),
+        "nvec", n_bits, n_bands, dim, seed,
     )
     queries = bucketed.filter(F.col("neighbor_id").isin(query_ids)).select(
         F.col("neighbor_id").alias("query_id"),
         F.col("nvec").alias("qvec"),
+        "band",
         "bucket",
     )
-    scored = (
-        bucketed.join(F.broadcast(queries), on="bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("qvec"), F.col("nvec")))
+    cand = bucketed.join(F.broadcast(queries), on=["band", "bucket"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
     )
+    if n_bands > 1:
+        cand = cand.dropDuplicates(["query_id", "neighbor_id"])  # union across bands
+    cand = cand.withColumn("sim", cosine(F.col("qvec"), F.col("nvec")))
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
@@ -139,23 +199,51 @@ def cosine_near_dup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    n_bits: int = 4,
+    n_bits: int | None = None,
     dim: int = 64,
     seed: int = 42,
+    n_bands: int = 1,
+    max_bucket_rows: int | None = None,
+    target_bucket_rows: int = 256,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: LSH-bucketed self-join + exact
-    cosine threshold (bucket join keeps this off the n² path)."""
-    planes = hyperplanes(dim, n_bits, seed)
-    b = corpus.select(
-        F.col(id_col).alias("doc"),
-        F.col(vec_col).alias("vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    """Embedding near-duplicate pairs: banded LSH self-join + exact
+    cosine threshold. ``n_bits=None`` sizes buckets from the corpus;
+    ``max_bucket_rows`` salts oversized (band, bucket) groups into
+    sub-buckets so no join group exceeds the cap (cross-salt pairs in a
+    pathological bucket are dropped — documented recall trade)."""
+    if n_bits is None:
+        n_bits = auto_n_bits(corpus.count(), target_bucket_rows)
+    b = _banded(
+        corpus.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec")),
+        "vec", n_bits, n_bands, dim, seed,
     )
+    join_keys = ["band", "bucket"]
+    if max_bucket_rows is not None:
+        counts = b.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bn"))
+        n_salt = F.greatest(
+            F.ceil(F.col("__bn") / F.lit(max_bucket_rows)).cast("int"), F.lit(1)
+        )
+        b = (
+            b.join(F.broadcast(counts), on=["band", "bucket"])
+            .withColumn("salt", F.pmod(F.xxhash64(F.col("doc")), n_salt).cast("int"))
+            .drop("__bn")
+        )
+        join_keys = ["band", "bucket", "salt"]
     l, r = b.alias("l"), b.alias("r")
-    return (
-        l.join(r, on="bucket")
+    cand = (
+        l.join(r, on=join_keys)
         .filter(F.col("l.doc") < F.col("r.doc"))
-        .withColumn("sim", cosine(F.col("l.vec"), F.col("r.vec")))
+        .select(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+            F.col("l.vec").alias("__va"),
+            F.col("r.vec").alias("__vb"),
+        )
+    )
+    if n_bands > 1:
+        cand = cand.dropDuplicates(["id_a", "id_b"])  # union across bands
+    return (
+        cand.withColumn("sim", cosine(F.col("__va"), F.col("__vb")))
         .filter(F.col("sim") > threshold)
-        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"), "sim")
+        .select("id_a", "id_b", "sim")
     )

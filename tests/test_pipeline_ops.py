@@ -183,3 +183,93 @@ def test_media_frame_sampling(spark):
     assert set(pdf["frame_idx"].unique()) <= {0, 2, 4, 6}
     # frames reassemble subsets of the payload
     assert (pdf.groupby("media_id")["frame"].apply(lambda s: sum(len(b) for b in s)) > 0).all()
+
+
+# ----------------------------------------------------------------------
+# ANN scale levers: auto bucket sizing, banded recall, salted bucket cap
+# ----------------------------------------------------------------------
+def test_auto_n_bits_scales_with_corpus():
+    from kaskada_spark.operators.similarity import auto_n_bits
+
+    assert auto_n_bits(100, target_bucket_rows=256) == 4           # floor
+    assert auto_n_bits(256 * 16, target_bucket_rows=256) == 4
+    assert auto_n_bits(256 * 1024, target_bucket_rows=256) == 10
+    assert auto_n_bits(10**12, target_bucket_rows=256) == 24       # cap
+    # 100 TB-scale corpus never degenerates into a tiny bucket count
+    assert auto_n_bits(10**9) >= 20
+
+
+def _skewed_corpus(spark, n=400, dim=8):
+    """Half the corpus is ONE identical vector (a pathological hot
+    bucket); the rest are spread."""
+    import math
+
+    rows = []
+    hot = [1.0] * dim
+    for i in range(n // 2):
+        rows.append((i, hot))
+    for i in range(n // 2, n):
+        v = [math.sin(i * (j + 1)) for j in range(dim)]
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_salted_bucket_cap_bounds_join_groups(spark):
+    """max_bucket_rows: no (band, bucket, salt) join group exceeds the
+    cap even when half the corpus lands in one bucket."""
+    from kaskada_spark.operators.similarity import (
+        BAND_SEED_STRIDE,
+        _banded,
+        auto_n_bits,
+    )
+
+    corpus = _skewed_corpus(spark)
+    cap = 50
+    n_bits = 6
+    b = _banded(
+        corpus.select(F.col("vec_id").alias("doc"), F.col("embedding").alias("vec")),
+        "vec", n_bits, 2, 8, 42,
+    )
+    counts = b.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bn"))
+    n_salt = F.greatest(F.ceil(F.col("__bn") / F.lit(cap)).cast("int"), F.lit(1))
+    salted = (
+        b.join(F.broadcast(counts), on=["band", "bucket"])
+        .withColumn("salt", F.pmod(F.xxhash64(F.col("doc")), n_salt).cast("int"))
+    )
+    sizes = (
+        salted.groupBy("band", "bucket", "salt").count().agg(F.max("count")).collect()[0][0]
+    )
+    # the salt split is hash-uniform, not exact: allow 2x headroom
+    assert sizes <= 2 * cap, f"join group of {sizes} rows exceeds cap {cap}"
+    # sanity: WITHOUT salting, the hot bucket is ~n/2
+    unsalted_max = b.groupBy("band", "bucket").count().agg(F.max("count")).collect()[0][0]
+    assert unsalted_max >= 150
+
+
+def test_cosine_near_dup_salted_still_finds_dups(spark):
+    """Salting caps bucket size while exact duplicates (same vector →
+    same salt inputs differ but same bucket) are still mostly found;
+    banded beats single-band recall on the unsalted path."""
+    from kaskada_spark.operators.similarity import cosine_near_dup_pairs
+
+    corpus = _skewed_corpus(spark, n=120)
+    plain = cosine_near_dup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.99, n_bits=4, dim=8
+    )
+    banded = cosine_near_dup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.99, n_bits=4, dim=8, n_bands=2
+    )
+    capped = cosine_near_dup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.99, n_bits=4, dim=8,
+        n_bands=2, max_bucket_rows=20,
+    )
+    p = {(r["id_a"], r["id_b"]) for r in plain.collect()}
+    bd = {(r["id_a"], r["id_b"]) for r in banded.collect()}
+    cp = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert p <= bd, "banded candidates must be a superset of single-band"
+    # capped loses only cross-salt pairs; hot-vector dups within a salt remain
+    assert cp <= bd
+    assert len(cp) > 0
+    # auto n_bits path runs end to end
+    auto = cosine_near_dup_pairs(corpus, "vec_id", "embedding", threshold=0.99, dim=8)
+    assert auto.count() >= 0
