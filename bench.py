@@ -54,6 +54,9 @@ BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "64000000"))
 # level adds the absolute-throughput ceiling. See BENCH.md for the
 # investigation behind this choice.
 SCALE_LEVELS = (2, 8, CPUS)
+# Multi-EXECUTOR pair (north rule: N -> 4N executors): separate executor
+# JVMs via local-cluster, fixed 4-core/4g executors, 2 -> 8 of them.
+CLUSTER_LEVELS = ("local-cluster[2,4,4096]", "local-cluster[8,4,4096]")
 
 
 def _sf_of(path: str) -> float:
@@ -97,7 +100,22 @@ def worker(master: str, input_dir: str, n_rows: int) -> None:
     from kaskada_spark.session import get_spark
     from kaskada_spark.streaming.pipeline import run_token_pipeline
 
-    spark = get_spark(app_name=f"bench-{master}", master=master, pretouch=True)
+    if master.startswith("local-cluster"):
+        import re
+
+        m = re.match(r"local-cluster\[(\d+),(\d+),\d+\]", master)
+        total_cores = int(m.group(1)) * int(m.group(2))
+        spark = get_spark(
+            app_name=f"bench-{master}",
+            master=master,
+            shuffle_partitions=max(total_cores, 8),
+            extra_conf={
+                "spark.executor.memory": "4g",
+                "spark.executor.extraJavaOptions": "-XX:+UseParallelGC -XX:ParallelGCThreads=4",
+            },
+        )
+    else:
+        spark = get_spark(app_name=f"bench-{master}", master=master, pretouch=True)
     spark.read.parquet(input_dir).count()  # warm file listing + page cache
     runs = []
     for _ in range(3):  # first pays JIT; best-of-3 keeps steady state stable
@@ -148,11 +166,18 @@ def scaling_sweep(spark, n_rows: int) -> dict:
         for cores in SCALE_LEVELS:
             levels[f"local[{cores}]"] = _spawn_worker(f"local[{cores}]", input_dir, n_rows)
 
+        # north rule N -> 4N EXECUTORS: separate executor JVMs (2x4c -> 8x4c)
+        exec_levels = {}
+        for m in CLUSTER_LEVELS:
+            exec_levels[m] = _spawn_worker(m, input_dir, n_rows)
+
         def thr(c):
             return levels[f"local[{c}]"]["seq_per_sec"]
 
         eff_n_4n = thr(8) / (4 * thr(2)) if thr(2) else 0.0
         eff_max = thr(CPUS) / ((CPUS / 8) * thr(8)) if thr(8) else 0.0
+        ex0 = exec_levels[CLUSTER_LEVELS[0]]["seq_per_sec"]
+        ex1 = exec_levels[CLUSTER_LEVELS[1]]["seq_per_sec"]
         return {
             "n_rows": n_rows,
             "levels": levels,
@@ -160,10 +185,14 @@ def scaling_sweep(spark, n_rows: int) -> dict:
             "scaling_pair": "N=2 cores -> 4N=8 cores",
             "efficiency_8_to_max": round(eff_max, 3),
             "max_throughput_seq_per_sec": thr(CPUS),
+            "executor_levels": exec_levels,
+            "executor_scaling_pair": "N=2 executors (4c/4g) -> 4N=8 executors",
+            "executor_scaling_efficiency": round(ex1 / (4 * ex0), 3) if ex0 else 0.0,
             "note": "see BENCH.md: 8->32 threads in ONE JVM degrades on this VM "
                     "(kernel/GC artifact, profiled); multi-executor deployments "
                     "keep executors at 8 cores, so N->4N executor scaling tracks "
-                    "the 2->8 pair",
+                    "the 2->8 pair; executor_levels is the true multi-JVM "
+                    "N->4N-executor measurement (local-cluster)",
         }
     finally:
         shutil.rmtree(input_dir, ignore_errors=True)

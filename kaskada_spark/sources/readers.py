@@ -97,6 +97,62 @@ def read_inline_csv(spark: SparkSession, csv_text: str, **options) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    value_schema,
+    starting_offsets: str = "earliest",
+    **options,
+) -> DataFrame:
+    """Kafka topic -> streaming DataFrame of parsed JSON values.
+
+    This closes (in Spark idiom) the reference's live-stream ingestion
+    gap: the reference consumes Pulsar subscriptions with Avro schemas
+    (crates/sparrow-runtime/src/streams/pulsar/stream.rs); Spark's
+    first-class equivalent is the Kafka source. The returned frame has
+    the ``value_schema`` columns — feed it to ``prepare()`` /
+    ``running_agg_stream`` exactly like a file stream; every downstream
+    operator is source-agnostic.
+
+    Needs the Kafka connector on the classpath (not in this sandbox):
+      spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>
+    Without it this raises a RuntimeError naming that flag instead of a
+    cryptic ClassNotFoundException.
+
+    Example (the flagship pipeline over a live token stream)::
+
+        stream = read_kafka_stream(
+            spark, "broker:9092", "token-sequences", TOKEN_SCHEMA)
+        agg = windowed_token_agg(stream, window="1 minute")
+        agg.writeStream.option("checkpointLocation", ck).foreachBatch(
+            ExactlyOnceSink(out)).start()
+    """
+    from pyspark.sql import functions as F
+
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    try:
+        raw = reader.load()
+    except Exception as e:
+        if "kafka" in str(e).lower():
+            raise RuntimeError(
+                "Kafka support needs the connector on the classpath: "
+                "spark-submit --packages "
+                "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>"
+            ) from e
+        raise
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v")
+    ).select("v.*")
+
+
 def read_avro(spark: SparkSession, path: str, **options) -> DataFrame:
     """Avro source (the reference ingests Avro-schema'd streams from
     Pulsar, streams/pulsar/schema.rs). Spark reads Avro through the

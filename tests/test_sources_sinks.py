@@ -62,3 +62,20 @@ def test_avro_source_gated(spark, tmp_path):
         assert "spark-avro" in str(e)  # helpful gate when module absent
     except Exception:
         pass  # module present but path missing — also acceptable
+
+
+def test_kafka_source_gated(spark):
+    """Kafka source (the reference's Pulsar-stream equivalent in Spark
+    idiom): without the connector jar the call raises a RuntimeError
+    naming the --packages flag; with it, the plan builds (no broker
+    contact happens at plan time)."""
+    from pyspark.sql import types as T
+
+    from kaskada_spark.sources.readers import read_kafka_stream
+
+    schema = T.StructType([T.StructField("doc_id", T.StringType())])
+    try:
+        df = read_kafka_stream(spark, "localhost:9092", "topic", schema)
+        assert df.isStreaming and "doc_id" in df.columns
+    except RuntimeError as e:
+        assert "spark-sql-kafka" in str(e)
