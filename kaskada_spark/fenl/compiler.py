@@ -867,6 +867,7 @@ def compile_fenl(
     behavior: str = "all",
     final_at=None,
     changed_since=None,
+    preview_rows: int | None = None,
 ) -> DataFrame:
     """Compile a Fenl query to a DataFrame ``(_time, _subsort, _key,
     result fields…)``, filtered to the result's row domain.
@@ -882,6 +883,9 @@ def compile_fenl(
     __changed_since_time__)``, frontend.rs:99-104) — only rows at or
     after the given timestamp are produced, letting a resumed query
     emit just the delta.
+
+    ``preview_rows`` is the reference's ``Limits { preview_rows }``
+    early-stop (plan.proto Limits / execute_request.Limits).
     """
     if behavior not in ("all", "final", "final_at"):
         raise FenlCompileError(f"unknown behavior {behavior!r}")
@@ -921,6 +925,11 @@ def compile_fenl(
         if final_at is None:
             raise FenlCompileError("behavior='final_at' requires final_at=")
         out = Timeline(out).final_at(final_at)
+    if preview_rows is not None:
+        # the reference's Limits { preview_rows } early-stop
+        # (proto/.../plan.proto Limits): Spark's limit triggers
+        # CollectLimitExec / LocalLimit pushdown, stopping the scan early
+        out = out.limit(preview_rows)
     return out
 
 

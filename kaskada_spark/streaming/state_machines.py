@@ -70,8 +70,21 @@ _STATE_COMPS = {
 
 #: sliding windows supported for decomposable ops (reference two-stacks,
 #: evaluators/aggregation/two_stacks.rs:24-38 — here: a bounded deque of
-#: closed sub-accumulators per entity, combined with the running partial)
-_SLIDING_OPS = ("sum", "count", "min", "max", "mean")
+#: closed sub-accumulators per entity, combined with the running partial).
+#: Sliding variance uses the raw q-form components (sum/sumsq/cnt) — the
+#: only deque-mergeable decomposition; same trade as the batch sliding
+#: lowering (timeline._merge_components), null until 2 inputs.
+_SLIDING_COMPS = {
+    "sum": ("sum",),
+    "count": ("cnt",),
+    "min": ("min",),
+    "max": ("max",),
+    "mean": ("sum", "cnt"),
+    "variance": ("sum", "sumsq", "cnt"),
+    "first": ("first",),
+    "last": ("last",),
+}
+_SLIDING_OPS = tuple(_SLIDING_COMPS)
 
 #: ops whose value type follows the input type (reference has dedicated
 #: string/boolean accumulators, evaluators/aggregation/{string,boolean}/)
@@ -107,10 +120,11 @@ def _state_schema(specs: list[AggSpec], kinds: dict[str, str]) -> T.StructType:
         T.StructField("max_subsort", T.LongType()),
     ]
     for s in specs:
-        for comp in _STATE_COMPS[s.op]:
+        comps = _SLIDING_COMPS[s.op] if s.is_sliding else _STATE_COMPS[s.op]
+        for comp in comps:
             if comp == "cnt":
-                typ = T.LongType()
-            elif s.op in _TYPED_OPS:
+                typ = T.LongType() if not s.is_sliding else T.DoubleType()
+            elif s.op in _TYPED_OPS and not s.is_sliding:
                 typ = _typed_dt(kinds[s.alias])
             else:
                 typ = T.DoubleType()
@@ -118,7 +132,7 @@ def _state_schema(specs: list[AggSpec], kinds: dict[str, str]) -> T.StructType:
         if s.op == "lag":
             fields.append(T.StructField(f"{s.alias}__deque", T.ArrayType(T.DoubleType())))
         elif s.is_sliding:
-            for comp in _STATE_COMPS[s.op]:
+            for comp in comps:
                 fields.append(
                     T.StructField(f"{s.alias}__dq_{comp}", T.ArrayType(T.DoubleType()))
                 )
@@ -168,12 +182,13 @@ def _state_field_names(specs: list[AggSpec]) -> list[str]:
     """Flattened state fields, in _state_schema order."""
     names: list[str] = []
     for s in specs:
-        for comp in _STATE_COMPS[s.op]:
+        comps = _SLIDING_COMPS[s.op] if s.is_sliding else _STATE_COMPS[s.op]
+        for comp in comps:
             names.append(f"{s.alias}__{comp}")
         if s.op == "lag":
             names.append(f"{s.alias}__deque")
         elif s.is_sliding:
-            for comp in _STATE_COMPS[s.op]:
+            for comp in comps:
                 names.append(f"{s.alias}__dq_{comp}")
     return names
 
@@ -187,6 +202,11 @@ def _make_update_fn(specs: list[AggSpec], input_cols: list[str], kinds: dict[str
         for s in specs
         if kinds[s.alias] != "num"
         for comp in _STATE_COMPS[s.op]
+    }
+    # LongType state fields (non-sliding cnt carries); sliding carries are
+    # all DoubleType (incl. cnt) to keep the deque arrays uniform
+    long_fields = {
+        f"{s.alias}__cnt" for s in specs if not s.is_sliding and "cnt" in _STATE_COMPS[s.op]
     }
 
     def update(
@@ -245,7 +265,7 @@ def _make_update_fn(specs: list[AggSpec], input_cols: list[str], kinds: dict[str
                 return None
             if name in typed_fields:
                 return v
-            return int(v) if name.endswith("__cnt") else float(v)
+            return int(v) if name in long_fields else float(v)
 
         flat = [int(st["max_time"]), int(st["max_subsort"])] + [
             _coerce(n, st[n]) for n in state_comp_names
@@ -273,22 +293,29 @@ def _apply_lag(out, st, spec: AggSpec, vals: pd.Series) -> None:
 
 def _sl_combine(op: str, comp: str, closed_vals: list, cur: pd.Series) -> pd.Series:
     """Combine closed sub-accumulator values with the running partial.
-    min/max carries use np.fmin/np.fmax — NaN-skipping AND vectorized."""
+    Dispatch is per COMPONENT: additive (sum/sumsq/cnt), order-free
+    min/max (np.fmin/np.fmax — NaN-skipping AND vectorized), and
+    order-dependent first/last (closed deque is chronological)."""
     closed = [v for v in closed_vals if v is not None and not pd.isna(v)]
-    if op in ("sum", "count", "mean"):
-        offset = sum(closed)
+    if comp in ("sum", "sumsq", "cnt"):
         if not closed:
             return cur
-        return cur.fillna(0) + offset
-    if op == "min":
+        return cur.fillna(0) + sum(closed)
+    if comp == "min":
         if not closed:
             return cur
         return pd.Series(np.fmin(cur.to_numpy(dtype="float64"), min(closed)), index=cur.index)
-    if op == "max":
+    if comp == "max":
         if not closed:
             return cur
         return pd.Series(np.fmax(cur.to_numpy(dtype="float64"), max(closed)), index=cur.index)
-    raise ValueError(op)
+    if comp == "first":
+        # earliest closed window's first wins; else the running first
+        return pd.Series(closed[0], index=cur.index) if closed else cur
+    if comp == "last":
+        # running last wins where present; else the latest closed last
+        return cur.fillna(closed[-1]) if closed else cur
+    raise ValueError(comp)
 
 
 def _apply_sliding(
@@ -303,7 +330,7 @@ def _apply_sliding(
         raise ValueError(f"sliding unsupported for {spec.op!r}")
     n = spec.n
     a = spec.alias
-    comps = _STATE_COMPS[spec.op]
+    comps = _SLIDING_COMPS[spec.op]
     nn = vals.notna()
 
     # intra-window running components (continuing the carried partial in
@@ -330,6 +357,18 @@ def _apply_sliding(
             combine = lambda s, p: pd.Series(  # noqa: E731
                 np.fmax(s.to_numpy(dtype="float64"), p), index=s.index
             )
+        elif comp == "sumsq":
+            series = (vals * vals).fillna(0).groupby(wid).cumsum()
+            has = nn.groupby(wid).cumsum() > 0
+            series[~has] = float("nan")
+            combine = lambda s, p: s.fillna(0) + p  # noqa: E731
+        elif comp == "first":
+            first_pos = nn & (nn.groupby(wid).cumsum() == 1)
+            series = vals.where(first_pos).groupby(wid).ffill()
+            combine = lambda s, p: pd.Series(p, index=s.index)  # noqa: E731
+        elif comp == "last":
+            series = vals.groupby(wid).ffill()
+            combine = lambda s, p: s.fillna(p)  # noqa: E731
         prev = st.get(f"{a}__{comp}")
         run = series.copy()
         if prev is not None and not (isinstance(prev, float) and math.isnan(prev)):
@@ -355,6 +394,10 @@ def _apply_sliding(
             result[in_w] = parts["sum"] / cnt
         elif spec.op == "count":
             result[in_w] = parts["cnt"]
+        elif spec.op == "variance":
+            cnt = parts["cnt"].where(parts["cnt"] > 0)
+            m = parts["sum"] / cnt
+            result[in_w] = (parts["sumsq"] / cnt - m * m).where(parts["cnt"] >= 2)
         else:
             result[in_w] = parts[comps[0]]
         # the window closes unless it is the batch's last (partial) one

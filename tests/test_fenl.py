@@ -1045,6 +1045,13 @@ def test_cross_universe_combination_rejected(spark):
         ).collect()
 
 
+def test_preview_rows_limit(spark):
+    # reference Limits { preview_rows } early-stop (plan.proto Limits)
+    tl = _tl(spark, CATALOG_NUMS)
+    out = fenl("sum(Input.value)", tl, preview_rows=2)
+    assert out.count() == 2
+
+
 def test_shifted_value_alone_still_works(spark):
     tl = _tl(spark, CATALOG_NUMS)
     out = fenl("Input.value | shift_by(seconds(86400))", tl)

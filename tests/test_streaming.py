@@ -805,3 +805,36 @@ def test_stream_shift_until_equals_batch(spark, tmp_path):
         assert got[kk] == ev, f"{kk}: want {ev}, got {got[kk]}"
     extra = {k: v for k, v in got.items() if k not in exp}
     assert not extra, f"unexpected rows: {extra}"
+
+
+def test_stream_sliding_variance_first_last_equals_batch(spark, events_tl, tmp_path):
+    """Sliding variance/first/last streaming ≡ batch (the reference's
+    two-stacks supports every agg, two_stacks.rs:24-38 — these were
+    previously excluded from the streaming deque)."""
+    from kaskada_spark.windows import Sliding
+
+    base = events_tl.df.withColumn("__fire", F.col("event_type") == "purchase")
+    tl = Timeline(base)
+    specs = [
+        AggSpec("variance", "value", "sl_var", since="__fire", n=3),
+        AggSpec("first", "value", "sl_first", since="__fire", n=2),
+        AggSpec("last", "value", "sl_last", since="__fire", n=2),
+    ]
+    in_dir = _write_time_split(base, ["_time", "_subsort"], str(tmp_path / "in"), 3)
+    sink = _run_stream(spark, in_dir, base.schema, specs, str(tmp_path / "ck"), str(tmp_path / "out"))
+    bt = (
+        tl.variance("value", window=Sliding(3, F.col("__fire")), alias="sl_var")
+        .first("value", window=Sliding(2, F.col("__fire")), alias="sl_first")
+        .last("value", window=Sliding(2, F.col("__fire")), alias="sl_last")
+    )
+    cols = ("sl_var", "sl_first", "sl_last")
+    exp = {r["event_id"]: tuple(r[c] for c in cols) for r in bt.df.collect()}
+    got = {r["event_id"]: tuple(r[c] for c in cols) for r in sink.read_output(spark).collect()}
+    assert len(got) == len(exp)
+    for eid, e in exp.items():
+        g = got[eid]
+        for i in range(3):
+            if e[i] is None:
+                assert g[i] is None or g[i] != g[i], f"col {i} at {eid}: want null got {g[i]}"
+            else:
+                assert g[i] == pytest.approx(e[i], rel=1e-9, abs=1e-9), f"col {i} at {eid}"
