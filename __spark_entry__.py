@@ -86,6 +86,24 @@ def q_running_mean_var(spark, sf_dir):
     )
 
 
+def q_running_countif_stddev(spark, sf_dir):
+    """count_if + stddev (the remaining InstOp aggregations): running
+    click count per entity, and stddev derived from exact decimal
+    component sums (sqrt is IEEE-correctly-rounded, so the double is
+    bit-identical across engines), null until 2 inputs (variance.toml)."""
+    tl = (
+        _events(spark, sf_dir)
+        .count_if(F.col("event_type") == "click", alias="n_clicks")
+        .sum(_dec(), alias="__s")
+        .sum((_dec() * _dec()), alias="__q")
+        .count("value", alias="__c")
+    )
+    mean = F.col("__s").cast("double") / F.col("__c")
+    var = F.col("__q").cast("double") / F.col("__c") - mean * mean
+    sd = F.when(F.col("__c") >= 2, F.sqrt(var))
+    return tl.df.select("event_id", "user_id", "n_clicks", sd.alias("sd_value"))
+
+
 def q_running_first_last(spark, sf_dir):
     pval = F.when(F.col("event_type") == "purchase", F.col("value"))
     tl = (
@@ -716,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_stats": q_running_stats,
         "running_mean_var": q_running_mean_var,
         "running_first_last": q_running_first_last,
+        "running_countif_stddev": q_running_countif_stddev,
         "lag": q_lag,
         "select_when": q_select_when,
         "with_key": q_with_key,
@@ -786,6 +805,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id,
                    s / n AS mean_value,
                    q / n - (s / n) * (s / n) AS var_value
+            FROM c
+        """,
+        "running_countif_stddev": f"""
+            WITH c AS (
+              SELECT event_id, user_id,
+                     COUNT(CASE WHEN event_type = 'click' THEN 1 END) {_RUN} AS n_clicks,
+                     CAST(SUM({dec}) {_RUN} AS DOUBLE) AS s,
+                     CAST(SUM({dec} * {dec}) {_RUN} AS DOUBLE) AS q,
+                     COUNT(value) {_RUN} AS n
+              FROM events
+            )
+            SELECT event_id, user_id, n_clicks,
+                   CASE WHEN n >= 2
+                        THEN sqrt(q / n - (s / n) * (s / n)) END AS sd_value
             FROM c
         """,
         "running_first_last": f"""

@@ -15,9 +15,10 @@ Late rows that regress behind the entity's high-water mark are dropped
 (the reference's bounded-lateness drop, read/stream_reader.rs:47;
 cross-entity lateness is handled upstream by `withWatermark`).
 
-Supported ops here: sum, count, min, max, mean, variance, first,
-last — each optionally
-with a since-window reset condition column. The state schema is derived
+Supported ops here (the full 11-op aggregation set): sum, count,
+count_if, min, max, mean, variance, stddev, first, last, lag — each
+optionally with a since-window reset condition column, and all but lag
+also in count-based sliding windows. The state schema is derived
 from the requested aggregations; checkpointing the query persists it
 (Spark state store), which is the engine's resume story (mirrors the
 reference's ComputeStore snapshot/restore).
@@ -54,6 +55,7 @@ class AggSpec(NamedTuple):
 _STATE_COMPS = {
     "sum": ("sum",),
     "count": ("cnt",),
+    "count_if": ("cnt",),
     "min": ("min",),
     "max": ("max",),
     "mean": ("sum", "cnt"),
@@ -63,6 +65,7 @@ _STATE_COMPS = {
     # M2, arrow_agg_evaluator.rs; the shifted form is its vectorizable
     # batch-mergeable equivalent)
     "variance": ("sum", "sumsq", "cnt", "off"),
+    "stddev": ("sum", "sumsq", "cnt", "off"),  # sqrt(variance) at emit
     "last": ("last",),
     "first": ("first",),
     "lag": (),  # deque-only state
@@ -77,10 +80,12 @@ _STATE_COMPS = {
 _SLIDING_COMPS = {
     "sum": ("sum",),
     "count": ("cnt",),
+    "count_if": ("cnt",),
     "min": ("min",),
     "max": ("max",),
     "mean": ("sum", "cnt"),
     "variance": ("sum", "sumsq", "cnt"),
+    "stddev": ("sum", "sumsq", "cnt"),
     "first": ("first",),
     "last": ("last",),
 }
@@ -144,7 +149,7 @@ def _output_schema(
 ) -> T.StructType:
     fields = list(input_schema.fields)
     for s in specs:
-        if s.op == "count":
+        if s.op in ("count", "count_if"):
             typ = T.LongType()
         elif s.op in _TYPED_OPS:
             typ = _typed_dt(kinds[s.alias])
@@ -239,6 +244,10 @@ def _make_update_fn(specs: list[AggSpec], input_cols: list[str], kinds: dict[str
                     vals = pd.to_numeric(pdf[s.col], errors="coerce")
                 else:
                     vals = pdf[s.col].astype(object).where(pdf[s.col].notna(), None)
+                if s.op == "count_if":
+                    # count_if = count over true-only values: mask falsy
+                    # rows to null so the shared count path counts trues
+                    vals = vals.where(vals == 1.0)
                 if s.op == "lag":
                     _apply_lag(out, st, s, vals)
                     continue
@@ -392,12 +401,13 @@ def _apply_sliding(
         if spec.op == "mean":
             cnt = parts["cnt"].where(parts["cnt"] > 0)
             result[in_w] = parts["sum"] / cnt
-        elif spec.op == "count":
+        elif spec.op in ("count", "count_if"):
             result[in_w] = parts["cnt"]
-        elif spec.op == "variance":
+        elif spec.op in ("variance", "stddev"):
             cnt = parts["cnt"].where(parts["cnt"] > 0)
             m = parts["sum"] / cnt
-            result[in_w] = (parts["sumsq"] / cnt - m * m).where(parts["cnt"] >= 2)
+            var = (parts["sumsq"] / cnt - m * m).where(parts["cnt"] >= 2)
+            result[in_w] = np.sqrt(var) if spec.op == "stddev" else var
         else:
             result[in_w] = parts[comps[0]]
         # the window closes unless it is the batch's last (partial) one
@@ -422,7 +432,7 @@ def _apply_sliding(
         deques[comp] = deques[comp][-(n - 1):] if n > 1 else []
         st[f"{a}__dq_{comp}"] = deques[comp]
 
-    out[a] = result.astype("int64") if spec.op == "count" else result
+    out[a] = result.astype("int64") if spec.op in ("count", "count_if") else result
 
 
 def _num_minmax_combine(is_min: bool):
@@ -499,16 +509,16 @@ def _apply_agg(
         has = nn.groupby(wid).cumsum() > 0
         gs[~has] = float("nan")
         run_sum = carry("sum", lambda s, p: s.fillna(0) + p, gs)
-    if spec.op in ("count", "mean", "variance"):
+    if spec.op in ("count", "count_if", "mean", "variance", "stddev"):
         gc = nn.astype("int64").groupby(wid).cumsum()
         run_cnt = carry("cnt", lambda s, p: s + int(p), gc.astype("float64"))
     if spec.op == "sum":
         out[a] = run_sum
-    elif spec.op == "count":
+    elif spec.op in ("count", "count_if"):
         out[a] = run_cnt.astype("int64")
     elif spec.op == "mean":
         out[a] = run_sum / run_cnt.where(run_cnt > 0)
-    elif spec.op == "variance":
+    elif spec.op in ("variance", "stddev"):
         # shift-centered accumulation: off = the window's first value
         # (carried across batches), sums taken over d = x - off. Exactly
         # equal to the raw form in exact arithmetic, numerically stable
@@ -535,7 +545,8 @@ def _apply_agg(
             )
         n = run_cnt.where(run_cnt > 0)
         m = run_sum_d / n
-        out[a] = (run_sumsq_d / n - m * m).where(run_cnt >= 2)
+        var = (run_sumsq_d / n - m * m).where(run_cnt >= 2)
+        out[a] = np.sqrt(var) if spec.op == "stddev" else var
     elif spec.op == "first":
         first_pos = nn & (nn.groupby(wid).cumsum() == 1)
         seed = vals.where(first_pos)

@@ -838,3 +838,41 @@ def test_stream_sliding_variance_first_last_equals_batch(spark, events_tl, tmp_p
                 assert g[i] is None or g[i] != g[i], f"col {i} at {eid}: want null got {g[i]}"
             else:
                 assert g[i] == pytest.approx(e[i], rel=1e-9, abs=1e-9), f"col {i} at {eid}"
+
+
+def test_stream_countif_stddev_equals_batch(spark, events_tl, tmp_path):
+    """count_if and stddev complete the streaming 11-op aggregation set
+    (reference InstOp aggregations) — running and sliding forms both
+    match the batch lowering."""
+    from kaskada_spark.windows import Sliding
+
+    base = (
+        events_tl.df
+        .withColumn("__is_click", F.col("event_type") == "click")
+        .withColumn("__fire", F.col("event_type") == "purchase")
+    )
+    tl = Timeline(base)
+    specs = [
+        AggSpec("count_if", "__is_click", "n_clicks"),
+        AggSpec("stddev", "value", "sd_value"),
+        AggSpec("count_if", "__is_click", "sl_clicks", since="__fire", n=2),
+    ]
+    in_dir = _write_time_split(base, ["_time", "_subsort"], str(tmp_path / "in"), 3)
+    sink = _run_stream(spark, in_dir, base.schema, specs, str(tmp_path / "ck"), str(tmp_path / "out"))
+    bt = (
+        tl.count_if("__is_click", alias="n_clicks")
+        .stddev("value", alias="sd_value")
+        .count_if("__is_click", window=Sliding(2, F.col("__fire")), alias="sl_clicks")
+    )
+    cols = ("n_clicks", "sd_value", "sl_clicks")
+    exp = {r["event_id"]: tuple(r[c] for c in cols) for r in bt.df.collect()}
+    got = {r["event_id"]: tuple(r[c] for c in cols) for r in sink.read_output(spark).collect()}
+    assert len(got) == len(exp)
+    for eid, e in exp.items():
+        g = got[eid]
+        assert g[0] == e[0], f"count_if at {eid}"
+        assert g[2] == e[2], f"sliding count_if at {eid}"
+        if e[1] is None:
+            assert g[1] is None or g[1] != g[1], f"stddev at {eid}: want null"
+        else:
+            assert g[1] == pytest.approx(e[1], rel=1e-9, abs=1e-9), f"stddev at {eid}"
