@@ -651,13 +651,18 @@ def _sql_hash28(expr: str) -> str:
 
 
 def _sql_minhash_sig() -> str:
-    """DuckDB list literal mirroring minhash_signature(num_hashes=8)."""
-    mins = [
-        "coalesce(list_min(list_transform(sh, s -> "
-        + _sql_hash28(f"'{i}|' || s")
-        + ")), 268435456)"
-        for i in range(8)
-    ]
+    """DuckDB list literal mirroring minhash_signature(num_hashes=8):
+    ONE md5 base hash per shingle + affine family maps
+    (operators/dedup.py MINHASH_P/_family)."""
+    from kaskada_spark.operators.dedup import MINHASH_P, MINHASH_SENTINEL, _family
+
+    mins = []
+    for i in range(8):
+        a, c = _family(i)
+        mins.append(
+            f"coalesce(list_min(list_transform(sh, s -> "
+            f"({_sql_hash28('s')} * {a} + {c}) % {MINHASH_P})), {MINHASH_SENTINEL})"
+        )
     return "[" + ", ".join(mins) + "]"
 
 

@@ -54,22 +54,37 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: affine MinHash family over the largest prime < 2^28: family i maps a
+#: 28-bit base hash b to (A_i * b + C_i) mod P. ONE md5 per shingle
+#: (the base) instead of num_hashes md5s — measured dominant cost of the
+#: signature stage — and still exactly SQL-reproducible (the oracle
+#: applies the same affine map). Constants: A_i/C_i derived from fixed
+#: odd multipliers so every engine agrees.
+MINHASH_P = 268435399  # largest prime < 2^28
+MINHASH_SENTINEL = 1 << 28  # > any h mod P; empty shingle sets keep it
+
+
+def _family(i: int) -> tuple[int, int]:
+    # deterministic, engine-independent constants (odd, non-zero)
+    return (2 * i + 1) * 40503 + 1, (i + 1) * 1299721
+
+
 def minhash_signature(text: Column, num_hashes: int = 8, shingle_n: int = 3) -> Column:
     """MinHash signature (array<long>, length num_hashes) over word
-    shingles. Hash family i = md5('<i>|' || shingle) truncated to 28
-    bits; empty shingle sets get sentinel 2^28 (no shingle can collide
-    with it)."""
+    shingles. base = md5(shingle)[:7 hex] (28 bits); family i =
+    (A_i * base + C_i) mod P. Empty shingle sets get sentinel 2^28 (no
+    family value can reach it: values are < P < 2^28)."""
     sh = shingles(text, shingle_n)
-
-    def hash_family(prefix: str):
-        # single-arg lambda on purpose: a 2-arg lambda would receive
-        # (element, index) from transform() and clobber the family id
-        return lambda s: _md5_hash28(F.concat(F.lit(prefix), s))
-
-    mins = [
-        F.coalesce(F.array_min(F.transform(sh, hash_family(f"{i}|"))), F.lit(1 << 28))
-        for i in range(num_hashes)
-    ]
+    base = F.transform(sh, _md5_hash28)
+    mins = []
+    for i in range(num_hashes):
+        a_i, c_i = _family(i)
+        mins.append(
+            F.coalesce(
+                F.array_min(F.transform(base, lambda b: (b * a_i + c_i) % MINHASH_P)),
+                F.lit(MINHASH_SENTINEL),
+            )
+        )
     return F.array(*mins)
 
 
@@ -100,10 +115,11 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("doc"),
         F.explode_outer(shingles(F.col(text_col), shingle_n)).alias("s"),
     )
+    base = _md5_hash28(F.col("s"))
     hashed = sh.select(
         "doc",
         *[
-            _md5_hash28(F.concat(F.lit(f"{i}|"), F.col("s"))).alias(f"h{i}")
+            ((base * _family(i)[0] + _family(i)[1]) % MINHASH_P).alias(f"h{i}")
             for i in range(num_hashes)
         ],
     )
@@ -111,7 +127,7 @@ def minhash_lsh_pairs(
     # matching minhash_signature()
     sig = hashed.groupBy("doc").agg(
         *[
-            F.coalesce(F.min(f"h{i}"), F.lit(1 << 28)).alias(f"m{i}")
+            F.coalesce(F.min(f"h{i}"), F.lit(MINHASH_SENTINEL)).alias(f"m{i}")
             for i in range(num_hashes)
         ]
     )
@@ -181,23 +197,25 @@ def ngram_jaccard_pairs(
     document pairs within ``pair_col`` groups (rank-neighbor pairing —
     a deterministic, O(n) pair generator useful for sampled dup audits).
     """
-    w = W.partitionBy(pair_col).orderBy(id_col)
+    # adjacent pairing via lag() over the group order: the previous
+    # doc's shingle array arrives on the SAME row — no self-join, no
+    # second shingle computation, one shuffle on the group key total
+    w = W.partitionBy("grp").orderBy("doc")
     sh = df.select(
         F.col(pair_col).alias("grp"),
         F.col(id_col).alias("doc"),
         shingles(F.col(text_col), n).alias("sh"),
-    ).withColumn("rn", F.row_number().over(W.partitionBy("grp").orderBy("doc")))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    joined = a.join(
-        b,
-        (F.col("a.grp") == F.col("b.grp")) & (F.col("a.rn") + 1 == F.col("b.rn")),
     )
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    return joined.select(
-        F.col("a.grp").alias("grp"),
-        F.col("a.doc").alias("id_a"),
-        F.col("b.doc").alias("id_b"),
+    paired = (
+        sh.withColumn("prev_doc", F.lag("doc").over(w))
+        .withColumn("prev_sh", F.lag("sh").over(w))
+        .filter(F.col("prev_doc").isNotNull())
+    )
+    inter = F.size(F.array_intersect(F.col("prev_sh"), F.col("sh")))
+    union = F.size(F.col("prev_sh")) + F.size(F.col("sh")) - inter
+    return paired.select(
+        "grp",
+        F.col("prev_doc").alias("id_a"),
+        F.col("doc").alias("id_b"),
         (inter.cast("double") / F.when(union > 0, union)).alias("jaccard"),
     )
