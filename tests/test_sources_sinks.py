@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from kaskada_spark.sinks.exactly_once import ExactlyOnceSink
@@ -79,3 +80,50 @@ def test_kafka_source_gated(spark):
         assert df.isStreaming and "doc_id" in df.columns
     except RuntimeError as e:
         assert "spark-sql-kafka" in str(e)
+
+
+def test_feature_store_sink(spark, tmp_path):
+    """Redis-style feature sink (reference destinations.proto Redis):
+    each batch reduces to latest-per-entity on the executors and SETs
+    key/values via an injected client (file-backed fake here — the
+    sandbox has no redis; the default factory raises a clear error)."""
+    import datetime as dt
+    import glob
+    import json
+    import os
+    import uuid
+
+    from kaskada_spark.sinks.feature_store import FeatureStoreSink, _default_client_factory
+
+    store_dir = str(tmp_path / "store")
+    os.makedirs(store_dir)
+
+    class FileClient:
+        def __init__(self):
+            self.path = os.path.join(store_dir, f"{uuid.uuid4().hex}.jsonl")
+
+        def set(self, key, value):
+            with open(self.path, "a") as f:
+                f.write(json.dumps({"k": key, "v": value}) + "\n")
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        ("A", t0, 1, 10.0),
+        ("A", t0.replace(minute=5), 2, 20.0),   # latest for A
+        ("B", t0, 3, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "_key string, _time timestamp, _subsort long, score double")
+    sink = FeatureStoreSink("_key", ["score"], client_factory=FileClient)
+    sink(df, batch_id=0)
+    sink(df, batch_id=0)  # replay: same keys, same values (idempotent)
+
+    written = {}
+    for p in glob.glob(os.path.join(store_dir, "*.jsonl")):
+        for line in open(p):
+            rec = json.loads(line)
+            written[rec["k"]] = json.loads(rec["v"])
+    assert written["kaskada:A"] == {"score": 20.0}
+    assert written["kaskada:B"] == {"score": 7.0}
+
+    with pytest.raises(RuntimeError, match="redis"):
+        _default_client_factory()
