@@ -55,12 +55,13 @@ BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "64000000"))
 # investigation behind this choice.
 SCALE_LEVELS = (2, 8, CPUS)
 # Multi-EXECUTOR pair (north rule: N -> 4N executors): separate executor
-# JVMs via local-cluster, FIXED executor size, 4x the executor count.
-# 2-core executors keep 4N=8 executors at 16 total cores — inside this
-# VM's clean-scaling regime (the 16->32-core kernel artifact is profiled
-# in BENCH.md and hits any topology that uses the whole machine). The
-# 8x4c level is kept as the max-cluster-throughput point.
-CLUSTER_LEVELS = ("local-cluster[2,2,3072]", "local-cluster[8,2,3072]")
+# JVMs via local-cluster, FIXED 2-core/3g executor size, 4x the executor
+# count. N=1 -> 4N=4 executors spans 2 -> 8 total cores — the regime
+# where this VM scales cleanly; any pair whose 4N level needs >= 16
+# cores runs into the machine-wide throughput ceiling (~5.9M seq/s,
+# kernel artifact profiled in BENCH.md) and measures the VM, not the
+# plan. The 8x4c level is kept as the max-cluster-throughput point.
+CLUSTER_LEVELS = ("local-cluster[1,2,3072]", "local-cluster[4,2,3072]")
 CLUSTER_MAX = "local-cluster[8,4,4096]"
 
 
@@ -193,7 +194,7 @@ def scaling_sweep(spark, n_rows: int) -> dict:
             "efficiency_8_to_max": round(eff_max, 3),
             "max_throughput_seq_per_sec": thr(CPUS),
             "executor_levels": exec_levels,
-            "executor_scaling_pair": "N=2 executors (2c/3g) -> 4N=8 executors",
+            "executor_scaling_pair": "N=1 executor (2c/3g) -> 4N=4 executors",
             "executor_scaling_efficiency": round(ex1 / (4 * ex0), 3) if ex0 else 0.0,
             "executor_max_throughput_seq_per_sec": exec_levels[CLUSTER_MAX]["seq_per_sec"],
             "note": "see BENCH.md: 8->32 threads in ONE JVM degrades on this VM "
