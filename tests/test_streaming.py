@@ -876,3 +876,64 @@ def test_stream_countif_stddev_equals_batch(spark, events_tl, tmp_path):
             assert g[1] is None or g[1] != g[1], f"stddev at {eid}: want null"
         else:
             assert g[1] == pytest.approx(e[1], rel=1e-9, abs=1e-9), f"stddev at {eid}"
+
+
+def test_stream_resume_ticks_and_shift_until(spark, tmp_path):
+    """Kill/resume with TICK state (next-boundary + open-window
+    accumulators) and SHIFT_UNTIL buffers: run files 1-2, stop, DELETE
+    file 1, add file 3, resume — combined output must equal the
+    single-pass run (state sufficiency, resumeable_tests.rs pattern)."""
+    import datetime as dt
+
+    from kaskada_spark.streaming.shift import shift_until_stream
+    from kaskada_spark.streaming.ticks import TickAggSpec, tick_agg_stream
+    from kaskada_spark.windows import hourly
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0)
+    rows = []
+    for i in range(12):
+        rows.append(
+            ("A", t0 + dt.timedelta(minutes=17 * i), i, float(i), i % 4 == 3)
+        )
+    schema = "_key string, _time timestamp, _subsort long, v double, fire boolean"
+    df = spark.createDataFrame(rows, schema)
+
+    def run_ticks(in_dir, ck, out):
+        stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+        o = tick_agg_stream(stream, hourly(), [TickAggSpec("sum", "v", "s")])
+        sink = ExactlyOnceSink(out, time_col="tick_time")
+        q = (o.writeStream.outputMode("append").option("checkpointLocation", ck)
+             .foreachBatch(sink).trigger(availableNow=True).start())
+        q.awaitTermination()
+        return sink
+
+    def run_until(in_dir, ck, out):
+        stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+        o = shift_until_stream(stream, F.col("fire"))
+        sink = ExactlyOnceSink(out, time_col="_time")
+        q = (o.writeStream.outputMode("append").option("checkpointLocation", ck)
+             .foreachBatch(sink).trigger(availableNow=True).start())
+        q.awaitTermination()
+        return sink
+
+    for name, runner, keycols in (
+        ("ticks", run_ticks, ("_key", "tick_time", "s")),
+        ("until", run_until, ("_key", "_subsort", "_time", "v")),
+    ):
+        full = _write_time_split(df, ["_time", "_subsort"], str(tmp_path / f"{name}_full"), 3)
+        files = sorted(os.listdir(full))
+        # single-pass reference
+        single = runner(full, str(tmp_path / f"{name}_ck1"), str(tmp_path / f"{name}_o1"))
+        ref = {tuple(r[c] for c in keycols) for r in single.read_output(spark).collect()}
+        # resumed run: files 1-2, stop, delete file 1, add file 3
+        in_dir = str(tmp_path / f"{name}_in")
+        os.makedirs(in_dir)
+        for f in files[:2]:
+            shutil.copy2(os.path.join(full, f), os.path.join(in_dir, f))
+        ck, out = str(tmp_path / f"{name}_ck2"), str(tmp_path / f"{name}_o2")
+        runner(in_dir, ck, out)
+        os.remove(os.path.join(in_dir, files[0]))
+        shutil.copy2(os.path.join(full, files[2]), os.path.join(in_dir, files[2]))
+        resumed = runner(in_dir, ck, out)
+        got = {tuple(r[c] for c in keycols) for r in resumed.read_output(spark).collect()}
+        assert got == ref, f"{name}: resume diverged ({len(got)} vs {len(ref)} rows)"
