@@ -937,3 +937,64 @@ def test_stream_resume_ticks_and_shift_until(spark, tmp_path):
         resumed = runner(in_dir, ck, out)
         got = {tuple(r[c] for c in keycols) for r in resumed.read_output(spark).collect()}
         assert got == ref, f"{name}: resume diverged ({len(got)} vs {len(ref)} rows)"
+
+
+def test_stream_merge_align_equals_batch(spark, tmp_path):
+    """Streaming merge-align (the reference's Merge operation, live):
+    union row domain of two streams, coincident rows fused, as-of
+    columns latched — identical rows to the batch operators/merge.py."""
+    import pandas as pd
+    from kaskada_spark.operators.merge import merge as batch_merge
+    from kaskada_spark.streaming.merge import merge_align_stream
+
+    t0 = pd.Timestamp(2024, 5, 1, 12, 0)
+    l_rows, r_rows = [], []
+    for ent in (1, 2):
+        for j, m in enumerate(range(0, 50, 5)):
+            l_rows.append((ent, t0 + pd.Timedelta(minutes=m), j, float(ent * 100 + m)))
+        for j, m in enumerate(range(0, 50, 10)):
+            # subsort j matches left's row at the same minute for m%10==0
+            # -> coincident (t, s) rows that must FUSE
+            sub = j * 2 if m % 20 == 0 else 1000 + j
+            r_rows.append((ent, t0 + pd.Timedelta(minutes=m), sub, ent * 1000 + m))
+    ldf = spark.createDataFrame(pd.DataFrame(l_rows, columns=["k", "time", "seq", "price"]))
+    rdf = spark.createDataFrame(pd.DataFrame(r_rows, columns=["k", "time", "seq", "qty"]))
+    l_tl = Timeline.from_events(ldf, "time", "k", "seq")
+    r_tl = Timeline.from_events(rdf, "time", "k", "seq")
+
+    exp_df = batch_merge(l_tl, r_tl, as_of=["qty"]).df
+    # combined watermark = MIN across inputs; the right stream ends at :40
+    wm_final = t0 + pd.Timedelta(minutes=40)
+    exp = {
+        (r["_key"], r["_time"], r["_subsort"]): (r["price"], r["qty"])
+        for r in exp_df.collect()
+        if r["_time"] <= wm_final
+    }
+
+    l_dir = _write_time_split(l_tl.df, ["_time", "_subsort"], str(tmp_path / "l"), 3)
+    r_dir = _write_time_split(r_tl.df, ["_time", "_subsort"], str(tmp_path / "r"), 3)
+    ls = spark.readStream.schema(l_tl.df.schema).option("maxFilesPerTrigger", 1).parquet(l_dir)
+    rs = spark.readStream.schema(r_tl.df.schema).option("maxFilesPerTrigger", 1).parquet(r_dir)
+    out = merge_align_stream(ls, rs, as_of=["qty"])
+    assert dict(out.dtypes)["qty"] == "bigint"  # integral type restored
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="_time")
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["_key"], r["_time"], r["_subsort"]): (r["price"], r["qty"])
+        for r in sink.read_output(spark).collect()
+    }
+    missing = {kk for kk in exp if kk not in got}
+    assert not missing, f"missing {len(missing)}: {sorted(missing)[:4]}"
+    for kk, ev in exp.items():
+        assert got[kk] == ev, f"{kk}: want {ev}, got {got[kk]}"
+    extra = {kk for kk in got if kk not in exp}
+    # rows past the final watermark may be withheld but never invented
+    for kk in extra:
+        assert kk[1] > wm_final, f"unexpected settled row {kk}"
