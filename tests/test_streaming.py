@@ -998,3 +998,60 @@ def test_stream_merge_align_equals_batch(spark, tmp_path):
     # rows past the final watermark may be withheld but never invented
     for kk in extra:
         assert kk[1] > wm_final, f"unexpected settled row {kk}"
+
+
+def test_materialize_fenl_equals_batch(spark, events_tl, tmp_path):
+    """Streaming Fenl materialization (the reference's `materialize`
+    mode): a record of windowed aggregations over scalar expressions
+    runs live through the state machines and matches the batch
+    compile_fenl row-for-row."""
+    from kaskada_spark.fenl import fenl
+    from kaskada_spark.fenl.compiler import FenlCompileError
+    from kaskada_spark.fenl.materialize import materialize_fenl
+
+    q = """
+    {
+      n: count(Input.value),
+      total: sum(clamp(Input.value, 10.0, 190.0)),
+      hi: max(Input.value),
+      last_type: last(Input.event_type),
+      cnt_since: count(Input.value, window = since(Input.event_type == 'purchase'))
+    }
+    """
+    in_dir = _write_time_split(events_tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 3)
+    stream = (
+        spark.readStream.schema(events_tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = materialize_fenl(q, stream)
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="_time")
+    sq = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+
+    batch = fenl(q, {"Input": events_tl})
+    cols = ("n", "total", "hi", "last_type", "cnt_since")
+    exp = {r["_subsort"]: tuple(r[c] for c in cols) for r in batch.collect()}
+    got = {r["_subsort"]: tuple(r[c] for c in cols) for r in sink.read_output(spark).collect()}
+    assert len(got) == len(exp)
+    for sid, e in exp.items():
+        g = got[sid]
+        assert g[0] == e[0] and g[4] == e[4], f"counts at {sid}"
+        assert g[3] == e[3], f"last_type at {sid}"
+        for i in (1, 2):
+            if e[i] is None:
+                assert g[i] is None or g[i] != g[i]
+            else:
+                assert g[i] == pytest.approx(e[i], rel=1e-12), f"col {i} at {sid}"
+
+    # unsupported surfaces fail fast with pointers
+    with pytest.raises(FenlCompileError, match="tick"):
+        materialize_fenl("count(Input.value, window = since(daily()))", stream)
+    with pytest.raises(FenlCompileError, match="shift"):
+        materialize_fenl("sum(Input.value | shift_by(seconds(1)))", stream)
