@@ -127,3 +127,50 @@ def test_feature_store_sink(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="redis"):
         _default_client_factory()
+
+
+def test_bucketed_layout_removes_entity_shuffles(spark, tmp_path):
+    """Entity-bucketed tables (the prepare-once layout): same-bucketed
+    joins AND per-entity Window aggregations plan with ZERO exchanges."""
+    import pandas as pd
+
+    from kaskada_spark.sources.bucketing import (
+        read_bucketed_timeline,
+        write_bucketed_table,
+    )
+
+    t0 = pd.Timestamp(2024, 1, 1)
+    rows = [
+        (k, t0 + pd.Timedelta(minutes=i), k * 100 + i, float(k * 10 + i))
+        for k in range(20)
+        for i in range(10)
+    ]
+    pdf = pd.DataFrame(rows, columns=["k", "time", "seq", "v"])
+    tl = Timeline.from_events(spark.createDataFrame(pdf), "time", "k", "seq")
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed_table(tl, "bt_a", 8)
+        write_bucketed_table(tl, "bt_b", 8)
+        a = read_bucketed_timeline(spark, "bt_a")
+        b = read_bucketed_timeline(spark, "bt_b")
+
+        # co-located equi-join on the bucket key: zero exchanges
+        right = b.df.groupBy("_key").agg(F.sum("v").alias("v_tot"))
+        j = a.df.join(right, on=["_key"])
+        jplan = j._jdf.queryExecution().executedPlan().toString()
+        assert jplan.count("Exchange ") == 0, jplan
+        assert j.count() == 200
+
+        agg = a.sum("v", alias="s").df
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert aplan.count("Exchange ") == 0, aplan
+        # values still correct vs the unbucketed lowering
+        exp = {r["seq"]: r["s"] for r in tl.sum("v", alias="s").df.collect()}
+        got = {r["seq"]: r["s"] for r in agg.collect()}
+        assert got == exp
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
