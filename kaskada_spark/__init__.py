@@ -15,12 +15,14 @@ what makes it viable at 100 TB / 1000-executor scale.
 """
 
 from kaskada_spark.fenl import fenl
+from kaskada_spark.fenl.materialize import materialize_fenl
 from kaskada_spark.session import get_spark
 from kaskada_spark.timeline import Timeline
 from kaskada_spark.windows import Since, Sliding, Tick, daily, hourly, minutely, monthly, yearly
 
 __all__ = [
     "get_spark", "Timeline", "Since", "Sliding", "Tick", "fenl",
+    "materialize_fenl",
     "minutely", "hourly", "daily", "monthly", "yearly",
 ]
 

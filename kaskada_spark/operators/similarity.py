@@ -66,14 +66,25 @@ def brute_force_knn(
     no shuffle of the corpus; one per-query top-k via window rank on
     (similarity desc, id) for deterministic tie-breaks.
     """
+    # norms are precomputed per VECTOR, not per pair — the cosine fold
+    # is the dominant cost and each vector's norm is reused across every
+    # pairing (bit-identical result: same folds, same op order)
     queries = corpus.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnorm"),
     )
-    cand = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+    cand = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        norm(F.col(vec_col)).alias("nnorm"),
+    )
     scored = (
         cand.crossJoin(F.broadcast(queries))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("qvec"), F.col("nvec")))
+        .withColumn(
+            "sim", dot(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm"))
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -170,13 +181,16 @@ def lsh_knn(
         n_bits = auto_n_bits(corpus.count(), target_bucket_rows)
     bucketed = _banded(
         corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("nvec"),
+            norm(F.col(vec_col)).alias("nnorm"),
         ),
         "nvec", n_bits, n_bands, dim, seed,
     )
     queries = bucketed.filter(F.col("neighbor_id").isin(query_ids)).select(
         F.col("neighbor_id").alias("query_id"),
         F.col("nvec").alias("qvec"),
+        F.col("nnorm").alias("qnorm"),
         "band",
         "bucket",
     )
@@ -185,7 +199,9 @@ def lsh_knn(
     )
     if n_bands > 1:
         cand = cand.dropDuplicates(["query_id", "neighbor_id"])  # union across bands
-    cand = cand.withColumn("sim", cosine(F.col("qvec"), F.col("nvec")))
+    cand = cand.withColumn(
+        "sim", dot(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm"))
+    )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -214,7 +230,11 @@ def cosine_near_dup_pairs(
     if n_bits is None:
         n_bits = auto_n_bits(corpus.count(), target_bucket_rows)
     b = _banded(
-        corpus.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec")),
+        corpus.select(
+            F.col(id_col).alias("doc"),
+            F.col(vec_col).alias("vec"),
+            norm(F.col(vec_col)).alias("nrm"),
+        ),
         "vec", n_bits, n_bands, dim, seed,
     )
     join_keys = ["band", "bucket"]
@@ -238,12 +258,16 @@ def cosine_near_dup_pairs(
             F.col("r.doc").alias("id_b"),
             F.col("l.vec").alias("__va"),
             F.col("r.vec").alias("__vb"),
+            F.col("l.nrm").alias("__na"),
+            F.col("r.nrm").alias("__nb"),
         )
     )
     if n_bands > 1:
         cand = cand.dropDuplicates(["id_a", "id_b"])  # union across bands
     return (
-        cand.withColumn("sim", cosine(F.col("__va"), F.col("__vb")))
+        cand.withColumn(
+            "sim", dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+        )
         .filter(F.col("sim") > threshold)
         .select("id_a", "id_b", "sim")
     )
