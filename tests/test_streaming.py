@@ -1055,3 +1055,62 @@ def test_materialize_fenl_equals_batch(spark, events_tl, tmp_path):
         materialize_fenl("count(Input.value, window = since(daily()))", stream)
     with pytest.raises(FenlCompileError, match="shift"):
         materialize_fenl("sum(Input.value | shift_by(seconds(1)))", stream)
+
+
+def test_stream_resume_asof_lookup(spark, tmp_path):
+    """Kill/resume for the stateful as-of lookup join: snapshot + buffer
+    state must survive a checkpoint restart (files 1-2, stop, DELETE
+    file 1, add file 3) and reproduce the single-pass output."""
+    import pandas as pd
+    from kaskada_spark.streaming.join import asof_lookup_stream
+
+    t0 = pd.Timestamp(2024, 5, 1, 12, 0)
+    f_rows, p_rows = [], []
+    for ent in (1, 2):
+        for j, m in enumerate(range(0, 60, 10)):
+            f_rows.append((ent, t0 + pd.Timedelta(minutes=m), j, float(ent * 100 + m)))
+        for j, m in enumerate(range(5, 65, 10)):
+            p_rows.append((ent, t0 + pd.Timedelta(minutes=m), 1000 + j))
+    fdf = spark.createDataFrame(pd.DataFrame(f_rows, columns=["fk", "time", "seq", "price"]))
+    pdf = spark.createDataFrame(pd.DataFrame(p_rows, columns=["user", "time", "seq"]))
+    f_tl = Timeline.from_events(fdf, "time", "fk", "seq")
+    p_tl = Timeline.from_events(pdf, "time", "user", "seq")
+
+    def run(p_dir, f_dir, ck, out):
+        ps = spark.readStream.schema(p_tl.df.schema).option("maxFilesPerTrigger", 1).parquet(p_dir)
+        fs = spark.readStream.schema(f_tl.df.schema).option("maxFilesPerTrigger", 1).parquet(f_dir)
+        o = asof_lookup_stream(ps, fs, key=F.col("user").cast("long"), values=["price"])
+        sink = ExactlyOnceSink(out, time_col="_time")
+        q = (o.writeStream.outputMode("append").option("checkpointLocation", ck)
+             .foreachBatch(sink).trigger(availableNow=True).start())
+        q.awaitTermination()
+        return sink
+
+    p_full = _write_time_split(p_tl.df, ["_time", "_subsort"], str(tmp_path / "pf"), 3)
+    f_full = _write_time_split(f_tl.df, ["_time", "_subsort"], str(tmp_path / "ff"), 3)
+    single = run(p_full, f_full, str(tmp_path / "ck1"), str(tmp_path / "o1"))
+    ref = {
+        (r["_key"], r["_subsort"]): r["price"]
+        for r in single.read_output(spark).collect()
+    }
+    assert ref, "no settled lookups in single pass"
+
+    p_in, f_in = str(tmp_path / "pi"), str(tmp_path / "fi")
+    os.makedirs(p_in), os.makedirs(f_in)
+    pfiles, ffiles = sorted(os.listdir(p_full)), sorted(os.listdir(f_full))
+    for f in pfiles[:2]:
+        shutil.copy2(os.path.join(p_full, f), os.path.join(p_in, f))
+    for f in ffiles[:2]:
+        shutil.copy2(os.path.join(f_full, f), os.path.join(f_in, f))
+    ck, out = str(tmp_path / "ck2"), str(tmp_path / "o2")
+    run(p_in, f_in, ck, out)
+    os.remove(os.path.join(p_in, pfiles[0]))
+    os.remove(os.path.join(f_in, ffiles[0]))
+    shutil.copy2(os.path.join(p_full, pfiles[2]), os.path.join(p_in, pfiles[2]))
+    shutil.copy2(os.path.join(f_full, ffiles[2]), os.path.join(f_in, ffiles[2]))
+    resumed = run(p_in, f_in, ck, out)
+    got = {
+        (r["_key"], r["_subsort"]): r["price"]
+        for r in resumed.read_output(spark).collect()
+    }
+    assert got == ref, f"resume diverged: {len(got)} vs {len(ref)} rows"
