@@ -17,10 +17,11 @@ Two parts:
 2. North-rule throughput: sustained sequences/sec through the windowed
    temporal-aggregation streaming pipeline (readStream parquet ->
    watermark -> tumbling window hash-agg -> exactly-once foreachBatch
-   sink), run at N and 4N cores in separate subprocesses (fresh JVM per
-   level so parallelism is honest), reporting scaling efficiency
-   thr(4N) / (4 * thr(N)) — the sandbox stand-in for N vs 4N executors
-   (BASELINE.json north_rule).
+   sink). HEADLINE scaling = N -> 4N separate executor JVMs via
+   local-cluster (fixed 2-core executors, 1 -> 4 of them) — the north
+   rule's mandated two-cluster-size measurement; a single-JVM thread
+   sweep (2/8/32 cores) rides along as the secondary curve plus the
+   8x4c max-cluster throughput point.
 
 Usage:
   python bench.py                 # full run, one JSON line on stdout
@@ -49,10 +50,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # local[8] run and drag the measured 2->8 efficiency below its true
 # steady-state value (BENCH.md).
 BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "64000000"))
-# Scaling levels: N=2 -> 4N=8 is the headline efficiency pair (both in
-# the regime where this sandbox VM scales JVM threads cleanly); the max
-# level adds the absolute-throughput ceiling. See BENCH.md for the
-# investigation behind this choice.
+# Secondary single-JVM thread sweep (2 -> 8 is the clean-scaling thread
+# pair; the max level shows the absolute ceiling). See BENCH.md.
 SCALE_LEVELS = (2, 8, CPUS)
 # Multi-EXECUTOR pair (north rule: N -> 4N executors): separate executor
 # JVMs via local-cluster, FIXED 2-core/3g executor size, 4x the executor
@@ -174,7 +173,7 @@ def scaling_sweep(spark, n_rows: int) -> dict:
         for cores in SCALE_LEVELS:
             levels[f"local[{cores}]"] = _spawn_worker(f"local[{cores}]", input_dir, n_rows)
 
-        # north rule N -> 4N EXECUTORS: separate executor JVMs (2x2c -> 8x2c)
+        # north rule N -> 4N EXECUTORS: separate executor JVMs (1 -> 4 x 2c)
         exec_levels = {}
         for m in (*CLUSTER_LEVELS, CLUSTER_MAX):
             exec_levels[m] = _spawn_worker(m, input_dir, n_rows)
@@ -182,26 +181,32 @@ def scaling_sweep(spark, n_rows: int) -> dict:
         def thr(c):
             return levels[f"local[{c}]"]["seq_per_sec"]
 
-        eff_n_4n = thr(8) / (4 * thr(2)) if thr(2) else 0.0
+        eff_threads = thr(8) / (4 * thr(2)) if thr(2) else 0.0
         eff_max = thr(CPUS) / ((CPUS / 8) * thr(8)) if thr(8) else 0.0
         ex0 = exec_levels[CLUSTER_LEVELS[0]]["seq_per_sec"]
         ex1 = exec_levels[CLUSTER_LEVELS[1]]["seq_per_sec"]
+        eff_exec = round(ex1 / (4 * ex0), 3) if ex0 else 0.0
         return {
             "n_rows": n_rows,
+            # HEADLINE = the north rule's mandated measurement: N -> 4N
+            # separate executor JVMs (local-cluster), fixed executor size
+            "scaling_efficiency": eff_exec,
+            "scaling_pair": "N=1 executor (2c/3g) -> 4N=4 executors (local-cluster)",
+            "executor_levels": exec_levels,
+            "executor_scaling_efficiency": eff_exec,
+            "executor_max_throughput_seq_per_sec": exec_levels[CLUSTER_MAX]["seq_per_sec"],
+            # secondary: single-JVM thread sweep (higher run-to-run
+            # variance on this VM — BENCH.md documents the spread)
             "levels": levels,
-            "scaling_efficiency": round(eff_n_4n, 3),
-            "scaling_pair": "N=2 cores -> 4N=8 cores",
+            "thread_scaling_efficiency": round(eff_threads, 3),
+            "thread_scaling_pair": "N=2 cores -> 4N=8 cores (one JVM)",
             "efficiency_8_to_max": round(eff_max, 3),
             "max_throughput_seq_per_sec": thr(CPUS),
-            "executor_levels": exec_levels,
-            "executor_scaling_pair": "N=1 executor (2c/3g) -> 4N=4 executors",
-            "executor_scaling_efficiency": round(ex1 / (4 * ex0), 3) if ex0 else 0.0,
-            "executor_max_throughput_seq_per_sec": exec_levels[CLUSTER_MAX]["seq_per_sec"],
-            "note": "see BENCH.md: 8->32 threads in ONE JVM degrades on this VM "
-                    "(kernel/GC artifact, profiled); multi-executor deployments "
-                    "keep executors at 8 cores, so N->4N executor scaling tracks "
-                    "the 2->8 pair; executor_levels is the true multi-JVM "
-                    "N->4N-executor measurement (local-cluster)",
+            "note": "headline pair = separate executor JVMs via local-cluster "
+                    "(the north rule's N->4N executors); thread levels kept as "
+                    "the secondary single-JVM sweep — 8->32 threads in ONE JVM "
+                    "degrades on this VM (kernel/GC artifact, profiled in "
+                    "BENCH.md) and run-to-run variance is higher there",
         }
     finally:
         shutil.rmtree(input_dir, ignore_errors=True)
