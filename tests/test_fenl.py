@@ -1103,3 +1103,59 @@ def test_lookup_with_tick_window_inside(spark):
     # reset the window, one sale in the new day
     assert rows["2021-01-01 12:00"] == 1
     assert rows["2021-01-02 12:00"] == 1
+
+
+# ----------------------------------------------------------------------
+# e2e goldens ported from sparrow-main/tests/e2e/json_tests.rs
+# ----------------------------------------------------------------------
+_JSON_E2E = """time,sub,key,json
+1996-12-19T16:39:57,0,A,"{""a"": 10, ""b"": ""dog""}"
+1996-12-19T16:40:57,1,B,"{""a"": 4, ""b"": ""lizard""}"
+1996-12-19T16:41:57,2,B,"{""a"": 1, ""c"": 3.3}"
+1996-12-19T16:42:57,3,B,"{""a"": 12, ""b"": ""cat""}"
+1996-12-19T16:43:57,4,A,"{""a"": 34}"
+1996-12-19T16:44:57,5,B,"{""a"": 6, ""b"": ""dog""}"
+"""
+
+
+def _json_tl(spark):
+    pdf = pd.read_csv(io.StringIO(_JSON_E2E), parse_dates=["time"])
+    return Timeline.from_events(
+        spark.createDataFrame(pdf), time_col="time", key_col="key", subsort_col="sub"
+    )
+
+
+def test_e2e_json_parses_field(spark):
+    # json_tests.rs::test_json_parses_field golden
+    q = "let j = json(Input.json) in { a_test: j.a as i64, b_test: json(Input.json).b }"
+    out = fenl(q, _json_tl(spark))
+    got = {r["_subsort"]: (r["a_test"], r["b_test"]) for r in out.collect()}
+    assert got == {
+        0: (10, "dog"), 1: (4, "lizard"), 2: (1, None),
+        3: (12, "cat"), 4: (34, None), 5: (6, "dog"),
+    }
+
+
+def test_e2e_json_string_functions_and_arithmetic(spark):
+    # json_tests.rs::test_json_string_field_usable_in_string_functions
+    # + test_json_field_as_number_with_addition goldens
+    q = """
+    let j = json(Input.json) in
+    { s: j.b, l: len(j.b), plus_one: (j.a as i64) + 1 }
+    """
+    out = fenl(q, _json_tl(spark))
+    got = {r["_subsort"]: (r["s"], r["l"], r["plus_one"]) for r in out.collect()}
+    assert got[0] == ("dog", 3, 11)
+    assert got[1] == ("lizard", 6, 5)
+    assert got[2] == (None, None, 2)
+    assert got[4] == (None, None, 35)
+
+
+def test_e2e_json_number_as_string(spark):
+    # json_tests.rs::test_json_field_number_as_string golden
+    q = "let j = json(Input.json) in { num_as_str: j.a as string, l: len(j.a as string) }"
+    out = fenl(q, _json_tl(spark))
+    got = {r["_subsort"]: (r["num_as_str"], r["l"]) for r in out.collect()}
+    assert got == {
+        0: ("10", 2), 1: ("4", 1), 2: ("1", 1), 3: ("12", 2), 4: ("34", 2), 5: ("6", 1),
+    }
