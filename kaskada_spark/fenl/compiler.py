@@ -405,7 +405,10 @@ class Compiler:
         v = self.compile(node.value)
         if node.to not in _FENL_TYPES:
             raise FenlCompileError(f"unknown Fenl type {node.to!r}")
-        return replace(v, col=v.col.cast(_FENL_TYPES[node.to]))
+        # Fenl casts yield null on unparseable/overflowing input
+        # (cast_tests.rs: '"hello" as i64' -> null); Spark 4's ANSI cast
+        # would raise, so lower to try_cast
+        return replace(v, col=v.col.try_cast(_FENL_TYPES[node.to]))
 
     # -- calls ---------------------------------------------------------
     def _c_call(self, node: A.Call) -> CVal | WindowVal | TickVal:

@@ -1159,3 +1159,55 @@ def test_e2e_json_number_as_string(spark):
     assert got == {
         0: ("10", 2), 1: ("4", 1), 2: ("1", 1), 3: ("12", 2), 4: ("34", 2), 5: ("6", 1),
     }
+
+
+# ----------------------------------------------------------------------
+# e2e goldens ported from sparrow-main/tests/e2e/cast_tests.rs
+# ----------------------------------------------------------------------
+def _cast_tl(spark):
+    csv = """time,sub,key,i64,f64,number_string
+1996-12-19T16:39:57,0,0,50,21.4,65
+1997-12-19T16:39:57,1,0,,1.22,hello
+1997-12-19T16:39:58,2,0,25,0.0,73
+1997-12-19T16:39:59,3,0,35,0.0,73
+1998-12-19T16:39:57,4,0,25,2.2,82
+1999-12-19T16:39:58,5,0,12,,18
+1999-12-19T16:39:59,6,0,,,
+"""
+    pdf = pd.read_csv(io.StringIO(csv), parse_dates=["time"], dtype={"number_string": "string"})
+    pdf["i64"] = pdf["i64"].astype("Int64")
+    return Timeline.from_events(
+        spark.createDataFrame(pdf), time_col="time", key_col="key", subsort_col="sub"
+    )
+
+
+def test_e2e_implicit_cast_i64_f64(spark):
+    # cast_tests.rs::test_implicit_cast_i64_to_f64_{add,literal} goldens
+    out = fenl("{ add: Input.i64 + Input.f64, addlit: Input.i64 + 1.11 }", _cast_tl(spark))
+    got = {r["_subsort"]: (r["add"], r["addlit"]) for r in out.collect()}
+    assert got[0] == (pytest.approx(71.4), pytest.approx(51.11))
+    assert got[1] == (None, None)
+    assert got[2] == (25.0, pytest.approx(26.11))
+    assert got[5] == (None, pytest.approx(13.11))
+    assert got[6] == (None, None)
+
+
+def test_e2e_string_as_i64_invalid_gives_null(spark):
+    # cast_tests.rs::test_string_as_i64 golden — 'hello' -> null, not error
+    out = fenl("Input.number_string as i64", _cast_tl(spark))
+    got = {r["_subsort"]: r["result"] for r in out.collect()}
+    assert got == {0: 65, 1: None, 2: 73, 3: 73, 4: 82, 5: 18, 6: None}
+
+
+def test_e2e_numeric_downcasts(spark):
+    # cast_tests.rs::{test_i64_as_i32, test_f64_as_i64, test_i64_as_string}
+    out = fenl(
+        "{ as32: Input.i64 as i32, fi: Input.f64 as i64, s: Input.i64 as string }",
+        _cast_tl(spark),
+    )
+    got = {r["_subsort"]: (r["as32"], r["fi"], r["s"]) for r in out.collect()}
+    assert got[0] == (50, 21, "50")
+    assert got[1] == (None, 1, None)
+    assert got[4] == (25, 2, "25")
+    assert got[6] == (None, None, None)
+    assert dict(out.dtypes)["as32"] == "int"
