@@ -125,7 +125,10 @@ def worker(master: str, input_dir: str, n_rows: int) -> None:
         spark = get_spark(app_name=f"bench-{master}", master=master, pretouch=True)
     spark.read.parquet(input_dir).count()  # warm file listing + page cache
     runs = []
-    for _ in range(3):  # first pays JIT; best-of-3 keeps steady state stable
+    # first run pays JIT (and executor spin-up on local-cluster); the
+    # headline executor levels get one extra sample for stability
+    n_runs = 4 if master.startswith("local-cluster") else 3
+    for _ in range(n_runs):
         work = tempfile.mkdtemp(prefix="bench_worker_")
         try:
             t0 = time.time()
