@@ -1211,3 +1211,53 @@ def test_e2e_numeric_downcasts(spark):
     assert got[4] == (25, 2, "25")
     assert got[6] == (None, None, None)
     assert dict(out.dtypes)["as32"] == "int"
+
+
+# ----------------------------------------------------------------------
+# e2e goldens ported from sparrow-main/tests/e2e/string_tests.rs
+# ----------------------------------------------------------------------
+def _strings_tl(spark):
+    # fixtures.rs strings_data_fixture — empty strings are "", not null
+    csv = """time,sub,key,s,n
+1996-12-19T16:39:57,0,A,hEllo,0
+1996-12-19T16:40:57,1,B,World,5
+1996-12-19T16:41:57,2,B,hello world,-2
+1996-12-19T16:42:57,3,B,,-2
+1996-12-19T16:43:57,4,B,,2
+1996-12-19T16:44:57,5,B,goodbye,
+"""
+    pdf = pd.read_csv(io.StringIO(csv), parse_dates=["time"], keep_default_na=False,
+                      dtype={"s": "string"})
+    pdf["n"] = pd.to_numeric(pdf["n"], errors="coerce").astype("Int64")
+    return Timeline.from_events(
+        spark.createDataFrame(pdf), time_col="time", key_col="key", subsort_col="sub"
+    )
+
+
+def test_e2e_string_len_upper(spark):
+    # string_tests.rs::{test_len, test_upper_len} goldens ("" has len 0)
+    out = fenl("{ l: len(Input.s), u: upper(Input.s) }", _strings_tl(spark))
+    got = {r["_subsort"]: (r["l"], r["u"]) for r in out.collect()}
+    assert got == {
+        0: (5, "HELLO"), 1: (5, "WORLD"), 2: (11, "HELLO WORLD"),
+        3: (0, ""), 4: (0, ""), 5: (7, "GOODBYE"),
+    }
+
+
+def test_e2e_substring_golden(spark):
+    # string_tests.rs::test_substring — 0-based [start, end), null start
+    # = 0, null end = len, negative indices count from the end
+    q = """
+    { s02: substring(Input.s, start=0, end=2),
+      s1: substring(Input.s, start=1),
+      s0i: substring(Input.s, end=Input.n),
+      si: substring(Input.s, start=Input.n) }
+    """
+    out = fenl(q, _strings_tl(spark))
+    got = {r["_subsort"]: (r["s02"], r["s1"], r["s0i"], r["si"]) for r in out.collect()}
+    assert got[0] == ("hE", "Ello", "", "hEllo")
+    assert got[1] == ("Wo", "orld", "World", "")
+    assert got[2] == ("he", "ello world", "hello wor", "ld")
+    assert got[3] == ("", "", "", "")
+    assert got[4] == ("", "", "", "")
+    assert got[5] == ("go", "oodbye", "goodbye", "goodbye")
