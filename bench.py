@@ -126,8 +126,11 @@ def worker(master: str, input_dir: str, n_rows: int) -> None:
     spark.read.parquet(input_dir).count()  # warm file listing + page cache
     runs = []
     # first run pays JIT (and executor spin-up on local-cluster); the
-    # headline executor levels get one extra sample for stability
-    n_runs = 4 if master.startswith("local-cluster") else 3
+    # headline executor levels get extra samples — the pair ratio is
+    # sensitive to one slow sample on either level, and this VM's
+    # run-to-run spread is real (BENCH.md); best-of over 5 converges on
+    # the sustained steady state the metric is defined over
+    n_runs = 5 if master.startswith("local-cluster") else 3
     for _ in range(n_runs):
         work = tempfile.mkdtemp(prefix="bench_worker_")
         try:
