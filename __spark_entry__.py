@@ -543,11 +543,42 @@ def q_embed_knn_lsh(spark, sf_dir):
     return lsh_knn(emb, "vec_id", "embedding", list(range(10)), k=5, n_bits=6, dim=64)
 
 
+def _near_dup_corpus(emb):
+    """Embeddings plus 20 planted near-duplicates so the near-dup checks
+    are NON-vacuous (round-2 verdict: both engines returned 0 rows, a
+    green check that never validated pair discovery). Each vec_id < 20
+    gets a copy at vec_id + 100000 with elements scaled by 1 ± 0.005
+    (alternating by index) — cosine ≈ 0.99997, far above threshold. All
+    arithmetic is double-then-cast-to-float so DuckDB reproduces the
+    perturbed vectors bit-exactly."""
+    pert = F.transform(
+        F.col("embedding"),
+        lambda x, i: (
+            x.cast("double")
+            * (F.lit(1.0) + F.when(i % 2 == 0, F.lit(0.005)).otherwise(F.lit(-0.005)))
+        ).cast("float"),
+    )
+    base = emb.select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + F.lit(100000)).cast("long").alias("vec_id"),
+        pert.alias("embedding"),
+    )
+    return base.unionByName(planted)
+
+
 def q_cosine_near_dup(spark, sf_dir):
+    """Scale-shape contract: auto-sized bucket count (n_bits=None →
+    auto_n_bits from the corpus cardinality) + salted bucket cap
+    (max_bucket_rows) so no join group can explode. At testdata scale
+    auto resolves to 4 bits and no bucket exceeds the cap (salt ≡ 0),
+    which keeps the DuckDB oracle exact without replicating xxhash64."""
     from kaskada_spark.operators.similarity import cosine_near_dup_pairs
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.8, n_bits=4, dim=64)
+    return cosine_near_dup_pairs(
+        _near_dup_corpus(emb), "vec_id", "embedding",
+        threshold=0.8, n_bits=None, dim=64, max_bucket_rows=512,
+    )
 
 
 def q_cosine_near_dup_banded(spark, sf_dir):
@@ -559,7 +590,8 @@ def q_cosine_near_dup_banded(spark, sf_dir):
 
     emb = read_table(spark, sf_dir, "embeddings")
     return cosine_near_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.8, n_bits=6, dim=64, n_bands=2
+        _near_dup_corpus(emb), "vec_id", "embedding",
+        threshold=0.8, n_bits=6, dim=64, n_bands=2,
     )
 
 
@@ -1178,6 +1210,23 @@ def oracle_sql() -> dict[str, str]:
 
 _QIDS = ", ".join(str(i) for i in range(10))
 
+# Mirror of _near_dup_corpus: embeddings + 20 planted near-copies.
+# DuckDB list_transform's (x, i) index is 1-based (Spark's transform is
+# 0-based), hence (i - 1). All literals cast to DOUBLE so the engine
+# does IEEE double math (DuckDB bare decimals are DECIMAL-typed).
+_NEAR_DUP_CORPUS_CTE = """
+  corpus AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT CAST(vec_id + 100000 AS BIGINT) AS vec_id,
+           list_transform(embedding, (x, i) ->
+             CAST(CAST(x AS DOUBLE) * (CAST(1.0 AS DOUBLE) +
+                  CASE WHEN (i - 1) % 2 = 0 THEN CAST(0.005 AS DOUBLE)
+                       ELSE CAST(-0.005 AS DOUBLE) END) AS FLOAT)) AS embedding
+    FROM embeddings WHERE vec_id < 20
+  )
+"""
+
 
 def _pipeline_oracles() -> dict[str, str]:
     """Oracles for the training-data pipeline operators. Hashing is
@@ -1269,11 +1318,14 @@ def _pipeline_oracles() -> dict[str, str]:
             )
             {knn_rank}
         """,
+        # auto_n_bits(520, 256) = 4 at sf0.01; the Spark side's
+        # max_bucket_rows=512 cap never splits a bucket at this scale
+        # (salt ≡ 0), so the unsalted SQL join is exact.
         "cosine_near_dup": f"""
-            WITH b AS (
+            WITH {_NEAR_DUP_CORPUS_CTE.strip()}, b AS (
               SELECT vec_id AS doc, embedding AS vec,
                      {_sql_lsh_bucket("embedding", 4, 64)} AS bucket
-              FROM embeddings
+              FROM corpus
             )
             SELECT l.doc AS id_a, r.doc AS id_b,
                    {_sql_cosine("l.vec", "r.vec")} AS sim
@@ -1282,12 +1334,12 @@ def _pipeline_oracles() -> dict[str, str]:
         """,
         # band b planes use seed 42 + b * 1000003 (similarity.BAND_SEED_STRIDE)
         "cosine_near_dup_banded": f"""
-            WITH b0 AS (
+            WITH {_NEAR_DUP_CORPUS_CTE.strip()}, b0 AS (
               SELECT vec_id AS doc, {_sql_lsh_bucket("embedding", 6, 64, seed=42)} AS bucket
-              FROM embeddings
+              FROM corpus
             ), b1 AS (
               SELECT vec_id AS doc, {_sql_lsh_bucket("embedding", 6, 64, seed=1000045)} AS bucket
-              FROM embeddings
+              FROM corpus
             ), cand AS (
               SELECT l.doc AS id_a, r.doc AS id_b FROM b0 l JOIN b0 r USING (bucket)
               WHERE l.doc < r.doc
@@ -1297,8 +1349,8 @@ def _pipeline_oracles() -> dict[str, str]:
             )
             SELECT c.id_a, c.id_b, {_sql_cosine("ea.embedding", "eb.embedding")} AS sim
             FROM cand c
-            JOIN embeddings ea ON ea.vec_id = c.id_a
-            JOIN embeddings eb ON eb.vec_id = c.id_b
+            JOIN corpus ea ON ea.vec_id = c.id_a
+            JOIN corpus eb ON eb.vec_id = c.id_b
             WHERE {_sql_cosine("ea.embedding", "eb.embedding")} > 0.8
         """,
         "lang_id": f"""

@@ -1,10 +1,13 @@
 """Benchmark harness (driver contract).
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (kept small so the driver's stdout tail
+capture always parses it):
   {"metric": ..., "value": <total query sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>,
-   "throughput": {"n_rows": ..., "levels": {"local[8]": {...},
-    "local[32]": {...}}, "scaling_efficiency": ...}}
+   "throughput": {"n_rows": ..., "scaling_efficiency": ...,
+    "executor_levels": {...}, "thread_levels": {...}}}
+Full detail (per-run arrays, notes, secondary efficiencies) is written
+to BENCH_DETAIL.json next to this file.
 
 Two parts:
 
@@ -218,6 +221,26 @@ def scaling_sweep(spark, n_rows: int) -> dict:
         shutil.rmtree(input_dir, ignore_errors=True)
 
 
+def _compact_throughput(full: dict) -> dict:
+    """Shrink the sweep result for the single stdout line: per-level
+    numbers without run arrays. Full detail goes to BENCH_DETAIL.json."""
+    return {
+        "n_rows": full["n_rows"],
+        "scaling_efficiency": full["scaling_efficiency"],
+        "scaling_pair": full["scaling_pair"],
+        "executor_levels": {
+            m: {"sec": v["sec"], "seq_per_sec": v["seq_per_sec"]}
+            for m, v in full["executor_levels"].items()
+        },
+        "thread_levels": {
+            m: {"sec": v["sec"], "seq_per_sec": v["seq_per_sec"]}
+            for m, v in full["levels"].items()
+        },
+        "thread_scaling_efficiency": full["thread_scaling_efficiency"],
+        "max_throughput_seq_per_sec": full["executor_max_throughput_seq_per_sec"],
+    }
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(sys.argv[2], sys.argv[3], int(sys.argv[4]))
@@ -236,8 +259,16 @@ def main() -> None:
         "sf": _sf_of(SF_DIR),
     }
     if not quick:
-        result["throughput"] = scaling_sweep(spark, BENCH_ROWS)
-    print(json.dumps(result))
+        full_sweep = scaling_sweep(spark, BENCH_ROWS)
+        detail = dict(result)
+        detail["throughput"] = full_sweep
+        with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=2)
+        result["throughput"] = _compact_throughput(full_sweep)
+    # Contract: the FINAL stdout line is ONE compact JSON object small
+    # enough for the driver's tail capture (run arrays + prose notes live
+    # in BENCH_DETAIL.json, written above).
+    print(json.dumps(result, separators=(",", ":")))
 
 
 if __name__ == "__main__":
