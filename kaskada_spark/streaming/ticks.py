@@ -93,12 +93,26 @@ class _Cal:
 
 
 class TickAggSpec(NamedTuple):
-    op: str    # sum | count | min | max
+    op: str    # sum | count | count_if | min | max | mean | variance | stddev | first | last
     col: str
     alias: str
 
 
-_COMPS = {"sum": ("sum",), "count": ("cnt",), "min": ("min",), "max": ("max",)}
+# mergeable state components per op (batch-parity: same decompositions
+# as state_machines._STATE_COMPS — variance is shift-centered around the
+# window's first value, carried across micro-batches via the off comp)
+_COMPS = {
+    "sum": ("sum",),
+    "count": ("cnt",),
+    "count_if": ("cnt",),
+    "min": ("min",),
+    "max": ("max",),
+    "mean": ("sum", "cnt"),
+    "variance": ("sum", "sumsq", "cnt", "off"),
+    "stddev": ("sum", "sumsq", "cnt", "off"),
+    "first": ("first",),
+    "last": ("last",),
+}
 
 
 def _out_schema(key_type: T.DataType, specs: list[TickAggSpec]) -> T.StructType:
@@ -107,7 +121,7 @@ def _out_schema(key_type: T.DataType, specs: list[TickAggSpec]) -> T.StructType:
         T.StructField("tick_time", T.TimestampType()),
     ]
     for s in specs:
-        typ = T.LongType() if s.op == "count" else T.DoubleType()
+        typ = T.LongType() if s.op in ("count", "count_if") else T.DoubleType()
         fields.append(T.StructField(s.alias, typ))
     return T.StructType(fields)
 
@@ -150,6 +164,11 @@ def _make_tick_fn(specs: list[TickAggSpec], cal: "_Cal"):
         return {n: None for n in comp_names}
 
     def _merge(st: dict, win: dict) -> None:
+        """Fold one window-partial into the state accumulator. Additive
+        comps add; min/max combine order-free; first/off keep the
+        earlier (state) value; last takes the newer (window) value —
+        valid because shift-centered variance partials for a continuing
+        window were computed with the state's carried off."""
         for s in specs:
             for c in _COMPS[s.op]:
                 n = f"{s.alias}__{c}"
@@ -159,22 +178,75 @@ def _make_tick_fn(specs: list[TickAggSpec], cal: "_Cal"):
                 cur = st[n]
                 if cur is None:
                     st[n] = float(w)
-                elif c in ("sum", "cnt"):
+                elif c in ("sum", "cnt", "sumsq"):
                     st[n] = float(cur) + float(w)
                 elif c == "min":
                     st[n] = min(float(cur), float(w))
-                else:
+                elif c == "max":
                     st[n] = max(float(cur), float(w))
+                elif c in ("first", "off"):
+                    pass  # earliest value wins — already in state
+                else:  # last
+                    st[n] = float(w)
+
+    def _win_comps(grp: pd.DataFrame, s: TickAggSpec, carried_off) -> dict:
+        """Window-partial components for one spec over one window's rows."""
+        v = pd.to_numeric(grp[s.col], errors="coerce")
+        if s.op == "count_if":
+            # count_if = count over true-only values (state_machines rule)
+            v = v.where(v == 1.0)
+        nn = int(v.notna().sum())
+        a = s.alias
+        if s.op in ("count", "count_if"):
+            return {f"{a}__cnt": float(nn)}
+        if s.op == "mean":
+            return {
+                f"{a}__sum": None if nn == 0 else float(v.sum()),
+                f"{a}__cnt": float(nn),
+            }
+        if s.op in ("variance", "stddev"):
+            if nn == 0:
+                return {f"{a}__sum": None, f"{a}__sumsq": None,
+                        f"{a}__cnt": 0.0, f"{a}__off": None}
+            off = carried_off if carried_off is not None else float(v.dropna().iloc[0])
+            d = v - off
+            return {
+                f"{a}__sum": float(d.sum()),
+                f"{a}__sumsq": float((d * d).sum()),
+                f"{a}__cnt": float(nn),
+                f"{a}__off": float(off),
+            }
+        if s.op == "first":
+            return {f"{a}__first": None if nn == 0 else float(v.dropna().iloc[0])}
+        if s.op == "last":
+            return {f"{a}__last": None if nn == 0 else float(v.dropna().iloc[-1])}
+        agg = {"sum": v.sum, "min": v.min, "max": v.max}[s.op]
+        return {f"{a}__{_COMPS[s.op][0]}": None if nn == 0 else float(agg())}
 
     def _emit_row(key, tick_ns: int, st: dict) -> dict:
         row = {KEY: key, "tick_time": pd.Timestamp(tick_ns)}
         for s in specs:
-            if s.op == "count":
-                v = st[f"{s.alias}__cnt"]
-                row[s.alias] = 0 if v is None else int(v)
+            a = s.alias
+            if s.op in ("count", "count_if"):
+                v = st[f"{a}__cnt"]
+                row[a] = 0 if v is None else int(v)
+            elif s.op == "mean":
+                sm, c = st[f"{a}__sum"], st[f"{a}__cnt"]
+                row[a] = None if sm is None or not c else float(sm) / float(c)
+            elif s.op in ("variance", "stddev"):
+                c = st[f"{a}__cnt"]
+                if c is None or c < 2:
+                    row[a] = None
+                else:
+                    m = st[f"{a}__sum"] / c
+                    var = st[f"{a}__sumsq"] / c - m * m
+                    row[a] = (
+                        var if s.op == "variance"
+                        else (math.sqrt(var) if var >= 0 else float("nan"))
+                    )
             else:
-                v = st[f"{s.alias}__{_COMPS[s.op][0]}"]
-                row[s.alias] = None if v is None else float(v)
+                v = st[f"{a}__{_COMPS[s.op][0]}"]
+                row[a] = None if v is None else float(v)
         return row
 
     def update(
@@ -214,15 +286,13 @@ def _make_tick_fn(specs: list[TickAggSpec], cal: "_Cal"):
                     grp = pdf.loc[grp_idx]
                     win: dict = {}
                     for s in specs:
-                        v = pd.to_numeric(grp[s.col], errors="coerce")
-                        if s.op == "count":
-                            win[f"{s.alias}__cnt"] = float(v.notna().sum())
-                        elif s.op == "sum":
-                            win[f"{s.alias}__sum"] = None if v.notna().sum() == 0 else float(v.sum())
-                        elif s.op == "min":
-                            win[f"{s.alias}__min"] = None if v.notna().sum() == 0 else float(v.min())
-                        else:
-                            win[f"{s.alias}__max"] = None if v.notna().sum() == 0 else float(v.max())
+                        # the window the state is mid-accumulating keeps
+                        # its carried variance shift so partials add
+                        carried = (
+                            st.get(f"{s.alias}__off")
+                            if int(b) == st["next_tick_ns"] else None
+                        )
+                        win.update(_win_comps(grp, s, carried))
                     per_win[int(b)] = win
 
                 # close every boundary we now know is complete: a row at

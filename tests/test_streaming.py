@@ -1114,3 +1114,83 @@ def test_stream_resume_asof_lookup(spark, tmp_path):
         for r in resumed.read_output(spark).collect()
     }
     assert got == ref, f"resume diverged: {len(got)} vs {len(ref)} rows"
+
+
+def test_stream_ticks_full_agg_set(spark, tmp_path):
+    """Streaming tick windows with the FULL aggregation set (mean /
+    variance / stddev / first / last / count_if alongside sum / count /
+    min / max) must match the batch with_ticks + Since(tick) lowering —
+    including windows split across micro-batches (variance's carried
+    shift) and empty windows. Reference: windowed aggregations over
+    ticks, crates/sparrow-main/tests/e2e/windowed_aggregation_tests.rs."""
+    import pandas as pd
+    from kaskada_spark.operators.tick import TICK_COL
+    from kaskada_spark.streaming.ticks import TickAggSpec, tick_agg_stream
+    from kaskada_spark.windows import Since, hourly
+
+    rows = []
+    # entity A: several events per hour (so variance is non-null), a
+    # silent hour, then more; entity B sparse with nulls
+    for i, (h, m, v, flag) in enumerate([
+        (10, 5, 1.0, True), (10, 25, 4.0, False), (10, 45, 2.5, True),
+        (11, 10, 7.0, True), (11, 50, 3.0, False),
+        (13, 5, 10.0, True), (13, 6, 12.0, True), (13, 59, 11.0, False),
+    ]):
+        rows.append(("A", pd.Timestamp(2024, 3, 1, h, m), i, v, flag))
+    rows.append(("B", pd.Timestamp(2024, 3, 1, 10, 30), 100, None, True))
+    rows.append(("B", pd.Timestamp(2024, 3, 1, 12, 15), 101, 5.0, None))
+    rows.append(("B", pd.Timestamp(2024, 3, 1, 12, 45), 102, 9.0, False))
+    pdf = pd.DataFrame(rows, columns=["key", "time", "seq", "v", "flag"])
+    tl = Timeline.from_events(spark.createDataFrame(pdf), "time", "key", "seq")
+
+    ops = ["sum", "count", "count_if", "min", "max", "mean",
+           "variance", "stddev", "first", "last"]
+    bt = tl.with_ticks(hourly())
+    for op in ops:
+        col = "flag" if op == "count_if" else "v"
+        bt = getattr(bt, op)(col, window=Since(F.col(TICK_COL)), alias=f"a_{op}")
+    cols = [f"a_{op}" for op in ops]
+    exp = {
+        (r["_key"], r["_time"]): tuple(r[c] for c in cols)
+        for r in bt.df.filter(F.col(TICK_COL)).collect()
+    }
+
+    in_dir = _write_time_split(tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 5)
+    stream = (
+        spark.readStream.schema(tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    specs = [
+        TickAggSpec(op, "flag" if op == "count_if" else "v", f"a_{op}")
+        for op in ops
+    ]
+    out = tick_agg_stream(stream, hourly(), specs)
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="tick_time")
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["_key"], r["tick_time"]): tuple(r[c] for c in cols)
+        for r in sink.read_output(spark).collect()
+    }
+    assert got, "no tick rows emitted"
+    for k, gvals in got.items():
+        assert k in exp, f"unexpected tick {k}"
+        for op, e, g in zip(ops, exp[k], gvals):
+            if e is None:
+                assert g is None or g != g, f"{op} at {k}: want null, got {g}"
+            elif op in ("count", "count_if"):
+                assert g == e, f"{op} at {k}: want {e}, got {g}"
+            else:
+                assert g == pytest.approx(e, rel=1e-9, abs=1e-12), f"{op} at {k}"
+    # empty-window coverage: A's silent 12:00->13:00 hour closes with
+    # count 0 and null-valued aggregates
+    empty = got[("A", pd.Timestamp(2024, 3, 1, 13, 0))]
+    assert empty[ops.index("count")] == 0
+    assert empty[ops.index("sum")] is None or empty[ops.index("sum")] != empty[ops.index("sum")]
