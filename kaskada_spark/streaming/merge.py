@@ -111,6 +111,7 @@ def merge_align_stream(
         ]
         + [T.StructField(f"b_{n}", T.ArrayType(dt)) for n, dt in transport_types.items()]
         + [T.StructField(f"latch_{c}", transport_types[c]) for c in as_of]
+        + [T.StructField("settled_wm", T.LongType())]
     )
     func = _make_merge_fn(lout, rout, list(as_of), int_out)
     return u.groupBy(KEY).applyInPandasWithState(
@@ -124,7 +125,9 @@ def _make_merge_fn(lout: list[str], rout: list[str], as_of: list[str], int_out=f
         ["t", "s", "is_l"]
         + [f"b_{n}" for n in value_names]
         + [f"latch_{c}" for c in as_of]
+        + ["settled_wm"]
     )
+    scalar_names = {f"latch_{c}" for c in as_of} | {"settled_wm"}
 
     def _native(x):
         # pd.isna catches NaN, None AND NaT (timestamp payload columns
@@ -146,19 +149,28 @@ def _make_merge_fn(lout: list[str], rout: list[str], as_of: list[str], int_out=f
         if state.exists:
             raw = dict(zip(state_names, state.get))
             st = {
-                n: (raw[n] if n.startswith("latch_") else ([] if raw[n] is None else list(raw[n])))
+                n: (raw[n] if n in scalar_names else ([] if raw[n] is None else list(raw[n])))
                 for n in state_names
             }
         else:
-            st = {n: [] for n in state_names if not n.startswith("latch_")}
+            st = {n: [] for n in state_names if n not in scalar_names}
             st.update({f"latch_{c}": None for c in as_of})
+            st["settled_wm"] = None
 
+        # bounded-lateness drop: output through settled_wm has already
+        # been emitted (and the as-of latches advanced past it), so a
+        # straggler at-or-behind it — possible at exactly the watermark,
+        # which Spark does NOT drop upstream — is discarded rather than
+        # emitted out of order (the reference's stream_reader.rs:47 rule)
+        hw = st["settled_wm"] if st["settled_wm"] is not None else -(2**63)
         for pdf in pdfs:
             if pdf.empty:
                 continue
             tns = pdf[TIME].astype("int64")
             is_l = pdf[_SIDE].astype(bool)
             for i in pdf.index:
+                if int(tns[i]) <= hw:
+                    continue
                 st["t"].append(int(tns[i]))
                 st["s"].append(int(pdf[SUBSORT][i]))
                 st["is_l"].append(bool(is_l[i]))
@@ -221,6 +233,7 @@ def _make_merge_fn(lout: list[str], rout: list[str], as_of: list[str], int_out=f
             keep = [i for i in range(len(st["t"])) if st["t"][i] > wm_ns]
             for n in ["t", "s", "is_l"] + [f"b_{n}" for n in value_names]:
                 st[n] = [st[n][i] for i in keep]
+            st["settled_wm"] = int(max(hw, int(merged["t"].max())))
 
         state.update(tuple(st[n] for n in state_names))
         if st["t"]:

@@ -60,6 +60,7 @@ def shift_to_stream(
             T.StructField("os", T.ArrayType(T.LongType())),
         ]
         + [T.StructField(f"p_{c}", T.ArrayType(tdf.schema[c].dataType)) for c in payload]
+        + [T.StructField("settled_tgt", T.LongType())]
     )
     func = _make_shift_fn(payload)
     return buffered.groupBy(KEY).applyInPandasWithState(
@@ -109,6 +110,7 @@ def shift_until_stream(
             T.StructField("pred", T.ArrayType(T.BooleanType())),
         ]
         + [T.StructField(f"p_{c}", T.ArrayType(tdf.schema[c].dataType)) for c in payload]
+        + [T.StructField("hw_t", T.LongType()), T.StructField("hw_s", T.LongType())]
     )
     func = _make_shift_until_fn(payload)
     return buffered.groupBy(KEY).applyInPandasWithState(
@@ -117,7 +119,8 @@ def shift_until_stream(
 
 
 def _make_shift_until_fn(payload: list[str]):
-    state_names = ["ot", "os", "pred"] + [f"p_{c}" for c in payload]
+    arr_names = ["ot", "os", "pred"] + [f"p_{c}" for c in payload]
+    state_names = arr_names + ["hw_t", "hw_s"]
 
     def _native(x):
         if x is None or (isinstance(x, float) and pd.isna(x)):
@@ -130,15 +133,28 @@ def _make_shift_until_fn(payload: list[str]):
         k = key[0]
         if state.exists:
             raw = dict(zip(state_names, state.get))
-            st = {n: ([] if raw[n] is None else list(raw[n])) for n in state_names}
+            st = {n: ([] if raw[n] is None else list(raw[n])) for n in arr_names}
+            st["hw_t"], st["hw_s"] = raw["hw_t"], raw["hw_s"]
         else:
-            st = {n: [] for n in state_names}
+            st = {n: [] for n in arr_names}
+            st["hw_t"] = st["hw_s"] = None
 
+        # bounded-lateness drop: rows at-or-behind the last SETTLED
+        # firing (possible at exactly the watermark — Spark doesn't drop
+        # those upstream) would have been emitted with that firing;
+        # discard instead of emitting them out of order
+        hw = (
+            (st["hw_t"], st["hw_s"])
+            if st["hw_t"] is not None
+            else (-(2**63), -(2**63))
+        )
         for pdf in pdfs:
             if pdf.empty:
                 continue
             t_ns = pdf[TIME].astype("int64")
             for i in pdf.index:
+                if (int(t_ns[i]), int(pdf[SUBSORT][i])) <= hw:
+                    continue
                 st["ot"].append(int(t_ns[i]))
                 st["os"].append(int(pdf[SUBSORT][i]))
                 st["pred"].append(bool(pdf[_PRED][i]))
@@ -175,8 +191,10 @@ def _make_shift_until_fn(payload: list[str]):
         if emitted_idx:
             emitted = set(emitted_idx)
             keep = [i for i in range(len(st["ot"])) if i not in emitted]
-            for n in state_names:
+            for n in arr_names:
                 st[n] = [st[n][i] for i in keep]
+        if firings:
+            st["hw_t"], st["hw_s"] = max(hw, firings[-1])
 
         state.update(tuple(st[n] for n in state_names))
         pending_preds = [
@@ -195,7 +213,8 @@ def _make_shift_until_fn(payload: list[str]):
 
 
 def _make_shift_fn(payload: list[str]):
-    state_names = ["tgt", "ot", "os"] + [f"p_{c}" for c in payload]
+    arr_names = ["tgt", "ot", "os"] + [f"p_{c}" for c in payload]
+    state_names = arr_names + ["settled_tgt"]
 
     def _native(x):
         if x is None or (isinstance(x, float) and pd.isna(x)):
@@ -208,16 +227,25 @@ def _make_shift_fn(payload: list[str]):
         k = key[0]
         if state.exists:
             raw = dict(zip(state_names, state.get))
-            st = {n: ([] if raw[n] is None else list(raw[n])) for n in state_names}
+            st = {n: ([] if raw[n] is None else list(raw[n])) for n in arr_names}
+            st["settled_tgt"] = raw["settled_tgt"]
         else:
-            st = {n: [] for n in state_names}
+            st = {n: [] for n in arr_names}
+            st["settled_tgt"] = None
 
+        # bounded-lateness drop: output through settled_tgt is already
+        # emitted; a straggler whose target lands at-or-behind it (rows
+        # at exactly the watermark are NOT dropped by Spark upstream)
+        # would re-time out of order — discard it instead
+        hw = st["settled_tgt"] if st["settled_tgt"] is not None else -(2**63)
         for pdf in pdfs:
             if pdf.empty:
                 continue
             tgt_ns = pdf[_TARGET].astype("int64")
             t_ns = pdf[TIME].astype("int64")
             for i in pdf.index:
+                if int(tgt_ns[i]) <= hw:
+                    continue
                 st["tgt"].append(int(tgt_ns[i]))
                 st["ot"].append(int(t_ns[i]))
                 st["os"].append(int(pdf[SUBSORT][i]))
@@ -244,8 +272,9 @@ def _make_shift_fn(payload: list[str]):
                 for t, _, s_, i in due
             ]
             keep = [i for i in range(len(st["tgt"])) if st["tgt"][i] > wm_ns]
-            for n in state_names:
+            for n in arr_names:
                 st[n] = [st[n][i] for i in keep]
+            st["settled_tgt"] = int(max(hw, due[-1][0]))
             yield pd.DataFrame(rows)
 
         state.update(tuple(st[n] for n in state_names))

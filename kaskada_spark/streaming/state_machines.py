@@ -97,14 +97,19 @@ _TYPED_OPS = ("min", "max", "first", "last")
 
 
 def _value_kind(input_schema: T.StructType, spec: AggSpec) -> str:
-    """'num' (double state), 'str' or 'bool' (typed state, _TYPED_OPS only)."""
-    if spec.op == "count_if":
+    """'num' (double state), or typed state ('str'/'bool'/'ts',
+    _TYPED_OPS only). count/count_if only ever inspect null-ness so they
+    accept ANY input type (batch parity: F.count of a string column
+    counts non-nulls)."""
+    if spec.op in ("count", "count_if"):
         return "num"
     dt = input_schema[spec.col].dataType if spec.col in input_schema.names else T.DoubleType()
     if isinstance(dt, T.StringType):
         kind = "str"
     elif isinstance(dt, T.BooleanType):
         kind = "bool"
+    elif isinstance(dt, T.TimestampType):
+        kind = "ts"
     else:
         return "num"
     if spec.op not in _TYPED_OPS or spec.is_sliding:
@@ -116,7 +121,12 @@ def _value_kind(input_schema: T.StructType, spec: AggSpec) -> str:
 
 
 def _typed_dt(kind: str) -> T.DataType:
-    return {"num": T.DoubleType(), "str": T.StringType(), "bool": T.BooleanType()}[kind]
+    return {
+        "num": T.DoubleType(),
+        "str": T.StringType(),
+        "bool": T.BooleanType(),
+        "ts": T.TimestampType(),
+    }[kind]
 
 
 def _state_schema(specs: list[AggSpec], kinds: dict[str, str]) -> T.StructType:
@@ -240,7 +250,12 @@ def _make_update_fn(specs: list[AggSpec], input_cols: list[str], kinds: dict[str
 
             out = pdf.copy()
             for s in specs:
-                if kinds[s.alias] == "num":
+                if s.op == "count":
+                    # count only needs null-ness — a 1.0/NaN indicator
+                    # works for ANY input type (strings would otherwise
+                    # coerce to NaN and undercount)
+                    vals = pd.Series(1.0, index=pdf.index).where(pdf[s.col].notna())
+                elif kinds[s.alias] == "num":
                     vals = pd.to_numeric(pdf[s.col], errors="coerce")
                 else:
                     vals = pdf[s.col].astype(object).where(pdf[s.col].notna(), None)

@@ -1194,3 +1194,116 @@ def test_stream_ticks_full_agg_set(spark, tmp_path):
     empty = got[("A", pd.Timestamp(2024, 3, 1, 13, 0))]
     assert empty[ops.index("count")] == 0
     assert empty[ops.index("sum")] is None or empty[ops.index("sum")] != empty[ops.index("sum")]
+
+
+def test_stream_typed_timestamp_aggs_equal_batch(spark, events_tl, tmp_path):
+    """first/last/min/max over a TIMESTAMP value column: ns-precision
+    values must traverse state losslessly (TimestampType state fields —
+    a LongType carry would corrupt >2^53 ns through Arrow's nullable-int
+    float64 coercion). Also: count over a STRING column counts non-nulls
+    (batch parity) instead of raising. Mirrors the reference's generic
+    accumulators, evaluators/aggregation/generic/."""
+    base = events_tl.df.withColumn(
+        "ts_val",
+        F.when(F.col("value") > 50, F.col("_time") + F.expr("INTERVAL 7 DAYS")),
+    )
+    specs = [
+        AggSpec("first", "ts_val", "first_ts"),
+        AggSpec("last", "ts_val", "last_ts"),
+        AggSpec("min", "ts_val", "min_ts"),
+        AggSpec("max", "ts_val", "max_ts"),
+        AggSpec("count", "event_type", "cnt_ety"),
+    ]
+    in_dir = _write_time_split(base, ["_time", "_subsort"], str(tmp_path / "in"), 3)
+    sink = _run_stream(
+        spark, in_dir, base.schema, specs, str(tmp_path / "ck"), str(tmp_path / "out")
+    )
+    tl = (
+        Timeline(base)
+        .first("ts_val", alias="first_ts")
+        .last("ts_val", alias="last_ts")
+        .min("ts_val", alias="min_ts")
+        .max("ts_val", alias="max_ts")
+        .count("event_type", alias="cnt_ety")
+    )
+    cols = ("first_ts", "last_ts", "min_ts", "max_ts", "cnt_ety")
+    exp = {r["event_id"]: tuple(r[c] for c in cols) for r in tl.df.collect()}
+    got = {r["event_id"]: tuple(r[c] for c in cols) for r in sink.read_output(spark).collect()}
+    assert len(got) == len(exp)
+    n_nonnull = 0
+    for eid, e in exp.items():
+        assert got[eid] == e, f"at {eid}: {got[eid]} vs {e}"
+        n_nonnull += sum(v is not None for v in e[:4])
+    assert n_nonnull > 0, "fixture produced no non-null timestamp aggregates"
+
+
+def test_stream_watermark_boundary_straggler_dropped(spark, tmp_path):
+    """A row whose event time equals the CURRENT watermark arriving in a
+    LATER micro-batch (Spark only drops input strictly older than the
+    watermark) must be discarded by the stateful buffers — output through
+    the settled watermark has already been emitted, so re-emitting it
+    would be out of order and would miss the as-of latch ffill."""
+    import pandas as pd
+    from kaskada_spark.streaming.merge import merge_align_stream
+
+    t0 = pd.Timestamp(2024, 5, 1, 12, 0)
+    m30 = t0 + pd.Timedelta(minutes=30)
+
+    # left files: f0 seeds entity 1 through :30; f1 (entity 2) triggers a
+    # batch that ADVANCES the combined watermark to :30 and settles
+    # entity 1; f2 is the straggler — entity 1 at EXACTLY :30, arriving
+    # after that timestamp already settled, watermark unchanged
+    l_files = [
+        [(1, t0, 0, 0.0), (1, t0 + pd.Timedelta(minutes=10), 1, 10.0), (1, m30, 2, 30.0)],
+        [(2, m30, 50, 55.0)],
+        [(1, m30, 99, 777.0)],
+    ]
+    r_files = [[(1, t0, 0, 5), (1, m30, 500, 6), (2, m30, 550, 8)]]
+
+    def mk_tl(rows, cols):
+        return Timeline.from_events(
+            spark.createDataFrame(pd.DataFrame(rows, columns=cols)), "time", "k", "seq"
+        )
+
+    l_tl = mk_tl([r for f in l_files for r in f], ["k", "time", "seq", "price"])
+    r_tl = mk_tl([r for f in r_files for r in f], ["k", "time", "seq", "qty"])
+
+    def write_files(d, tl, files):
+        os.makedirs(d)
+        for i, part in enumerate(files):
+            sub = tl.df.filter(F.col("_subsort").isin([r[2] for r in part]))
+            fp = os.path.join(d, f"part-{i:03d}.parquet")
+            sub.coalesce(1).write.mode("overwrite").parquet(fp + ".dir")
+            src = [f for f in os.listdir(fp + ".dir") if f.endswith(".parquet")][0]
+            shutil.move(os.path.join(fp + ".dir", src), fp)
+            shutil.rmtree(fp + ".dir")
+            os.utime(fp, (time.time() + i, time.time() + i))
+        return d
+
+    l_dir = write_files(str(tmp_path / "l"), l_tl, l_files)
+    r_dir = write_files(str(tmp_path / "r"), r_tl, r_files)
+
+    ls = spark.readStream.schema(l_tl.df.schema).option("maxFilesPerTrigger", 1).parquet(l_dir)
+    rs = spark.readStream.schema(r_tl.df.schema).option("maxFilesPerTrigger", 1).parquet(r_dir)
+    out = merge_align_stream(ls, rs, as_of=["qty"])
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="_time")
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        (r["_key"], r["_time"], r["_subsort"], r["price"], r["qty"])
+        for r in sink.read_output(spark).collect()
+    )
+    # the straggler (price 777.0 at :30/seq 99) must NOT appear
+    assert not any(r[3] == 777.0 for r in rows), f"straggler emitted: {rows}"
+    # entity 1's legitimately settled rows all appear: fused :00 row,
+    # :10 row, and both :30 rows (left seq 2, right seq 500)
+    e1 = [r for r in rows if r[0] == 1]
+    assert [(r[1], r[2]) for r in e1] == [
+        (t0, 0), (t0 + pd.Timedelta(minutes=10), 1), (m30, 2), (m30, 500)
+    ], f"entity-1 rows wrong: {e1}"
