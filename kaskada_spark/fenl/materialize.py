@@ -14,10 +14,22 @@ batch path uses and runs JVM-side on the stream before the single fused
 with the aggregate columns attached — identical rows to
 ``compile_fenl`` on the same data.
 
-Not supported here (clear errors): calendar-tick windows (use
-``streaming/ticks.tick_agg_stream`` — ticks need boundary-row emission,
-a different output shape), shift/lookup/with_key (state machines exist
-in ``streaming/``; compose them directly), and nested aggregations.
+Calendar-tick windows (``since(daily())``, ``sliding(2, hourly())``)
+route to ``streaming/ticks.tick_running_agg_stream``: per-entity
+boundary rows are injected live via event-time timers and every field
+— tick-windowed or not — is evaluated on the combined row domain,
+matching the batch tick-flag lowering row for row (boundary rows carry
+null payload, the tick subsort sentinel, and the closing window's
+values). All tick windows in one query must share a single calendar
+unit (one boundary timer per machine); scalar aggregation inputs are
+null on injected boundary rows, so constant-only inputs (e.g.
+``count(1)``) would differ from batch there — aggregate over the
+table's columns, as every realistic query does.
+
+Not supported here (clear errors): shift/lookup/with_key (state
+machines exist in ``streaming/``; compose them directly — see
+``streaming/shift.py``, ``streaming/join.py``) and nested
+aggregations.
 """
 
 from __future__ import annotations
@@ -61,6 +73,8 @@ def materialize_fenl(
     base_df = comp.df
     df = stream
     specs: list[AggSpec] = []
+    tick_aliases: set[str] = set()
+    tick_unit: str | None = None
 
     def scalar_value(sub: A.Node, what: str):
         _reject(sub, what)
@@ -120,17 +134,32 @@ def materialize_fenl(
                     raise FenlCompileError("sliding duration must be an integer literal")
                 n = n_node.value
             if isinstance(cond_node, A.Call) and cond_node.func in TICK_UNITS:
-                raise FenlCompileError(
-                    f"calendar tick windows ({cond_node.func}()) need boundary-row "
-                    "emission — use streaming/ticks.tick_agg_stream for live "
-                    "tick-windowed aggregates"
-                )
-            since = f"__mat_w_{name}"
-            df = df.withColumn(since, scalar_column(cond_node, "window condition"))
+                # calendar-tick window: boundary rows come from the tick
+                # machine's event-time timers, not a condition column
+                if tick_unit is not None and tick_unit != cond_node.func:
+                    raise FenlCompileError(
+                        f"materialize_fenl supports ONE tick unit per query "
+                        f"(one boundary timer per state machine); got both "
+                        f"{tick_unit}() and {cond_node.func}()"
+                    )
+                tick_unit = cond_node.func
+                tick_aliases.add(name)
+            else:
+                since = f"__mat_w_{name}"
+                df = df.withColumn(since, scalar_column(cond_node, "window condition"))
 
         specs.append(AggSpec(sub.func, in_col, name, since=since, n=n))
 
-    out = running_agg_stream(df, specs, watermark=watermark)
+    if tick_unit is not None:
+        from kaskada_spark.streaming.ticks import tick_running_agg_stream
+        from kaskada_spark.windows import Tick
+
+        out = tick_running_agg_stream(
+            df, Tick(tick_unit), specs, tick_aliases=tick_aliases,
+            watermark=watermark or "0 seconds",
+        )
+    else:
+        out = running_agg_stream(df, specs, watermark=watermark)
     drop = [c for c in out.columns if c.startswith("__mat_")]
     return out.drop(*drop)
 

@@ -342,3 +342,202 @@ def _make_tick_fn(specs: list[TickAggSpec], cal: "_Cal"):
             yield pd.DataFrame(emitted)
 
     return update
+
+
+# ----------------------------------------------------------------------
+# running aggregates WITH injected tick rows (the materialize_fenl shape)
+# ----------------------------------------------------------------------
+def tick_running_agg_stream(
+    tdf: DataFrame,
+    tick: Tick,
+    specs: list,
+    tick_aliases=None,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Running since(tick) aggregates emitted per input event PLUS
+    injected per-entity boundary rows — the streaming twin of the batch
+    ``with_ticks + Since(tick)`` Fenl lowering (compiler tick flags),
+    row-identical output: every event row carries the running value of
+    its open window; every boundary row carries the closing window's
+    value with null payload and the tick subsort sentinel.
+
+    ``specs`` are state_machines.AggSpec. Specs whose alias is listed in
+    ``tick_aliases`` are windowed by the tick itself (their since must
+    be unset; a sliding ``n`` means sliding(n, tick) — n most recent
+    tick windows). Other specs behave exactly as in running_agg_stream
+    (unwindowed, or since(cond)/sliding(n, cond) with the condition
+    column evaluated upstream) — boundary rows carry their running
+    value unchanged, null inputs contributing nothing, matching the
+    batch rule that injected tick rows have null payload. Reuses the
+    state-machine accumulator kernels by treating boundary rows as
+    window-condition firings on a combined (events + boundaries) frame,
+    so all 11 ops and the typed (str/bool/ts) state variants work
+    unchanged.
+    """
+    from kaskada_spark.operators.tick import TICK_SUBSORT
+    from kaskada_spark.streaming.state_machines import (
+        _apply_agg,
+        _apply_lag,
+        _apply_sliding,
+        _output_schema,
+        _state_schema,
+        _value_kind,
+    )
+
+    tick_aliases = set(tick_aliases if tick_aliases is not None else
+                       [s.alias for s in specs])
+    for s in specs:
+        if s.alias in tick_aliases and s.since is not None:
+            raise ValueError(
+                f"spec {s.alias!r} is tick-windowed — it must not also "
+                "carry a since condition column"
+            )
+    cal = _Cal(tick.unit)
+    tdf = tdf.withWatermark(TIME, watermark)
+    kinds = {s.alias: _value_kind(tdf.schema, s) for s in specs}
+    out_schema = _output_schema(tdf.schema, specs, kinds)
+    base_state = _state_schema(specs, kinds)  # max_time, max_subsort, comps…
+    state_schema = T.StructType(
+        [T.StructField("next_tick_ns", T.LongType())] + list(base_state.fields)
+    )
+    input_cols = [f.name for f in tdf.schema.fields]
+    payload = [c for c in input_cols if c not in (KEY, TIME, SUBSORT)]
+    comp_names = [f.name for f in base_state.fields][2:]
+    state_names = ["next_tick_ns", "max_time", "max_subsort"] + comp_names
+
+    def update(key, pdfs, state: GroupState):
+        k = key[0]
+        if state.exists:
+            st = dict(zip(state_names, state.get))
+        else:
+            st = {n: None for n in state_names}
+            st["max_time"], st["max_subsort"] = -(2**63), -(2**63)
+
+        batch = [pdf for pdf in pdfs if not pdf.empty]
+        pdf = None
+        if batch:
+            pdf = pd.concat(batch, ignore_index=True)
+            pdf = pdf.sort_values([TIME, SUBSORT], kind="mergesort").reset_index(drop=True)
+            tns = pdf[TIME].astype("int64")
+            keep = (tns > st["max_time"]) | (
+                (tns == st["max_time"]) & (pdf[SUBSORT] > st["max_subsort"])
+            )
+            if st["next_tick_ns"] is not None:
+                # a window that already closed cannot accept stragglers
+                keep &= cal.bucket(tns) >= st["next_tick_ns"]
+            pdf = pdf[keep].reset_index(drop=True)
+            if pdf.empty:
+                pdf = None
+            else:
+                tns = pdf[TIME].astype("int64")
+                st["max_time"] = int(tns.iloc[-1])
+                st["max_subsort"] = int(pdf[SUBSORT].iloc[-1])
+                if st["next_tick_ns"] is None:
+                    st["next_tick_ns"] = cal.first_boundary(int(tns.iloc[0]))
+
+        wm_ns = state.getCurrentWatermarkMs() * 10**6
+        bounds: list[int] = []
+        if st["next_tick_ns"] is not None:
+            horizon = max(st["max_time"], wm_ns)
+            b = st["next_tick_ns"]
+            while b <= horizon:
+                bounds.append(b)
+                b = cal.next_boundary(b)
+            st["next_tick_ns"] = b
+
+        out = None
+        if pdf is not None or bounds:
+            frames = []
+            tick_flags = []
+            if pdf is not None:
+                ev = pdf.copy()
+                for c in payload:
+                    # object dtype keeps int64 payloads exact through the
+                    # null-padded concat (float64 corrupts >2^53)
+                    ev[c] = ev[c].astype(object).where(ev[c].notna(), None)
+                frames.append(ev)
+                tick_flags += [False] * len(ev)
+            if bounds:
+                bd = pd.DataFrame(
+                    {
+                        TIME: [pd.Timestamp(b) for b in bounds],
+                        SUBSORT: TICK_SUBSORT,
+                        KEY: k,
+                        **{c: None for c in payload},
+                    }
+                )
+                frames.append(bd)
+                tick_flags += [True] * len(bd)
+            comb = pd.concat(frames, ignore_index=True)
+            comb["__tick"] = tick_flags
+            comb = comb.sort_values(
+                [TIME, SUBSORT], kind="mergesort"
+            ).reset_index(drop=True)
+            is_tick = comb["__tick"]
+            # the boundary row belongs to the window it CLOSES (same rule
+            # as the since-fire convention: the fire row closes its window)
+            tick_wid = is_tick.cumsum().shift(1, fill_value=0)
+            tick_fired_end = bool(is_tick.iloc[-1])
+            out = comb.drop(columns="__tick")
+            for s in specs:
+                if s.op == "count":
+                    vals = pd.Series(1.0, index=comb.index).where(comb[s.col].notna())
+                elif kinds[s.alias] == "num":
+                    vals = pd.to_numeric(comb[s.col], errors="coerce")
+                else:
+                    vals = comb[s.col].astype(object).where(comb[s.col].notna(), None)
+                if s.op == "count_if":
+                    vals = vals.where(vals == 1.0)
+                if s.op == "lag":
+                    _apply_lag(out, st, s, vals)
+                    continue
+                if s.alias in tick_aliases:
+                    wid, fired_end = tick_wid, tick_fired_end
+                elif s.since is not None:
+                    cond = comb[s.since].fillna(False).astype(bool)
+                    wid = cond.cumsum().shift(1, fill_value=0)
+                    fired_end = bool(cond.iloc[-1])
+                else:
+                    wid = pd.Series(0, index=comb.index)
+                    fired_end = False
+                if s.is_sliding or (s.alias in tick_aliases and s.n is not None):
+                    _apply_sliding(out, st, s, vals, wid, fired_end)
+                else:
+                    _apply_agg(out, st, s, vals, wid, fired_end, kinds[s.alias])
+
+        typed_fields = {
+            f"{s.alias}__{c}"
+            for s in specs
+            if kinds[s.alias] != "num" and not s.is_sliding
+            for c in ("min", "max", "first", "last")
+        }
+
+        def _coerce(n, v):
+            if "__dq_" in n or n.endswith("__deque"):
+                return None if v is None else [
+                    None if pd.isna(x) else float(x) for x in v
+                ]
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                return None
+            if n in typed_fields:
+                return v
+            if n.endswith("__cnt") and isinstance(v, (int, float)) and n in long_cnt:
+                return int(v)
+            return v
+
+        state.update(tuple(_coerce(n, st[n]) for n in state_names))
+        if st["next_tick_ns"] is not None:
+            ts_ms = max(st["next_tick_ns"] // 10**6 - 1, wm_ns // 10**6 + 1)
+            state.setTimeoutTimestamp(ts_ms)
+        if out is not None and len(out):
+            yield out
+
+    # non-sliding cnt state fields are LongType (state_machines schema)
+    long_cnt = {
+        f"{s.alias}__cnt"
+        for s in specs
+        if not s.is_sliding and s.op in ("count", "count_if", "mean", "variance", "stddev")
+    }
+    return tdf.groupBy(KEY).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )

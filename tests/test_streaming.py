@@ -1051,10 +1051,14 @@ def test_materialize_fenl_equals_batch(spark, events_tl, tmp_path):
                 assert g[i] == pytest.approx(e[i], rel=1e-12), f"col {i} at {sid}"
 
     # unsupported surfaces fail fast with pointers
-    with pytest.raises(FenlCompileError, match="tick"):
-        materialize_fenl("count(Input.value, window = since(daily()))", stream)
     with pytest.raises(FenlCompileError, match="shift"):
         materialize_fenl("sum(Input.value | shift_by(seconds(1)))", stream)
+    with pytest.raises(FenlCompileError, match="ONE tick unit"):
+        materialize_fenl(
+            "{ a: sum(Input.value, window = since(daily())),"
+            "  b: sum(Input.value, window = since(hourly())) }",
+            stream,
+        )
 
 
 def test_stream_resume_asof_lookup(spark, tmp_path):
@@ -1307,3 +1311,81 @@ def test_stream_watermark_boundary_straggler_dropped(spark, tmp_path):
     assert [(r[1], r[2]) for r in e1] == [
         (t0, 0), (t0 + pd.Timedelta(minutes=10), 1), (m30, 2), (m30, 500)
     ], f"entity-1 rows wrong: {e1}"
+
+
+def test_materialize_fenl_tick_windows_equal_batch(spark, tmp_path):
+    """materialize_fenl with calendar-tick windows (the reference's
+    `materialize` mode running a tick-windowed query,
+    sparrow-main/src/materialize.rs:16-64): boundary rows are injected
+    live by the tick machine's event-time timers, and every field —
+    tick-windowed, sliding-over-ticks, and unwindowed alike — matches
+    the batch compile_fenl tick-flag lowering row for row."""
+    import pandas as pd
+    from kaskada_spark.fenl import fenl
+    from kaskada_spark.fenl.materialize import materialize_fenl
+
+    rows = []
+    # entity A: multiple events/day with a silent day; entity B sparse
+    for i, (d, h, v) in enumerate([
+        (1, 9, 1.0), (1, 15, 4.0), (2, 10, 2.0), (2, 11, 6.0),
+        (4, 8, 3.0), (4, 20, 5.0),
+    ]):
+        rows.append(("A", pd.Timestamp(2024, 3, d, h), i, v))
+    rows.append(("B", pd.Timestamp(2024, 3, 1, 12), 100, 10.0))
+    rows.append(("B", pd.Timestamp(2024, 3, 4, 12), 101, 20.0))
+    pdf = pd.DataFrame(rows, columns=["key", "time", "seq", "v"])
+    tl = Timeline.from_events(spark.createDataFrame(pdf), "time", "key", "seq")
+
+    q = """
+    {
+      n: count(Input.v, window = since(daily())),
+      tot: sum(Input.v, window = since(daily())),
+      mx: max(Input.v),
+      sl: sum(Input.v, window = sliding(2, daily()))
+    }
+    """
+    batch = fenl(q, {"Input": tl})
+    cols = ("n", "tot", "mx", "sl")
+    exp = {
+        (r["_key"], r["_time"], r["_subsort"]): tuple(r[c] for c in cols)
+        for r in batch.collect()
+    }
+
+    in_dir = _write_time_split(tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 4)
+    stream = (
+        spark.readStream.schema(tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = materialize_fenl(q, stream, watermark="0 seconds")
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="_time")
+    sq = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    got = {
+        (r["_key"], r["_time"], r["_subsort"]): tuple(r[c] for c in cols)
+        for r in sink.read_output(spark).collect()
+    }
+    assert got, "no rows emitted"
+    for k, g in got.items():
+        assert k in exp, f"unexpected row {k}"
+        e = exp[k]
+        assert g[0] == e[0], f"count at {k}: want {e[0]}, got {g[0]}"
+        for i in (1, 2, 3):
+            if e[i] is None:
+                assert g[i] is None or g[i] != g[i], f"col {cols[i]} at {k}"
+            else:
+                assert g[i] == pytest.approx(e[i], rel=1e-12), f"col {cols[i]} at {k}"
+    # every event row appears, and tick boundary coverage reaches the
+    # second-to-last day's boundary (the final watermark fence)
+    ev_missing = {k for k in exp if k[2] < 1 << 62 and k not in got}
+    assert not ev_missing, f"missing event rows: {sorted(ev_missing)[:4]}"
+    fence = pd.Timestamp(2024, 3, 4)
+    tick_fenced = {k for k in exp if k[2] >= 1 << 62 and k[1] <= fence}
+    missing_ticks = tick_fenced - set(got)
+    assert not missing_ticks, f"missing tick rows: {sorted(missing_ticks)[:6]}"
