@@ -26,10 +26,13 @@ null on injected boundary rows, so constant-only inputs (e.g.
 ``count(1)``) would differ from batch there — aggregate over the
 table's columns, as every realistic query does.
 
-Not supported here (clear errors): shift/lookup/with_key (state
-machines exist in ``streaming/``; compose them directly — see
-``streaming/shift.py``, ``streaming/join.py``) and nested
-aggregations.
+Queries that CHAIN stateful operators — ``<agg> | shift_by(...)``,
+``lookup(key, <foreign agg>)`` — cannot run as one Spark query (one
+applyInPandasWithState per streaming query, hard AnalysisException);
+``materialize_fenl_pipeline`` runs them as a STAGED pipeline of
+streaming queries chained through exactly-once sinks (see the section
+comment below). Still unsupported in any streaming form (clear
+errors): with_key re-keying mid-query and nested aggregations.
 """
 
 from __future__ import annotations
@@ -63,7 +66,15 @@ def materialize_fenl(
     (_time, _subsort, _key, payload…). Returns one output row per
     (non-late) input event with one column per record field.
     """
-    node = parse(source)
+    return _single_stage(parse(source), stream, table_name, watermark)
+
+
+def _single_stage(
+    node: A.Node,
+    stream: DataFrame,
+    table_name: str = "Input",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
     if isinstance(node, A.Record):
         fields = list(node.fields)
     else:
@@ -185,3 +196,292 @@ def _reject(node: A.Node, what: str) -> None:
             walk(c)
 
     walk(node)
+
+
+# ----------------------------------------------------------------------
+# staged pipelines: shift / lookup over materialized sub-queries
+# ----------------------------------------------------------------------
+# Spark allows ONE applyInPandasWithState per streaming query (verified:
+# AnalysisException "Multiple applyInPandasWithStates are not
+# supported"), so a Fenl query that chains stateful operators — an
+# aggregation re-timed by shift, or a lookup whose foreign value is
+# itself an aggregation — cannot run as one query. The Spark-native
+# rendering is a STAGED pipeline: each stateful stage is its own
+# streaming query, chained through exactly-once parquet sinks read back
+# as file-stream sources (the checkpointed medallion pattern — each hop
+# is independently resumable from its own checkpoint, carries lineage,
+# and replays idempotently). The reference's materialize runs the same
+# queries in one fused native dataflow (sparrow-main/src/materialize.rs:
+# 16-64); the staged form is the honest Spark equivalent at cluster
+# scale, where each stage also gets its own shuffle/skew tuning.
+
+import os as _os
+
+from kaskada_spark.prepare import KEY, SUBSORT, TIME
+from kaskada_spark.sinks.exactly_once import ExactlyOnceSink
+
+_SHIFT_OPS = ("shift_by", "shift_to", "shift_until")
+
+
+def _two_args(node: A.Call, names: tuple[str, str]):
+    args = list(node.args)
+    kw = dict(node.kwargs)
+    a = args[0] if len(args) > 0 else kw.get(names[0])
+    b = args[1] if len(args) > 1 else kw.get(names[1])
+    if a is None or b is None:
+        raise FenlCompileError(f"{node.func}() needs ({names[0]}, {names[1]})")
+    return a, b
+
+
+def _is_stateless(node: A.Node) -> bool:
+    """True when the sub-query is pure per-row scalar work."""
+    from kaskada_spark.fenl.compiler import _child_nodes
+
+    if isinstance(node, A.Call) and (
+        node.func in _AGGREGATIONS or node.func in _ROW_OPS or node.func == "lag"
+    ):
+        return False
+    return all(_is_stateless(c) for c in _child_nodes(node))
+
+
+def _referenced_streams(node: A.Node, names) -> list[str]:
+    from kaskada_spark.fenl.compiler import _child_nodes
+
+    found: list[str] = []
+
+    def walk(n):
+        if isinstance(n, A.Ref) and n.name in names and n.name not in found:
+            found.append(n.name)
+        for c in _child_nodes(n):
+            walk(c)
+
+    walk(node)
+    return found
+
+
+def _scalar_frame(node: A.Node, stream: DataFrame, tname: str):
+    """Attach the value's scalar columns to the stream; returns
+    (df, field_names). Record values become one column per field,
+    scalars a single ``result`` column."""
+    comp = Compiler({tname: Timeline(stream)}, tname)
+    base = comp.df
+    v = comp.compile(node)
+    if comp.df is not base:
+        raise FenlCompileError("stateless sub-query compiled stateful work")
+    df = stream
+    if v.fields is not None:
+        names = list(v.fields)
+        for n in names:
+            df = df.withColumn(n, _masked(v.fields[n].col, v.mask))
+    else:
+        names = ["result"]
+        df = df.withColumn("result", _masked(v.col, v.mask))
+    return df, names
+
+
+class MaterializePipeline:
+    """A chain of streaming queries materializing one Fenl pipeline.
+
+    ``run_available_now()`` drains the stages in order (each with its
+    own checkpoint + exactly-once sink) and returns the final output as
+    a batch DataFrame. ``start()`` launches every stage concurrently
+    for live operation — downstream file sources tail the upstream
+    sink directories — and returns the StreamingQuery handles.
+    """
+
+    def __init__(self, spark, work_dir: str):
+        self.spark = spark
+        self.work_dir = work_dir
+        self._stages: list[tuple[str, object, ExactlyOnceSink]] = []
+
+    def stage_dir(self, name: str) -> str:
+        return _os.path.join(self.work_dir, name, "out")
+
+    def add_stage(self, name: str, build) -> ExactlyOnceSink:
+        sink = ExactlyOnceSink(self.stage_dir(name), time_col=TIME)
+        self._stages.append((name, build, sink))
+        return sink
+
+    def _start_stage(self, name, build, sink, available_now: bool):
+        df = build(self.spark)
+        w = (
+            df.writeStream.outputMode("append")
+            .option(
+                "checkpointLocation", _os.path.join(self.work_dir, name, "ckpt")
+            )
+            .foreachBatch(sink)
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    def run_available_now(self) -> DataFrame:
+        sink = None
+        for name, build, sink in self._stages:
+            q = self._start_stage(name, build, sink, available_now=True)
+            q.awaitTermination()
+        return sink.read_output(self.spark)
+
+    def start(self) -> list:
+        return [
+            self._start_stage(name, build, sink, available_now=False)
+            for name, build, sink in self._stages
+        ]
+
+    @property
+    def final_sink(self) -> ExactlyOnceSink:
+        return self._stages[-1][2]
+
+
+def _staged_source(pipe: MaterializePipeline, stage: str, schema):
+    """File-stream source over an upstream stage's exactly-once sink
+    (its ``_lineage`` subdir is underscore-hidden from the listing)."""
+    return (
+        pipe.spark.readStream.schema(schema)
+        .parquet(pipe.stage_dir(stage) + "/batch_id=*")
+    )
+
+
+def materialize_fenl_pipeline(
+    source: str,
+    streams: dict[str, DataFrame] | DataFrame,
+    work_dir: str,
+    table_name: str = "Input",
+    watermark: str = "0 seconds",
+) -> MaterializePipeline:
+    """Materialize a Fenl query that may chain stateful operators.
+
+    Supported shapes beyond the single-stage surface:
+
+    - ``<value> | shift_by(delta)`` / ``shift_to(time)`` /
+      ``shift_until(pred)`` — the inner value (scalar OR aggregation
+      record, including tick windows) materializes first, then the
+      shift machine re-times its output. The shift operand compiles
+      over the inner stage's output columns (which keep the source
+      payload, so ``Input.col`` references still resolve).
+    - ``lookup(key, <foreign value>)`` — the foreign value (a column or
+      an aggregation over the foreign table) materializes on the
+      foreign stream, then the as-of lookup join answers each primary
+      row with the foreign entity's value as of its instant.
+
+    ``streams`` maps table names to streaming frames in the universal
+    shape (a bare frame is taken as ``table_name``). Returns a
+    MaterializePipeline — call ``run_available_now()`` to drain or
+    ``start()`` for live concurrent stages.
+    """
+    from kaskada_spark.streaming.join import asof_lookup_stream
+    from kaskada_spark.streaming.shift import (
+        shift_by_stream,
+        shift_to_stream,
+        shift_until_stream,
+    )
+
+    node = parse(source)
+    # desugar a top-level pipe into the call form: `X | f(a)` == f(a, X)
+    # (the compiler's input-stack rule — the lhs fills the trailing slot)
+    if (
+        isinstance(node, A.Pipe)
+        and isinstance(node.rhs, A.Call)
+        and node.rhs.func in _SHIFT_OPS + ("lookup",)
+        and len(node.rhs.args) + len(node.rhs.kwargs) == 1
+    ):
+        node = A.Call(node.rhs.func, tuple(node.rhs.args) + (node.lhs,),
+                      node.rhs.kwargs)
+    if isinstance(streams, DataFrame):
+        streams = {table_name: streams}
+    primary = streams[table_name]
+    pipe = MaterializePipeline(primary.sparkSession, work_dir)
+
+    if isinstance(node, A.Call) and node.func in _SHIFT_OPS:
+        op_names = {
+            "shift_by": ("delta", "value"),
+            "shift_to": ("time", "value"),
+            "shift_until": ("predicate", "value"),
+        }[node.func]
+        operand_node, value_node = _two_args(node, op_names)
+
+        if _is_stateless(value_node):
+            def build_shift(spark, _value_node=value_node):
+                df, _ = _scalar_frame(_value_node, primary, table_name)
+                return _apply_shift(df)
+            pipe.add_stage("shift", build_shift)
+        else:
+            def build_inner(spark, _value_node=value_node):
+                return _single_stage(_value_node, primary, table_name, watermark)
+            inner_schema = build_inner(pipe.spark).schema
+            pipe.add_stage("inner", build_inner)
+
+            def build_shift(spark):
+                src = _staged_source(pipe, "inner", inner_schema)
+                return _apply_shift(src)
+            pipe.add_stage("shift", build_shift)
+
+        def _apply_shift(df):
+            comp = Compiler({table_name: Timeline(df)}, table_name)
+            base = comp.df
+            ov = comp.compile(operand_node)
+            if comp.df is not base:
+                raise FenlCompileError(
+                    f"{node.func}() operand must be stateless over the "
+                    "shifted stage's columns"
+                )
+            oc = _masked(ov.col, ov.mask)
+            if node.func == "shift_by":
+                return shift_by_stream(df, oc, watermark=watermark)
+            if node.func == "shift_to":
+                return shift_to_stream(df, oc, watermark=watermark)
+            return shift_until_stream(df, oc, watermark=watermark)
+
+        return pipe
+
+    if isinstance(node, A.Call) and node.func == "lookup":
+        key_node, value_node = _two_args(node, ("key", "value"))
+        foreign_names = _referenced_streams(value_node, set(streams))
+        if len(foreign_names) != 1:
+            raise FenlCompileError(
+                "lookup() value must reference exactly one streamed table; "
+                f"got {foreign_names!r}"
+            )
+        fname = foreign_names[0]
+        foreign = streams[fname]
+
+        # requesting key column on the primary stream
+        kcomp = Compiler({table_name: Timeline(primary)}, table_name)
+        kbase = kcomp.df
+        kv = kcomp.compile(key_node)
+        if kcomp.df is not kbase:
+            raise FenlCompileError("lookup() key must be stateless over the primary")
+        key_col = _masked(kv.col, kv.mask)
+
+        if _is_stateless(value_node):
+            def build_lookup(spark, _value_node=value_node):
+                fdf, names = _scalar_frame(_value_node, foreign, fname)
+                return asof_lookup_stream(
+                    primary, fdf, key_col, names, watermark=watermark
+                )
+            pipe.add_stage("lookup", build_lookup)
+        else:
+            def build_foreign(spark, _value_node=value_node):
+                return _single_stage(_value_node, foreign, fname, watermark)
+            fschema = build_foreign(pipe.spark).schema
+
+            if isinstance(value_node, A.Record):
+                names = [n for n, _ in value_node.fields]
+            else:
+                names = ["result"]
+            pipe.add_stage("foreign", build_foreign)
+
+            def build_lookup(spark):
+                src = _staged_source(pipe, "foreign", fschema)
+                return asof_lookup_stream(
+                    primary, src, key_col, names, watermark=watermark
+                )
+            pipe.add_stage("lookup", build_lookup)
+        return pipe
+
+    # plain single-stage surface
+    def build_single(spark):
+        return _single_stage(node, primary, table_name, watermark)
+
+    pipe.add_stage("agg", build_single)
+    return pipe

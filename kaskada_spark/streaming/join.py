@@ -115,6 +115,7 @@ def asof_lookup_stream(
         ]
         + [T.StructField(f"s_{v}", foreign.schema[v].dataType) for v in values]
         + [T.StructField(f"b_{v}", T.ArrayType(foreign.schema[v].dataType)) for v in values]
+        + [T.StructField("settled_wm", T.LongType())]
     )
     func = _make_lookup_fn(list(values), integral_key)
     return u.groupBy(KEY).applyInPandasWithState(
@@ -127,6 +128,7 @@ def _make_lookup_fn(values: list[str], integral_key: bool = False):
         ["have", "req_t", "req_s", "req_k", "for_t", "for_s"]
         + [f"s_{v}" for v in values]
         + [f"b_{v}" for v in values]
+        + ["settled_wm"]
     )
     def _native(x):
         if x is None or (isinstance(x, float) and pd.isna(x)):
@@ -149,7 +151,13 @@ def _make_lookup_fn(values: list[str], integral_key: bool = False):
             st = {"have": False, "req_t": [], "req_s": [], "req_k": [], "for_t": [], "for_s": []}
             st.update({f"s_{v}": None for v in values})
             st.update({f"b_{v}": [] for v in values})
+            st["settled_wm"] = None
 
+        # bounded-lateness drop: the snapshot and emitted requests have
+        # advanced through settled_wm; a straggler at-or-behind it
+        # (possible at exactly the watermark, which Spark does NOT drop
+        # upstream) would apply/emit out of order — discard it
+        hw = st["settled_wm"] if st["settled_wm"] is not None else -(2**63)
         # 1. absorb incoming rows into the buffers
         for pdf in pdfs:
             if pdf.empty:
@@ -157,6 +165,8 @@ def _make_lookup_fn(values: list[str], integral_key: bool = False):
             tns = pdf[TIME].astype("int64")
             is_req = pdf[_IS_REQ].astype(bool)
             for i in pdf.index:
+                if int(tns[i]) <= hw:
+                    continue
                 if is_req[i]:
                     st["req_t"].append(int(tns[i]))
                     st["req_s"].append(int(pdf[SUBSORT][i]))
@@ -201,6 +211,8 @@ def _make_lookup_fn(values: list[str], integral_key: bool = False):
                     }
                 )
 
+        if merged:
+            st["settled_wm"] = int(max(hw, merged[-1][0]))
         # 3. retain only unsettled rows
         keep_f = [i for i in range(len(st["for_t"])) if st["for_t"][i] > wm_ns]
         keep_r = [i for i in range(len(st["req_t"])) if st["req_t"][i] > wm_ns]

@@ -1389,3 +1389,113 @@ def test_materialize_fenl_tick_windows_equal_batch(spark, tmp_path):
     tick_fenced = {k for k in exp if k[2] >= 1 << 62 and k[1] <= fence}
     missing_ticks = tick_fenced - set(got)
     assert not missing_ticks, f"missing tick rows: {sorted(missing_ticks)[:6]}"
+
+
+def test_materialize_pipeline_shift_equals_batch(spark, tmp_path):
+    """materialize_fenl_pipeline: an aggregation re-timed by shift_by
+    runs as TWO chained streaming queries (Spark allows one
+    applyInPandasWithState per query) linked through an exactly-once
+    sink + file-stream source, and matches the batch compile of
+    `sum(Input.v) | shift_by(...)` on every settled row."""
+    import pandas as pd
+    from kaskada_spark.fenl import fenl
+    from kaskada_spark.fenl.materialize import materialize_fenl_pipeline
+
+    rows = []
+    for ent in ("A", "B"):
+        for j, m in enumerate(range(0, 100, 10)):
+            rows.append((ent, pd.Timestamp(2024, 5, 1, 12, m % 60) + pd.Timedelta(hours=m // 60), j, float(j + (ent == "B") * 100)))
+    pdf = pd.DataFrame(rows, columns=["key", "time", "seq", "v"])
+    tl = Timeline.from_events(spark.createDataFrame(pdf), "time", "key", "seq")
+
+    q = "sum(Input.v) | shift_by(seconds(600))"
+    batch = fenl(q, {"Input": tl})
+    exp = {
+        (r["_key"], r["_time"], r["_subsort"]): r["result"] for r in batch.collect()
+    }
+
+    in_dir = _write_time_split(tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 4)
+    stream = (
+        spark.readStream.schema(tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    pipe = materialize_fenl_pipeline(q, stream, str(tmp_path / "work"))
+    out = pipe.run_available_now()
+    got = {
+        (r["_key"], r["_time"], r["_subsort"]): r["result"]
+        for r in out.select("_key", "_time", "_subsort", "result").collect()
+    }
+    assert got, "no rows emitted"
+    for k, g in got.items():
+        assert k in exp, f"unexpected row {k}"
+        assert g == pytest.approx(exp[k], rel=1e-12), f"at {k}"
+    # fence: every batch row whose shifted time is at-or-before the
+    # global max EVENT time has settled
+    gmax = tl.df.agg(F.max("_time")).collect()[0][0]
+    missing = {k for k in exp if k[1] <= gmax and k not in got}
+    assert not missing, f"missing settled rows: {sorted(missing)[:4]}"
+    # the intermediate stage carries lineage (per-partition metrics)
+    lineage = pipe._stages[0][2].read_lineage(spark)
+    assert lineage.count() > 0
+
+
+def test_materialize_pipeline_lookup_agg_equals_batch(spark, tmp_path):
+    """materialize_fenl_pipeline: lookup whose foreign value is itself
+    an aggregation — the foreign aggregation materializes first (own
+    checkpoint + exactly-once sink), then the as-of lookup join answers
+    each primary row; output matches batch compile_fenl."""
+    import pandas as pd
+    from kaskada_spark.fenl import fenl
+    from kaskada_spark.fenl.materialize import materialize_fenl_pipeline
+
+    t0 = pd.Timestamp(2024, 5, 1, 12, 0)
+    # sales per store (foreign); visits per user carrying a store fk
+    s_rows, v_rows = [], []
+    for st_i, store in enumerate(("s1", "s2")):
+        for j, m in enumerate(range(0, 70, 10)):
+            s_rows.append((store, t0 + pd.Timedelta(minutes=m), j, float(10 * st_i + j)))
+    for u_i, user in enumerate(("u1", "u2", "u3")):
+        for j, m in enumerate(range(5, 65, 15)):
+            v_rows.append((user, t0 + pd.Timedelta(minutes=m), 100 + j,
+                           "s1" if (u_i + j) % 2 == 0 else "s2"))
+    sales = Timeline.from_events(
+        spark.createDataFrame(pd.DataFrame(s_rows, columns=["store", "time", "seq", "amount"])),
+        "time", "store", "seq")
+    visits = Timeline.from_events(
+        spark.createDataFrame(pd.DataFrame(v_rows, columns=["user", "time", "seq", "store_fk"])),
+        "time", "user", "seq")
+
+    q = "lookup(Input.store_fk, sum(Sales.amount))"
+    batch = fenl(q, {"Input": visits, "Sales": sales})
+    exp = {
+        (r["_key"], r["_time"], r["_subsort"]): r["result"] for r in batch.collect()
+    }
+
+    v_dir = _write_time_split(visits.df, ["_time", "_subsort"], str(tmp_path / "v"), 3)
+    s_dir = _write_time_split(sales.df, ["_time", "_subsort"], str(tmp_path / "s"), 3)
+    vs = spark.readStream.schema(visits.df.schema).option("maxFilesPerTrigger", 1).parquet(v_dir)
+    ss = spark.readStream.schema(sales.df.schema).option("maxFilesPerTrigger", 1).parquet(s_dir)
+    pipe = materialize_fenl_pipeline(
+        q, {"Input": vs, "Sales": ss}, str(tmp_path / "work")
+    )
+    out = pipe.run_available_now()
+    got = {
+        (r["_key"], r["_time"], r["_subsort"]): r["result"]
+        for r in out.select("_key", "_time", "_subsort", "result").collect()
+    }
+    assert got, "no rows emitted"
+    for k, g in got.items():
+        assert k in exp, f"unexpected row {k}"
+        e = exp[k]
+        if e is None:
+            assert g is None or g != g, f"at {k}"
+        else:
+            assert g == pytest.approx(e, rel=1e-12), f"at {k}: want {e}, got {g}"
+    # fence: requests settle up to min(max primary t, max foreign t)
+    fence = min(
+        visits.df.agg(F.max("_time")).collect()[0][0],
+        sales.df.agg(F.max("_time")).collect()[0][0],
+    )
+    missing = {k for k in exp if k[1] <= fence and k not in got}
+    assert not missing, f"missing settled rows: {sorted(missing)[:4]}"
