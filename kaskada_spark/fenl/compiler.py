@@ -87,8 +87,44 @@ _AGGREGATIONS = (
 )
 
 
+#: reference diagnostic catalog (sparrow-compiler/src/diagnostics/
+#: code.rs:43-56) — errors carry the same E-codes and headline text so a
+#: reference user sees familiar diagnostics
+_DIAG = {
+    "E0001": "Illegal field reference",
+    "E0002": "Illegal cast",
+    "E0006": "Unbound reference",
+    "E0007": "Undefined function",
+    "E0008": "Invalid arguments",
+    "E0009": "Duplicate field names in record expression",
+    "E0010": "Invalid argument type(s)",
+    "E0011": "Invalid syntax",
+}
+
+
 class FenlCompileError(ValueError):
-    pass
+    def __init__(self, message: str, code: str | None = None):
+        self.code = code
+        if code is not None:
+            message = f"error[{code}]: {_DIAG[code]} — {message}"
+        super().__init__(message)
+
+
+def _nearest(name, candidates, label: str = "matches") -> str:
+    """Reference-style did-you-mean suffix (basic_error_tests.rs shows
+    'Nearest fields:'/'Nearest matches:' lists on E0001/E0007)."""
+    import difflib
+
+    cands = sorted({str(c) for c in candidates if not str(c).startswith(("_", "$"))})
+    if len(cands) <= 8:
+        # small namespaces (record fields, table names): list them all,
+        # like the reference's "Nearest fields: 'time', 'key', 'n', ..."
+        close = cands
+    else:
+        close = difflib.get_close_matches(str(name), cands, n=5, cutoff=0.3) or cands[:5]
+    if not close:
+        return ""
+    return f". Nearest {label}: " + ", ".join(f"'{c}'" for c in close)
 
 
 @dataclass
@@ -333,7 +369,12 @@ class Compiler:
             val = self.compile(self.formulas[name])
             self.scope[name] = val  # hash-consing: formulas compile once
             return val
-        raise FenlCompileError(f"unknown name {name!r}")
+        known = set(self.tables) | set(self.formulas) | set(self.scope)
+        raise FenlCompileError(
+            f"no variable or table named {name!r}"
+            f"{_nearest(name, known, 'names')}",
+            code="E0006",
+        )
 
     def _c_fieldref(self, node: A.FieldRef) -> CVal:
         base = self.compile(node.base)
@@ -344,7 +385,11 @@ class Compiler:
             return CVal(S.json_field(base.col, node.field), base.mask)
         if base.fields is not None:
             if node.field not in base.fields:
-                raise FenlCompileError(f"no field {node.field!r}")
+                raise FenlCompileError(
+                    f"no field named {node.field!r}"
+                    f"{_nearest(node.field, base.fields, 'fields')}",
+                    code="E0001",
+                )
             v = base.fields[node.field]
             mask = _or_masks(base) if base.discrete else None
             return replace(v, mask=mask if mask is not None else v.mask)
@@ -362,6 +407,10 @@ class Compiler:
     def _c_record(self, node: A.Record) -> CVal:
         fields: dict[str, CVal] = {}
         for name, sub in node.fields:
+            if name in fields:
+                raise FenlCompileError(
+                    f"field {name!r} defined multiple times", code="E0009"
+                )
             v = self.compile(sub)
             if not isinstance(v, CVal):
                 raise FenlCompileError(f"record field {name!r} is not a value")
@@ -404,7 +453,11 @@ class Compiler:
     def _c_cast(self, node: A.Cast) -> CVal:
         v = self.compile(node.value)
         if node.to not in _FENL_TYPES:
-            raise FenlCompileError(f"unknown Fenl type {node.to!r}")
+            raise FenlCompileError(
+                f"unable to cast to type {node.to!r}"
+                f"{_nearest(node.to, _FENL_TYPES, 'types')}",
+                code="E0002",
+            )
         # Fenl casts yield null on unparseable/overflowing input
         # (cast_tests.rs: '"hello" as i64' -> null); Spark 4's ANSI cast
         # would raise, so lower to try_cast
@@ -425,7 +478,15 @@ class Compiler:
             self._chk(*vals)
             cols = [v.col for v in vals]
             return self._v(fn(*cols), _or_masks(*vals))
-        raise FenlCompileError(f"unknown function {name!r}")
+        fns = (
+            set(_SCALARS)
+            | set(_AGGREGATIONS)
+            | {m[4:] for m in dir(self) if m.startswith("_fn_")}
+        )
+        raise FenlCompileError(
+            f"no function named {name!r}{_nearest(name, fns)}",
+            code="E0007",
+        )
 
     def _positional(self, node: A.Call, n: int, names: tuple[str, ...] = ()) -> list[A.Node]:
         """Resolve positional+keyword args to n slots; missing slots fill
@@ -449,6 +510,17 @@ class Compiler:
         kw = dict(node.kwargs)
         input_node = args[0] if args else kw.pop("input", A.Ref("$input"))
         window_node = args[1] if len(args) > 1 else kw.pop("window", None)
+        if kw:
+            raise FenlCompileError(
+                f"{op}() got unexpected argument(s) {sorted(kw)} "
+                "(accepts: input, window)",
+                code="E0008",
+            )
+        if len(args) > 2:
+            raise FenlCompileError(
+                f"{op}() takes at most 2 arguments (input, window); got {len(args)}",
+                code="E0008",
+            )
         v = self.compile(input_node)
         if not isinstance(v, CVal):
             raise FenlCompileError(f"{op}() input is not a value")
@@ -661,7 +733,9 @@ class Compiler:
         old = self.compile(old_node)
         for v, what in ((new, "new"), (old, "old")):
             if v.fields is None:
-                raise FenlCompileError(f"extend {what} argument must be a record")
+                raise FenlCompileError(
+                    f"{what} argument to extend must be record", code="E0010"
+                )
         self._chk(new, old)
         fields = dict(old.fields)
         fields.update(new.fields)  # new wins on collision (extend.toml)

@@ -42,10 +42,17 @@ class Tok:
 
 
 class FenlSyntaxError(ValueError):
+    """Reference diagnostic E0011 "Invalid syntax" with the --> line:col
+    location (sparrow-compiler/src/diagnostics/code.rs:53)."""
+
+    code = "E0011"
+
     def __init__(self, msg: str, source: str, pos: int):
         line = source.count("\n", 0, pos) + 1
         col = pos - (source.rfind("\n", 0, pos) + 1) + 1
-        super().__init__(f"{msg} at line {line}:{col}")
+        super().__init__(
+            f"error[E0011]: Invalid syntax — {msg} --> Query:{line}:{col}"
+        )
         self.pos = pos
 
 

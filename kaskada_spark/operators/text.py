@@ -45,15 +45,34 @@ def stopword_hits(text: Column, lang: str) -> Column:
 def detect_language(text: Column) -> Column:
     """argmax over per-language stopword hit counts; 'und' (undetermined)
     when no stopwords match at all. Deterministic tie-break by language
-    order en > de > fr > es (strict > comparison keeps the earlier)."""
-    best_lang = F.lit("und")
-    best_hits = F.lit(0)
-    for lang in STOPWORDS:
-        hits = stopword_hits(text, lang)
-        better = hits > best_hits
-        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(better, hits).otherwise(best_hits)
-    return best_lang
+    order en > de > fr > es (strict > comparison keeps the earlier).
+
+    Single-pass form: ONE fold over ONE words() array builds all four
+    hit counts, then a second fold takes the argmax — words(text) (the
+    expensive regexp extraction) appears exactly once in the expression
+    tree, instead of once per language and hoping Catalyst subexpression
+    elimination rescues the duplicates."""
+    langs = list(STOPWORDS)
+    vocabs = [F.array(*[F.lit(s) for s in STOPWORDS[l]]) for l in langs]
+    counts = F.aggregate(
+        words(text),
+        F.array(*[F.lit(0)] * len(langs)),
+        lambda acc, w: F.array(*[
+            acc[i] + F.when(F.array_contains(vocabs[i], w), 1).otherwise(0)
+            for i in range(len(langs))
+        ]),
+    )
+    entries = F.zip_with(
+        counts,
+        F.array(*[F.lit(l) for l in langs]),
+        lambda c, l: F.struct(c.alias("c"), l.alias("l")),
+    )
+    winner = F.aggregate(
+        entries,
+        F.struct(F.lit(0).alias("c"), F.lit("und").alias("l")),
+        lambda acc, e: F.when(e["c"] > acc["c"], e).otherwise(acc),
+    )
+    return winner["l"]
 
 
 def word_count(text: Column) -> Column:

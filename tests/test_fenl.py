@@ -1261,3 +1261,85 @@ def test_e2e_substring_golden(spark):
     assert got[3] == ("", "", "", "")
     assert got[4] == ("", "", "", "")
     assert got[5] == ("go", "oodbye", "goodbye", "goodbye")
+
+
+# ----------------------------------------------------------------------
+# diagnostics parity (reference basic_error_tests.rs + diagnostics/
+# code.rs E-code catalog) — bad queries fail with reference-quality
+# messages: E-code, headline, and nearest-match hints
+# ----------------------------------------------------------------------
+def _err(spark, q, **tables):
+    from kaskada_spark.fenl.compiler import FenlCompileError
+
+    tl = _tl(
+        spark,
+        """time,key,n,m
+1996-12-19T16:00:57,Ben,2,4
+""",
+    )
+    with pytest.raises(FenlCompileError) as ei:
+        fenl(q, tables or tl)
+    return str(ei.value)
+
+
+def test_diag_illegal_field_reference(spark):
+    # basic_error_tests.rs test_undefined_column: E0001 with the
+    # "Nearest fields" hint listing the table's real columns
+    msg = _err(spark, "{ undefined: Input.undefined as i64 }")
+    assert "error[E0001]: Illegal field reference" in msg
+    assert "no field named 'undefined'" in msg
+    assert "Nearest fields:" in msg and "'n'" in msg and "'m'" in msg
+
+
+def test_diag_illegal_cast(spark):
+    # test_illegal_cast_to_generic: 'as number' is not a concrete type
+    msg = _err(spark, "{ m: Input.m as number }")
+    assert "error[E0002]: Illegal cast" in msg
+    assert "unable to cast to type 'number'" in msg
+
+
+def test_diag_unbound_reference(spark):
+    msg = _err(spark, "{ x: Inpt.n }")
+    assert "error[E0006]: Unbound reference" in msg
+    assert "'Input'" in msg  # did-you-mean
+
+
+def test_diag_undefined_function(spark):
+    # test_unrecognized_function: E0007 with nearest function names
+    msg = _err(spark, "{ n: cel(Input.n) }")
+    assert "error[E0007]: Undefined function" in msg
+    assert "no function named 'cel'" in msg
+    assert "Nearest matches:" in msg and "'ceil'" in msg
+
+
+def test_diag_invalid_arguments(spark):
+    # unknown named argument on an aggregation (reference rejects
+    # unexpected arguments at signature resolution)
+    msg = _err(spark, "sum(Input.n, window = null, bogus = 1)")
+    assert "error[E0008]: Invalid arguments" in msg
+    assert "bogus" in msg
+
+
+def test_diag_duplicate_record_fields(spark):
+    # test_duplicate_fields: E0009
+    msg = _err(spark, "{ n: Input.n, n: Input.m }")
+    assert "error[E0009]: Duplicate field names" in msg
+    assert "field 'n' defined multiple times" in msg
+
+
+def test_diag_invalid_argument_type(spark):
+    # test_non_record_base_to_extension: E0010 wording
+    msg = _err(spark, "Input.n | extend(Input.m)")
+    assert "error[E0010]: Invalid argument type(s)" in msg
+    assert "must be record" in msg
+
+
+def test_diag_syntax_error_location(spark):
+    from kaskada_spark.fenl.lexer import FenlSyntaxError
+
+    tl = _tl(spark, "time,key,n\n1996-12-19T16:00:57,Ben,2\n")
+    with pytest.raises(FenlSyntaxError) as ei:
+        fenl("{ n: Input.n", tl)
+    msg = str(ei.value)
+    assert "error[E0011]: Invalid syntax" in msg
+    assert "Query:1:" in msg
