@@ -31,8 +31,11 @@ Queries that CHAIN stateful operators — ``<agg> | shift_by(...)``,
 applyInPandasWithState per streaming query, hard AnalysisException);
 ``materialize_fenl_pipeline`` runs them as a STAGED pipeline of
 streaming queries chained through exactly-once sinks (see the section
-comment below). Still unsupported in any streaming form (clear
-errors): with_key re-keying mid-query and nested aggregations.
+comment below). ``Table | with_key(k) | {aggs}`` re-keying composes
+into the single stateful stage (re-keying is just a new grouping
+column — the shuffle happens at the machine's groupBy). Still
+unsupported in any streaming form (clear errors): with_key nested
+inside expressions and nested aggregations.
 """
 
 from __future__ import annotations
@@ -69,12 +72,100 @@ def materialize_fenl(
     return _single_stage(parse(source), stream, table_name, watermark)
 
 
+def _subst_input(n: A.Node, repl: A.Node) -> A.Node:
+    """Replace ``$input`` references with ``repl`` throughout the AST."""
+    import dataclasses
+
+    if isinstance(n, A.Ref):
+        return repl if n.name == "$input" else n
+    if not dataclasses.is_dataclass(n):
+        return n
+    changes = {}
+    for f in n.__dataclass_fields__:
+        v = getattr(n, f)
+        if isinstance(v, A.Node):
+            nv = _subst_input(v, repl)
+        elif isinstance(v, tuple):
+            nv = tuple(
+                (e[0], _subst_input(e[1], repl))
+                if isinstance(e, tuple) and len(e) == 2 and isinstance(e[1], A.Node)
+                else (_subst_input(e, repl) if isinstance(e, A.Node) else e)
+                for e in v
+            )
+        else:
+            nv = v
+        if nv != v:
+            changes[f] = nv
+    return dataclasses.replace(n, **changes) if changes else n
+
+
+def _match_with_key(n: A.Node):
+    """(key_node, value_node) when ``n`` applies with_key, else None."""
+    if isinstance(n, A.Pipe) and isinstance(n.rhs, A.Call) and n.rhs.func == "with_key":
+        c = n.rhs
+        kw = {k: v for k, v in c.kwargs if k != "grouping"}
+        args = list(c.args)
+        k_node = args[0] if args else kw.get("key")
+        if k_node is not None and len(args) <= 1:
+            return k_node, n.lhs
+    if isinstance(n, A.Call) and n.func == "with_key":
+        kw = {k: v for k, v in n.kwargs if k != "grouping"}
+        args = list(n.args)
+        if len(args) == 2:
+            return args[0], args[1]
+        if len(args) == 1 and "value" in kw:
+            return args[0], kw["value"]
+        if "key" in kw and "value" in kw:
+            return kw["key"], kw["value"]
+    return None
+
+
 def _single_stage(
     node: A.Node,
     stream: DataFrame,
     table_name: str = "Input",
     watermark: str | None = "10 minutes",
 ) -> DataFrame:
+    # `<table> | with_key(k) | <agg record>`: with_key is STATELESS in
+    # Spark terms (a new grouping column — the shuffle happens at the
+    # state machine's groupBy, reference operation/with_key.rs:20-28),
+    # so re-keying composes into the SAME single stateful stage
+    if isinstance(node, A.Pipe):
+        # pipes parse right-associative: `T | with_key(k) | {…}` is
+        # Pipe(T, Pipe(with_key(k), {…})) — the with_key's implicit
+        # value is the outer lhs, the record's $input is the re-key
+        m = None
+        if isinstance(node.rhs, A.Pipe):
+            wk = node.rhs.lhs
+            if isinstance(wk, A.Call) and wk.func == "with_key":
+                kw = {k: v for k, v in wk.kwargs if k != "grouping"}
+                args = list(wk.args)
+                k_node = args[0] if args else kw.get("key")
+                if k_node is not None and len(args) <= 1:
+                    m = (k_node, node.lhs, node.rhs.rhs)
+        if m is None:
+            m2 = _match_with_key(node.lhs)
+            if m2 is not None:
+                m = (m2[0], m2[1], node.rhs)
+        if m is not None:
+            k_node, base_node, body_node = m
+            if not (isinstance(base_node, A.Ref) and base_node.name == table_name):
+                raise FenlCompileError(
+                    "streaming with_key supports re-keying the table itself: "
+                    f"{table_name} | with_key(...) | {{…}}"
+                )
+            from kaskada_spark.prepare import KEY
+
+            comp = Compiler({table_name: Timeline(stream)}, table_name)
+            base = comp.df
+            kv = comp.compile(_subst_input(k_node, A.Ref(table_name)))
+            if comp.df is not base:
+                raise FenlCompileError("with_key key must be a stateless expression")
+            cols = [c for c in stream.columns if c != KEY]
+            rekeyed = stream.select(_masked(kv.col, kv.mask).alias(KEY), *cols)
+            body = _subst_input(body_node, A.Ref(table_name))
+            return _single_stage(body, rekeyed, table_name, watermark)
+
     if isinstance(node, A.Record):
         fields = list(node.fields)
     else:

@@ -1499,3 +1499,64 @@ def test_materialize_pipeline_lookup_agg_equals_batch(spark, tmp_path):
     )
     missing = {k for k in exp if k[1] <= fence and k not in got}
     assert not missing, f"missing settled rows: {sorted(missing)[:4]}"
+
+
+def test_materialize_fenl_with_key_equals_batch(spark, tmp_path):
+    """materialize_fenl with a with_key re-keying pipe: re-keying is
+    stateless in Spark terms (a new grouping column — the shuffle
+    happens at the state machine's groupBy, reference
+    operation/with_key.rs), so `Table | with_key(k) | {aggs}` runs in
+    the SAME single stateful stage and matches batch compile_fenl."""
+    import pandas as pd
+    from kaskada_spark.fenl import fenl
+    from kaskada_spark.fenl.materialize import materialize_fenl
+
+    rows = [
+        ("A", "X", pd.Timestamp(2021, 1, 1), 0, 5.0),
+        ("A", "Y", pd.Timestamp(2021, 1, 2), 1, 8.0),
+        ("B", "X", pd.Timestamp(2021, 3, 1), 2, 9.0),
+        ("A", "X", pd.Timestamp(2021, 4, 10), 3, None),
+        ("A", None, pd.Timestamp(2021, 4, 11), 4, 9.0),
+        ("B", "Y", pd.Timestamp(2021, 5, 1), 5, 2.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["key", "other_key", "time", "seq", "n"])
+    tl = Timeline.from_events(spark.createDataFrame(pdf), "time", "key", "seq")
+
+    q = """
+    Input | with_key($input.other_key)
+          | { s: sum($input.n), c: count($input.n), lst: last($input.other_key) }
+    """
+    batch = fenl(q, {"Input": tl})
+    cols = ("s", "c", "lst")
+    exp = {
+        (r["_key"], r["_subsort"]): tuple(r[c] for c in cols) for r in batch.collect()
+    }
+
+    in_dir = _write_time_split(tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 3)
+    stream = (
+        spark.readStream.schema(tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = materialize_fenl(q, stream, watermark="0 seconds")
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="_time")
+    sq = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    got = {
+        (r["_key"], r["_subsort"]): tuple(r[c] for c in cols)
+        for r in sink.read_output(spark).collect()
+    }
+    assert len(got) == len(exp), f"{len(got)} vs {len(exp)}"
+    for k, e in exp.items():
+        g = got[k]
+        assert g[1] == e[1] and g[2] == e[2], f"at {k}: {g} vs {e}"
+        if e[0] is None:
+            assert g[0] is None or g[0] != g[0], f"sum at {k}"
+        else:
+            assert g[0] == pytest.approx(e[0], rel=1e-12), f"sum at {k}"
