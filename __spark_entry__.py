@@ -575,9 +575,14 @@ def q_cosine_near_dup(spark, sf_dir):
     from kaskada_spark.operators.similarity import cosine_near_dup_pairs
 
     emb = read_table(spark, sf_dir, "embeddings")
+    # cardinality for auto-sizing comes from the BASE table's parquet
+    # metadata count + the 20 planted rows — at warehouse scale this is
+    # a table-stats lookup, never a scan of the union plan
+    n_rows = emb.count() + 20
     return cosine_near_dup_pairs(
         _near_dup_corpus(emb), "vec_id", "embedding",
         threshold=0.8, n_bits=None, dim=64, max_bucket_rows=512,
+        n_rows=n_rows,
     )
 
 

@@ -165,6 +165,13 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # the banded frame feeds both self-join sides: persist it so the
+    # signature stage (shingle explode + min-agg shuffle, the dominant
+    # cost) runs once, not once per join branch (ContextCleaner frees
+    # the blocks when the result plan is garbage-collected)
+    from pyspark.storagelevel import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -172,13 +172,17 @@ def lsh_knn(
     seed: int = 42,
     n_bands: int = 1,
     target_bucket_rows: int = 256,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to buckets the query
     shares in ANY band, ranked by exact cosine. ``n_bits=None`` sizes
-    the bucket count from the corpus (auto_n_bits); more bands recover
-    recall lost to more bits."""
+    the bucket count from the corpus (auto_n_bits; pass ``n_rows`` when
+    cardinality is known from table stats); more bands recover recall
+    lost to more bits."""
     if n_bits is None:
-        n_bits = auto_n_bits(corpus.count(), target_bucket_rows)
+        n_bits = auto_n_bits(
+            n_rows if n_rows is not None else corpus.count(), target_bucket_rows
+        )
     bucketed = _banded(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
@@ -221,14 +225,21 @@ def cosine_near_dup_pairs(
     n_bands: int = 1,
     max_bucket_rows: int | None = None,
     target_bucket_rows: int = 256,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: banded LSH self-join + exact
-    cosine threshold. ``n_bits=None`` sizes buckets from the corpus;
-    ``max_bucket_rows`` salts oversized (band, bucket) groups into
-    sub-buckets so no join group exceeds the cap (cross-salt pairs in a
-    pathological bucket are dropped — documented recall trade)."""
+    cosine threshold. ``n_bits=None`` sizes buckets from the corpus
+    cardinality — pass ``n_rows`` when it's already known (table
+    statistics / catalog row counts at warehouse scale) to avoid the
+    count job; otherwise one column-pruned count() runs. The same
+    ``n_rows`` shortcut applies to ``lsh_knn``. ``max_bucket_rows``
+    salts oversized (band, bucket) groups into sub-buckets so no join
+    group exceeds the cap (cross-salt pairs in a pathological bucket
+    are dropped — documented recall trade)."""
     if n_bits is None:
-        n_bits = auto_n_bits(corpus.count(), target_bucket_rows)
+        n_bits = auto_n_bits(
+            n_rows if n_rows is not None else corpus.count(), target_bucket_rows
+        )
     b = _banded(
         corpus.select(
             F.col(id_col).alias("doc"),
@@ -249,6 +260,14 @@ def cosine_near_dup_pairs(
             .drop("__bn")
         )
         join_keys = ["band", "bucket", "salt"]
+    # the bucketed frame feeds BOTH self-join sides (and the count agg
+    # when salting) — persist it so the hyperplane dot products run once
+    # per row, not once per plan branch (Spark ML's MinHashLSH persists
+    # its hash table for the same reason; the ContextCleaner unpersists
+    # the blocks once the result plan is garbage-collected)
+    from pyspark.storagelevel import StorageLevel
+
+    b = b.persist(StorageLevel.MEMORY_AND_DISK)
     l, r = b.alias("l"), b.alias("r")
     cand = (
         l.join(r, on=join_keys)
