@@ -33,9 +33,12 @@ applyInPandasWithState per streaming query, hard AnalysisException);
 streaming queries chained through exactly-once sinks (see the section
 comment below). ``Table | with_key(k) | {aggs}`` re-keying composes
 into the single stateful stage (re-keying is just a new grouping
-column — the shuffle happens at the machine's groupBy). Still
-unsupported in any streaming form (clear errors): with_key nested
-inside expressions and nested aggregations.
+column — the shuffle happens at the machine's groupBy), and
+``<aggs> | when(cond)`` filters the output statelessly — including
+``when(daily())`` boundary sampling, which forces tick-row injection
+exactly like the batch pre-scan. Still unsupported in any streaming
+form (clear errors): with_key nested inside expressions and nested
+aggregations.
 """
 
 from __future__ import annotations
@@ -125,7 +128,52 @@ def _single_stage(
     stream: DataFrame,
     table_name: str = "Input",
     watermark: str | None = "10 minutes",
+    force_tick_unit: str | None = None,
 ) -> DataFrame:
+    # `<aggs> | when(cond)`: a stateless filter over the machine output
+    # (output keeps the payload columns, so cond references resolve).
+    # `when(daily())` samples at tick boundary rows — the boundary rows
+    # come from the tick machine, selected by the tick subsort sentinel,
+    # and the tick unit is forced into the inner stage even when no
+    # field is tick-windowed (the batch pre-scan injects ticks for
+    # conditions too, tick_tests.rs test_tick_with_when_…_bounds)
+    when_m = None
+    if (
+        isinstance(node, A.Pipe)
+        and isinstance(node.rhs, A.Call)
+        and node.rhs.func == "when"
+        and len(node.rhs.args) + len(node.rhs.kwargs) == 1
+    ):
+        c = node.rhs
+        when_m = (
+            c.args[0] if c.args else dict(c.kwargs)["condition"],
+            node.lhs,
+        )
+    elif isinstance(node, A.Call) and node.func == "when" and len(node.args) == 2:
+        when_m = (node.args[0], node.args[1])
+    if when_m is not None:
+        from pyspark.sql import functions as F
+
+        cond_node, inner = when_m
+        is_tick_cond = (
+            isinstance(cond_node, A.Call) and cond_node.func in TICK_UNITS
+        )
+        out = _single_stage(
+            inner, stream, table_name, watermark,
+            force_tick_unit=cond_node.func if is_tick_cond else None,
+        )
+        if is_tick_cond:
+            from kaskada_spark.operators.tick import TICK_SUBSORT
+            from kaskada_spark.prepare import SUBSORT
+
+            return out.filter(F.col(SUBSORT) == TICK_SUBSORT)
+        comp = Compiler({table_name: Timeline(out)}, table_name)
+        base = comp.df
+        cv = comp.compile(_subst_input(cond_node, A.Ref(table_name)))
+        if comp.df is not base:
+            raise FenlCompileError("when() condition must be stateless here")
+        return out.filter(F.coalesce(_masked(cv.col, cv.mask), F.lit(False)))
+
     # `<table> | with_key(k) | <agg record>`: with_key is STATELESS in
     # Spark terms (a new grouping column — the shuffle happens at the
     # state machine's groupBy, reference operation/with_key.rs:20-28),
@@ -252,6 +300,10 @@ def _single_stage(
 
         specs.append(AggSpec(sub.func, in_col, name, since=since, n=n))
 
+    if tick_unit is None and force_tick_unit is not None:
+        # tick boundaries demanded by an outer when(<tick>()) condition
+        # even though no field is tick-windowed
+        tick_unit = force_tick_unit
     if tick_unit is not None:
         from kaskada_spark.streaming.ticks import tick_running_agg_stream
         from kaskada_spark.windows import Tick

@@ -1560,3 +1560,102 @@ def test_materialize_fenl_with_key_equals_batch(spark, tmp_path):
             assert g[0] is None or g[0] != g[0], f"sum at {k}"
         else:
             assert g[0] == pytest.approx(e[0], rel=1e-12), f"sum at {k}"
+
+
+def test_materialize_pipeline_resume(spark, tmp_path):
+    """Staged-pipeline resume: each hop has its own checkpoint and
+    idempotent sink, so re-running the SAME work_dir after new input
+    arrives resumes every stage from its offsets (files 1-2, stop, add
+    file 3, re-run) and converges to the single-pass output."""
+    import pandas as pd
+    from kaskada_spark.fenl.materialize import materialize_fenl_pipeline
+
+    rows = []
+    for ent in ("A", "B"):
+        for j, m in enumerate(range(0, 90, 10)):
+            rows.append((ent, pd.Timestamp(2024, 5, 1, 12, 0) + pd.Timedelta(minutes=m), j, float(j)))
+    tl = Timeline.from_events(
+        spark.createDataFrame(pd.DataFrame(rows, columns=["key", "time", "seq", "v"])),
+        "time", "key", "seq")
+    q = "sum(Input.v) | shift_by(seconds(60))"
+
+    full = _write_time_split(tl.df, ["_time", "_subsort"], str(tmp_path / "full"), 3)
+    files = sorted(os.listdir(full))
+
+    def run(in_dir, work):
+        stream = (spark.readStream.schema(tl.df.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(in_dir))
+        pipe = materialize_fenl_pipeline(q, stream, work)
+        return pipe.run_available_now()
+
+    # single-pass reference
+    ref = {(r["_key"], r["_time"], r["_subsort"]): r["result"]
+           for r in run(full, str(tmp_path / "w1")).collect()}
+
+    # resumed: files 1-2, run, then add file 3 and re-run SAME work_dir
+    in_dir = str(tmp_path / "in"); os.makedirs(in_dir)
+    for f in files[:2]:
+        shutil.copy2(os.path.join(full, f), os.path.join(in_dir, f))
+    run(in_dir, str(tmp_path / "w2"))
+    shutil.copy2(os.path.join(full, files[2]), os.path.join(in_dir, files[2]))
+    out = run(in_dir, str(tmp_path / "w2"))
+    got = {(r["_key"], r["_time"], r["_subsort"]): r["result"] for r in out.collect()}
+    assert got == ref, f"resume diverged: {len(got)} vs {len(ref)} rows"
+
+
+def test_materialize_fenl_when_tick_sampling_equals_batch(spark, tmp_path):
+    """`sum(Input.v) | when(daily())` live: the tick machine injects
+    boundary rows even though no field is tick-windowed (the batch
+    pre-scan injects ticks for when-conditions too,
+    tick_tests.rs test_tick_with_when_produces_values_on_window_bounds),
+    and the when() filter keeps only boundary rows. Also covers a plain
+    scalar when() filter over the output."""
+    import pandas as pd
+    from kaskada_spark.fenl import fenl
+    from kaskada_spark.fenl.materialize import materialize_fenl
+
+    rows = []
+    for i, (d, h, v) in enumerate([(1, 9, 1.0), (1, 15, 4.0), (2, 10, 2.0),
+                                   (4, 8, 3.0), (4, 20, 5.0)]):
+        rows.append(("A", pd.Timestamp(2024, 3, d, h), i, v))
+    rows.append(("B", pd.Timestamp(2024, 3, 1, 12), 100, 10.0))
+    rows.append(("B", pd.Timestamp(2024, 3, 3, 12), 101, 20.0))
+    tl = Timeline.from_events(
+        spark.createDataFrame(pd.DataFrame(rows, columns=["key", "time", "seq", "v"])),
+        "time", "key", "seq")
+
+    for q, cols in (
+        ("sum(Input.v) | when(daily())", ("result",)),
+        ("{ s: sum(Input.v), c: count(Input.v) } | when($input.c >= 2)", ("s", "c")),
+    ):
+        batch = fenl(q, {"Input": tl})
+        exp = {
+            (r["_key"], r["_time"], r["_subsort"]): tuple(r[c] for c in cols)
+            for r in batch.collect()
+        }
+        tag = "tick" if "daily" in q else "cond"
+        in_dir = _write_time_split(tl.df, ["_time", "_subsort"], str(tmp_path / f"in_{tag}"), 3)
+        stream = (spark.readStream.schema(tl.df.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(in_dir))
+        out = materialize_fenl(q, stream, watermark="0 seconds")
+        sink = ExactlyOnceSink(str(tmp_path / f"out_{tag}"), time_col="_time")
+        sq = (out.writeStream.outputMode("append")
+              .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+              .foreachBatch(sink).trigger(availableNow=True).start())
+        sq.awaitTermination()
+        got = {
+            (r["_key"], r["_time"], r["_subsort"]): tuple(r[c] for c in cols)
+            for r in sink.read_output(spark).collect()
+        }
+        assert got, f"no rows for {q!r}"
+        for k, g in got.items():
+            assert k in exp, f"unexpected row {k} for {q!r}"
+            for gv, ev in zip(g, exp[k]):
+                if ev is None:
+                    assert gv is None or gv != gv
+                else:
+                    assert gv == pytest.approx(ev, rel=1e-12), f"{q!r} at {k}"
+        # coverage fence: boundaries/events up to the second-to-last day
+        fence = pd.Timestamp(2024, 3, 3)
+        missing = {k for k in exp if k[1] <= fence and k not in got}
+        assert not missing, f"{q!r} missing: {sorted(missing)[:4]}"
