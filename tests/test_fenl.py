@@ -1343,3 +1343,35 @@ def test_diag_syntax_error_location(spark):
     msg = str(ei.value)
     assert "error[E0011]: Invalid syntax" in msg
     assert "Query:1:" in msg
+
+
+def test_catalog_last_record(spark):
+    # aggregation_tests.rs test_last_record: last over a whole RECORD
+    # latches the most recent ROW (field values come from that row even
+    # when individually null) — the reference's record pushdown,
+    # functions/pushdown.rs used at functions/aggregation.rs:125-160.
+    tl = _tl(
+        spark,
+        """time,key,m,n
+1996-12-20T00:39:57,A,5,10
+1996-12-20T00:39:58,B,24,3
+1996-12-20T00:39:59,A,17,6
+1996-12-20T00:40:00,A,,9
+1996-12-20T00:40:01,A,12,
+1996-12-20T00:40:02,A,,
+""",
+    )
+    out = fenl("{ last: Numbers | last() | $input.m }", {"Numbers": tl})
+    got = _rows(out, ["_time", "_key", "last"])
+    assert got == _expect(
+        """_time,_key,last
+1996-12-20T00:39:57,A,5
+1996-12-20T00:39:58,B,24
+1996-12-20T00:39:59,A,17
+1996-12-20T00:40:00,A,
+1996-12-20T00:40:01,A,12
+1996-12-20T00:40:02,A,
+""",
+        ["_time", "_key", "last"],
+        parse_time=("_time",),
+    ), got
