@@ -15,11 +15,14 @@ with since-windowed aggregates — the streaming equivalent of the batch
 windows (count 0) for live entities with no events in the interval.
 
 Window-close rules match the batch/tick semantics exactly:
-- a window closes at boundary ``b`` when a row with event time >= b
-  arrives for the entity (rows at exactly ``b`` belong to the CLOSING
-  window — the tick orders after coincident events), or
-- the watermark passes ``b`` (timeout path — this is what emits
-  boundaries during silence).
+- a window closes at boundary ``b`` when a row with event time
+  STRICTLY AFTER ``b`` arrives for the entity (rows at exactly ``b``
+  belong to the closing window and more coincident rows may still
+  arrive — the tick orders after ALL coincident events, so an
+  exactly-at-boundary event cannot close its own window), or
+- the watermark reaches ``b`` (timeout path — this is what emits
+  boundaries during silence, and what finally closes a window whose
+  boundary coincides with its newest event).
 """
 
 from __future__ import annotations
@@ -295,13 +298,15 @@ def _make_tick_fn(specs: list[TickAggSpec], cal: "_Cal"):
                         win.update(_win_comps(grp, s, carried))
                     per_win[int(b)] = win
 
-                # close every boundary we now know is complete: a row at
-                # bucket b proves all windows < b are over; window b
-                # itself closes too iff some row has time == b
+                # events prove closure only for boundaries STRICTLY
+                # below the newest event time: a coincident row (same
+                # timestamp, higher subsort) may still arrive in a later
+                # micro-batch, and the tick orders AFTER coincident
+                # events — so a window whose boundary equals the newest
+                # event time stays open until the watermark passes it
                 max_bucket = max(per_win)
-                last_closes = int(tns.iloc[-1]) == max_bucket
                 b = st["next_tick_ns"]
-                target = max_bucket if last_closes else cal.prev_boundary(max_bucket)
+                target = cal.prev_boundary(max_bucket)
                 while b <= target:
                     if b in per_win:
                         _merge(st, per_win[b])
@@ -310,8 +315,8 @@ def _make_tick_fn(specs: list[TickAggSpec], cal: "_Cal"):
                         st[n] = None
                     b = cal.next_boundary(b)
                 st["next_tick_ns"] = b
-                # rows in the still-open window accumulate into state
-                if not last_closes and max_bucket >= b:
+                # rows in the still-open newest window accumulate
+                if max_bucket >= b:
                     _merge(st, per_win[max_bucket])
 
         # timeout path / watermark advance: close boundaries the
@@ -438,7 +443,11 @@ def tick_running_agg_stream(
         wm_ns = state.getCurrentWatermarkMs() * 10**6
         bounds: list[int] = []
         if st["next_tick_ns"] is not None:
-            horizon = max(st["max_time"], wm_ns)
+            # events prove closure only STRICTLY below the newest event
+            # time (a coincident row may still arrive; the tick orders
+            # after coincident events) — hence max_time - 1; the
+            # watermark closes at-or-below as usual
+            horizon = max(st["max_time"] - 1, wm_ns)
             b = st["next_tick_ns"]
             while b <= horizon:
                 bounds.append(b)

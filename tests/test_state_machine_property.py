@@ -261,3 +261,159 @@ def test_sliding_state_machine_matches_brute_force(rows, cuts, op, n):
             assert g is None or (isinstance(g, float) and math.isnan(g)), (i, g)
         else:
             assert g == pytest.approx(e, rel=1e-9, abs=1e-9), (i, g, e)
+
+
+# ----------------------------------------------------------------------
+# tick boundary machine (streaming/ticks._make_tick_fn): fuzz the
+# boundary-close/merge logic across arbitrary micro-batch splits and a
+# advancing watermark — the full 11-op component-merge surface added in
+# round 3 (shift-centered variance carried across batches, first/last/
+# mean merges, empty windows)
+# ----------------------------------------------------------------------
+from kaskada_spark.streaming.ticks import TickAggSpec, _Cal, _make_tick_fn
+
+HOUR_NS = 3600 * 10**9
+
+
+class FakeTickState(FakeState):
+    def __init__(self):
+        super().__init__()
+        self.wm_ms = 0
+
+    def getCurrentWatermarkMs(self):
+        return self.wm_ms
+
+
+TICK_OPS = ("sum", "count", "count_if", "min", "max", "mean",
+            "variance", "stddev", "first", "last")
+
+
+def _agg_of(win, op):
+    if op == "count":
+        return len(win)
+    if op == "count_if":
+        return sum(1 for x in win if x == 1)
+    if not win:
+        return None
+    if op == "sum":
+        return float(sum(win))
+    if op == "min":
+        return float(min(win))
+    if op == "max":
+        return float(max(win))
+    if op == "mean":
+        return sum(win) / len(win)
+    if op == "first":
+        return float(win[0])
+    if op == "last":
+        return float(win[-1])
+    if len(win) < 2:
+        return None
+    mu = sum(win) / len(win)
+    var = sum((x - mu) ** 2 for x in win) / len(win)
+    return math.sqrt(var) if op == "stddev" else var
+
+
+def _brute_ticks(chunks, wms, op):
+    """Incremental reference model of the tick machine's close rules:
+    events prove closure strictly below the newest event's bucket; the
+    watermark closes at-or-below; rows whose bucket already closed are
+    dropped (bounded lateness, same convention as the other machines)."""
+    settled: dict[int, list] = {}
+    open_vals: dict[int, list] = {}
+    next_tick = None
+    max_t = None
+
+    def close_through(target, inclusive):
+        nonlocal next_tick
+        while next_tick is not None and (
+            next_tick <= target if inclusive else next_tick < target
+        ):
+            settled[next_tick] = open_vals.pop(next_tick, [])
+            next_tick += 60
+
+    for rows, wm in zip(chunks, wms):
+        for t, v in rows:
+            b = ((t + 59) // 60) * 60
+            if next_tick is None:
+                next_tick = b
+            if b < next_tick:
+                continue  # window already closed: straggler dropped
+            if v is not None:
+                open_vals.setdefault(b, []).append(float(v))
+            else:
+                open_vals.setdefault(b, [])
+            max_t = t if max_t is None else max(max_t, t)
+        if max_t is not None:
+            close_through(((max_t + 59) // 60) * 60, inclusive=False)
+        if wm is not None:
+            close_through(wm, inclusive=True)
+    return {b: _agg_of(v, op) for b, v in settled.items()}
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 240), st.one_of(st.none(), st.integers(-20, 20))),
+        min_size=1, max_size=24,
+    ),
+    st.lists(st.integers(1, 23), max_size=4),
+    st.sampled_from(TICK_OPS),
+)
+def test_tick_machine_matches_brute_force(events, cuts, op):
+    events = sorted(events, key=lambda e: e[0])  # stable; values may be None
+    times_min = [t for t, _ in events]
+    vals = [v for _, v in events]
+    t0 = pd.Timestamp(2024, 1, 1).value // 10**9 // 60  # minutes epoch
+
+    pdf = pd.DataFrame(
+        {
+            "_key": 1,
+            "_time": [pd.Timestamp((t0 + t) * 60 * 10**9) for t in times_min],
+            "_subsort": range(len(events)),
+            "v": [float(v) if v is not None else None for v in vals],
+        }
+    )
+    spec = TickAggSpec(op, "v", "out")
+    fn = _make_tick_fn([spec], _Cal("hourly"))
+    state = FakeTickState()
+    emitted = []
+    model_chunks, model_wms = [], []
+    seen_max = None
+    for chunk in _chunks(pdf, cuts):
+        # Spark's watermark lags one batch: it reflects data seen BEFORE
+        # this batch
+        wm_min = None if seen_max is None else seen_max
+        state.wm_ms = 0 if wm_min is None else (t0 + wm_min) * 60_000
+        for out in fn((1,), iter([chunk]), state):
+            emitted.append(out)
+        rel = [
+            ((int(t) // 10**9) // 60 - t0, None if pd.isna(v) else v)
+            for t, v in zip(chunk["_time"].astype("int64"), chunk["v"])
+        ]
+        model_chunks.append(rel)
+        model_wms.append(wm_min)
+        mx = max(r[0] for r in rel)
+        seen_max = mx if seen_max is None else max(seen_max, mx)
+    # final timeout pass with the terminal watermark (availableNow end)
+    state.wm_ms = (t0 + seen_max) * 60_000
+    for out in fn((1,), iter([]), state):
+        emitted.append(out)
+    model_chunks.append([])
+    model_wms.append(seen_max)
+
+    got = {}
+    for frame in emitted:
+        for _, r in frame.iterrows():
+            b_min = (pd.Timestamp(r["tick_time"]).value // 10**9) // 60 - t0
+            assert b_min not in got, f"boundary {b_min} emitted twice"
+            got[b_min] = r["out"]
+
+    exp = _brute_ticks(model_chunks, model_wms, op)
+    assert set(got) == set(exp), (sorted(got), sorted(exp))
+    for b, e in exp.items():
+        g = got[b]
+        if e is None:
+            assert g is None or (isinstance(g, float) and math.isnan(g)), (b, g)
+        else:
+            assert g == pytest.approx(e, rel=1e-9, abs=1e-9), (b, g, e)
