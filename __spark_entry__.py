@@ -201,6 +201,47 @@ def q_tick_daily(spark, sf_dir):
     return out
 
 
+def q_sliding_daily_tick(spark, sf_dir):
+    """sliding(2, daily()) sampled at tick rows: each daily boundary
+    carries aggregates over the last TWO daily windows (reference
+    sliding.toml 'Sliding Over 2 Days'; windowed_aggregation_tests.rs).
+    Integer-floored sum keeps the oracle bit-exact in any fold order."""
+    from kaskada_spark.operators.tick import TICK_COL
+
+    tl = _events(spark, sf_dir).with_ticks(daily())
+    tl = tl.count("value", window=Sliding(2, F.col(TICK_COL)), alias="cnt2")
+    tl = tl.sum(
+        F.floor(F.col("value")).cast("long"),
+        window=Sliding(2, F.col(TICK_COL)),
+        alias="__s2",
+    )
+    return tl.df.filter(F.col(TICK_COL)).select(
+        F.col(KEY).alias("user_id"),
+        F.col(TIME).alias("tick_time"),
+        "cnt2",
+        F.col("__s2").cast("long").alias("sum2_f"),
+    )
+
+
+def q_fenl_with_key(spark, sf_dir):
+    """Fenl with_key re-keying pipe (reference with_key.toml 'Changing
+    Keys'): the universe re-roots on a computed key, aggregations group
+    by it (one shuffle on the new key, operation/with_key.rs:20-28)."""
+    from kaskada_spark.fenl import fenl
+
+    q = """
+    Input | with_key($input.event_type)
+          | { c: count($input.value), total_f: sum(floor($input.value) as i64) }
+    """
+    out = fenl(q, {"Input": _events(spark, sf_dir)})
+    return out.select(
+        F.col(SUBSORT).alias("event_id"),
+        F.col(KEY).alias("grp"),
+        "c",
+        "total_f",
+    )
+
+
 def q_final_last(spark, sf_dir):
     fin = _events(spark, sf_dir).final()
     return fin.select("event_id", "user_id", "value")
@@ -787,6 +828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_cond": q_sliding_cond,
         "sliding_minmax": q_sliding_minmax,
         "tick_daily": q_tick_daily,
+        "sliding_daily_tick": q_sliding_daily_tick,
+        "fenl_with_key": q_fenl_with_key,
         "final_last": q_final_last,
         "final_at": q_final_at,
         "session_windows": q_session_windows,
@@ -990,6 +1033,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.user_id, t.tick_time,
                    COALESCE(ev.n, 0) AS cnt, CAST(ev.s AS DOUBLE) AS sum_value
             FROM ticks t LEFT JOIN ev ON t.user_id = ev.user_id AND t.tick_time = ev.tick_time
+        """,
+        "sliding_daily_tick": """
+            WITH bnds AS (
+              SELECT user_id,
+                     CASE WHEN date_trunc('day', MIN(ts)) = MIN(ts)
+                          THEN MIN(ts)
+                          ELSE date_trunc('day', MIN(ts)) + INTERVAL 1 DAY
+                     END AS start
+              FROM events GROUP BY user_id
+            ), g AS (
+              SELECT date_trunc('day', MAX(ts)) AS fin FROM events
+            ), ticks AS (
+              SELECT user_id, UNNEST(generate_series(start, (SELECT fin FROM g), INTERVAL 1 DAY)) AS tick_time
+              FROM bnds
+            ), ev AS (
+              SELECT user_id,
+                     CASE WHEN date_trunc('day', ts) = ts THEN ts
+                          ELSE date_trunc('day', ts) + INTERVAL 1 DAY END AS tick_time,
+                     COUNT(value) AS n, SUM(CAST(FLOOR(value) AS BIGINT)) AS s
+              FROM events GROUP BY 1, 2
+            )
+            SELECT t.user_id, t.tick_time,
+                   CAST(COALESCE(e0.n, 0) + COALESCE(e1.n, 0) AS BIGINT) AS cnt2,
+                   CASE WHEN e0.s IS NULL AND e1.s IS NULL THEN NULL
+                        ELSE CAST(COALESCE(e0.s, 0) + COALESCE(e1.s, 0) AS BIGINT)
+                   END AS sum2_f
+            FROM ticks t
+            LEFT JOIN ev e0 ON t.user_id = e0.user_id AND t.tick_time = e0.tick_time
+            LEFT JOIN ev e1 ON t.user_id = e1.user_id AND t.tick_time - INTERVAL 1 DAY = e1.tick_time
+        """,
+        "fenl_with_key": """
+            SELECT event_id, event_type AS grp,
+                   COUNT(value) OVER w AS c,
+                   CAST(SUM(CAST(FLOOR(value) AS BIGINT)) OVER w AS BIGINT) AS total_f
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
         """,
         "final_last": """
             SELECT event_id, user_id, value FROM events
