@@ -209,6 +209,11 @@ def q_sliding_daily_tick(spark, sf_dir):
     from kaskada_spark.operators.tick import TICK_COL
 
     tl = _events(spark, sf_dir).with_ticks(daily())
+    # the ticked frame feeds the sliding lowering's three window passes
+    # (each would otherwise re-derive the tick-grid union subtree — 14
+    # exchanges observed); at warehouse scale the prepared+ticked table
+    # is materialized once, persist() is the local stand-in
+    tl = Timeline(tl.df.persist())
     tl = tl.count("value", window=Sliding(2, F.col(TICK_COL)), alias="cnt2")
     tl = tl.sum(
         F.floor(F.col("value")).cast("long"),
