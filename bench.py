@@ -84,10 +84,19 @@ def _force(df) -> int:
 def run_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entry_mod
 
-    # Warm the JVM (codegen, shuffle service, parquet footer cache) so
-    # the first measured query doesn't absorb session startup.
+    # Warm the JVM (codegen, shuffle service, parquet footer cache) AND
+    # the Python worker pool (daemon + pandas/numpy import, ~1.5 s once
+    # per executor — production executors run warm) so the first
+    # measured query doesn't absorb session startup.
     for t in ("events", "documents", "embeddings"):
         spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
+
+    def _ident(batches):
+        yield from batches
+
+    spark.range(0, CPUS * 4, 1, CPUS).mapInPandas(
+        _ident, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():

@@ -134,8 +134,14 @@ def sample_frames(media: DataFrame, every_n: int = 4, max_frames: int = 8) -> Da
 
 def synthesize_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
     """Deterministic fake media table (payload = repeated md5 bytes) for
-    testing the plumbing at any scale, generated JVM-side."""
-    return spark.range(n_rows).select(
+    testing the plumbing at any scale, generated JVM-side. Partition
+    count scales with the row count (~50k rows per partition, capped at
+    the default parallelism) — a tiny table on default parallelism
+    would fork one Python worker per near-empty partition in the
+    mapInPandas stage, paying worker spin-up for nothing."""
+    default_par = spark.sparkContext.defaultParallelism
+    n_parts = max(1, min(default_par, n_rows // 50_000 + 1))
+    return spark.range(0, n_rows, 1, n_parts).select(
         F.concat(F.lit("m-"), F.col("id").cast("string")).alias("media_id"),
         F.unbase64(
             F.base64(
