@@ -1375,3 +1375,62 @@ def test_catalog_last_record(spark):
         ["_time", "_key", "last"],
         parse_time=("_time",),
     ), got
+
+
+WHEN_INPUT = """time,key,cond,bool,i64,string
+1996-12-20T00:39:57,A,True,False,57,hello
+1996-12-20T00:39:58,A,False,True,58,world
+1996-12-20T00:39:59,A,,True,59,world
+1996-12-20T00:40:00,A,True,,,
+1996-12-20T00:40:01,A,False,,,
+1996-12-20T00:40:02,A,True,,2,hello
+"""
+
+
+def _when_tl(spark):
+    import io
+
+    pdf = pd.read_csv(
+        io.StringIO(WHEN_INPUT), parse_dates=["time"],
+        dtype={"cond": object, "bool": object, "i64": "Int64", "string": object},
+    )
+    for c in ("cond", "bool"):
+        # read_csv with dtype=object yields STRINGS "True"/"False"
+        pdf[c] = pdf[c].map(lambda v: None if pd.isna(v) else v in (True, "True"))
+    return Timeline.from_events(spark.createDataFrame(pdf), time_col="time", key_col="key")
+
+
+def test_when_null_cond_drops_null_value_keeps(spark):
+    # when_tests.rs test_i64_when / test_boolean_when: a NULL condition
+    # drops the row; a TRUE condition keeps the row even when the value
+    # itself is null
+    import datetime as dt
+
+    out = fenl("{ when: WhenFixture.i64 | when(WhenFixture.cond) }",
+               {"WhenFixture": _when_tl(spark)})
+    got = _rows(out, ["_time", "when"])
+    assert got == [
+        (dt.datetime(1996, 12, 20, 0, 39, 57), 57),
+        (dt.datetime(1996, 12, 20, 0, 40, 0), None),
+        (dt.datetime(1996, 12, 20, 0, 40, 2), 2),
+    ], got
+
+
+def test_when_chained(spark):
+    # when_tests.rs test_record_when_chained: chained whens intersect
+    import datetime as dt
+
+    out = fenl("WhenFixture | when($input.cond) | when(WhenFixture.cond)",
+               {"WhenFixture": _when_tl(spark)})
+    got = _rows(out, ["_time", "i64", "string"])
+    assert got == [
+        (dt.datetime(1996, 12, 20, 0, 39, 57), 57, "hello"),
+        (dt.datetime(1996, 12, 20, 0, 40, 0), None, None),
+        (dt.datetime(1996, 12, 20, 0, 40, 2), 2, "hello"),
+    ], got
+
+
+def test_when_false_empty(spark):
+    # when_tests.rs test_when_false: literal-false filter -> zero rows
+    out = fenl("WhenFixture | when(false)", {"WhenFixture": _when_tl(spark)})
+    assert out.count() == 0
