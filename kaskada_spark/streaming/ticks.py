@@ -410,6 +410,30 @@ def tick_running_agg_stream(
     comp_names = [f.name for f in base_state.fields][2:]
     state_names = ["next_tick_ns", "max_time", "max_subsort"] + comp_names
 
+    func = _make_tick_running_fn(specs, cal, kinds, payload, tick_aliases, comp_names)
+    return tdf.groupBy(KEY).applyInPandasWithState(
+        func, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+def _make_tick_running_fn(specs, cal, kinds, payload, tick_aliases, comp_names):
+    """Build the tick-running update function (module-level factory so
+    the Spark-free property fuzz can drive it directly)."""
+    from kaskada_spark.operators.tick import TICK_SUBSORT
+    from kaskada_spark.streaming.state_machines import (
+        _apply_agg,
+        _apply_lag,
+        _apply_sliding,
+    )
+
+    state_names = ["next_tick_ns", "max_time", "max_subsort"] + comp_names
+    # non-sliding cnt state fields are LongType (state_machines schema)
+    long_cnt = {
+        f"{s.alias}__cnt"
+        for s in specs
+        if not s.is_sliding and s.op in ("count", "count_if", "mean", "variance", "stddev")
+    }
+
     def update(key, pdfs, state: GroupState):
         k = key[0]
         if state.exists:
@@ -541,12 +565,4 @@ def tick_running_agg_stream(
         if out is not None and len(out):
             yield out
 
-    # non-sliding cnt state fields are LongType (state_machines schema)
-    long_cnt = {
-        f"{s.alias}__cnt"
-        for s in specs
-        if not s.is_sliding and s.op in ("count", "count_if", "mean", "variance", "stddev")
-    }
-    return tdf.groupBy(KEY).applyInPandasWithState(
-        update, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
-    )
+    return update

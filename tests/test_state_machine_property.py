@@ -417,3 +417,82 @@ def test_tick_machine_matches_brute_force(events, cuts, op):
             assert g is None or (isinstance(g, float) and math.isnan(g)), (b, g)
         else:
             assert g == pytest.approx(e, rel=1e-9, abs=1e-9), (b, g, e)
+
+
+# ----------------------------------------------------------------------
+# tick-RUNNING machine (the materialize shape: per-event running values
+# + injected boundary rows): SPLIT-INVARIANCE fuzz — output under any
+# micro-batch split + watermark progression must equal the single-batch
+# run (which the Spark equivalence tests pin to the batch lowering)
+# ----------------------------------------------------------------------
+from kaskada_spark.streaming.state_machines import AggSpec as _AggSpec
+from kaskada_spark.streaming.ticks import _make_tick_running_fn
+
+TR_OPS = ("sum", "count", "count_if", "min", "max", "mean",
+          "variance", "stddev", "first", "last")
+
+
+def _drive_tick_running(specs, tick_aliases, comp_names, pdf, cuts):
+    fn = _make_tick_running_fn(
+        specs, _Cal("hourly"), {s.alias: "num" for s in specs},
+        ["v", "fire"], set(tick_aliases), comp_names,
+    )
+    state = FakeTickState()
+    outs = []
+    seen_max_ms = None
+    t0 = pd.Timestamp(2024, 1, 1).value // 10**6
+    for chunk in _chunks(pdf, cuts):
+        state.wm_ms = 0 if seen_max_ms is None else seen_max_ms
+        outs.extend(fn((1,), iter([chunk]), state))
+        mx = int(chunk["_time"].astype("int64").max()) // 10**6
+        seen_max_ms = mx if seen_max_ms is None else max(seen_max_ms, mx)
+    state.wm_ms = seen_max_ms
+    outs.extend(fn((1,), iter([]), state))
+    out = pd.concat(outs, ignore_index=True)
+    return out.sort_values(["_time", "_subsort"]).reset_index(drop=True)
+
+
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 200),                        # minutes offset
+            st.one_of(st.none(), st.integers(-20, 20)),  # value
+            st.booleans(),                               # since-fire
+        ),
+        min_size=1, max_size=20,
+    ),
+    st.lists(st.integers(1, 19), max_size=4),
+    st.sampled_from(TR_OPS),
+    st.sampled_from(["tick", "cond", "plain"]),
+)
+def test_tick_running_machine_split_invariance(events, cuts, op, mode):
+    from kaskada_spark.streaming.state_machines import _state_schema, _value_kind  # noqa: F401
+
+    events = sorted(events, key=lambda e: e[0])
+    t0 = pd.Timestamp(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "_key": 1,
+            "_time": [t0 + pd.Timedelta(minutes=t) for t, _, _ in events],
+            "_subsort": range(len(events)),
+            "v": [float(v) if v is not None else None for _, v, _ in events],
+            "fire": [f for _, _, f in events],
+        }
+    )
+    spec = _AggSpec(op, "v", "out", since="fire" if mode == "cond" else None)
+    tick_aliases = {"out"} if mode == "tick" else set()
+    from kaskada_spark.streaming.state_machines import _STATE_COMPS
+
+    comp_names = [f"out__{c}" for c in _STATE_COMPS[op]]
+    single = _drive_tick_running([spec], tick_aliases, comp_names, pdf, [])
+    split = _drive_tick_running([spec], tick_aliases, comp_names, pdf, cuts)
+    assert len(single) == len(split), (len(single), len(split))
+    for i in range(len(single)):
+        a, b = single.iloc[i], split.iloc[i]
+        assert a["_time"] == b["_time"] and a["_subsort"] == b["_subsort"], i
+        ga, gb = a["out"], b["out"]
+        if pd.isna(ga) or ga is None:
+            assert gb is None or pd.isna(gb), (i, ga, gb)
+        else:
+            assert gb == pytest.approx(ga, rel=1e-9, abs=1e-9), (i, ga, gb)
