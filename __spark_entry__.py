@@ -561,6 +561,18 @@ def q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate clusters: LSH pairs -> connected components
+    (large-star/small-star, operators/graph.py) -> (doc, cluster_id)
+    for EVERY document (singletons label themselves). Oracle: recursive
+    transitive closure in DuckDB — algorithm-independent because the
+    component minimum is."""
+    from kaskada_spark.operators.dedup import near_dup_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    return near_dup_clusters(docs, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3)
+
+
 def q_simhash(spark, sf_dir):
     from kaskada_spark.operators.dedup import simhash16
 
@@ -749,6 +761,23 @@ def _sql_minhash_sig() -> str:
     return "[" + ", ".join(mins) + "]"
 
 
+def _sql_minhash_pairs_ctes() -> str:
+    """CTE chain ending in `pairs(id_a, id_b)` — the DuckDB mirror of
+    minhash_lsh_pairs(num_hashes=8, bands=4, shingle_n=3). Shared by the
+    minhash_lsh and dedup_clusters oracles."""
+    return f"""{_SHINGLES_CTE.strip()}, sig AS (
+              SELECT doc_id AS doc, {_sql_minhash_sig()} AS sig FROM sh
+            ), banded AS (
+              SELECT doc, band,
+                     CAST(sig[band * 2 + 1] AS VARCHAR) || ',' || CAST(sig[band * 2 + 2] AS VARCHAR) AS bucket
+              FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)
+            ), pairs AS (
+              SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+              FROM banded a JOIN banded b USING (band, bucket)
+              WHERE a.doc < b.doc
+            )"""
+
+
 def _sql_dot(a: str, b: str, dim: int = 64) -> str:
     """Sequential left-fold dot product — same op order as Spark's
     F.aggregate, so doubles are bit-identical."""
@@ -855,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_windowed": q_tokens_windowed,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embed_knn": q_embed_knn,
@@ -1349,16 +1379,21 @@ def _pipeline_oracles() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "minhash_lsh": f"""
-            WITH {_SHINGLES_CTE.strip()}, sig AS (
-              SELECT doc_id AS doc, {_sql_minhash_sig()} AS sig FROM sh
-            ), banded AS (
-              SELECT doc, band,
-                     CAST(sig[band * 2 + 1] AS VARCHAR) || ',' || CAST(sig[band * 2 + 2] AS VARCHAR) AS bucket
-              FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)
+            WITH {_sql_minhash_pairs_ctes()}
+            SELECT id_a, id_b FROM pairs
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_sql_minhash_pairs_ctes()}, edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs
+            ), reach(id, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id
             )
-            SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
-            FROM banded a JOIN banded b USING (band, bucket)
-            WHERE a.doc < b.doc
+            SELECT id AS doc, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY id
         """,
         "simhash": f"""
             WITH {_WORDS_CTE.strip()}, h AS (

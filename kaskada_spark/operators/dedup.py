@@ -182,6 +182,37 @@ def minhash_lsh_pairs(
     )
 
 
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: MinHash-LSH candidate pairs → connected
+    components → one (doc, cluster_id) row per document, cluster_id =
+    min doc id in the duplicate group (singletons label themselves).
+
+    This is the complete dedup decision: keep `doc == cluster_id`, drop
+    the rest. The component step is large-star/small-star
+    (operators/graph.py) — O(log n) rounds at any corpus size. The
+    label table only contains docs that appear in some pair (duplicate
+    graphs are sparse: at web scale ~30-40% of docs, often far less),
+    so the final enrichment join is corpus ⟕ labels on the corpus's own
+    id — AQE broadcasts the label side when small."""
+    from .graph import connected_components
+
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+    )
+    labels = connected_components(pairs)
+    ids = df.select(F.col(id_col).cast("long").alias("doc"))
+    return ids.join(labels, ids["doc"] == labels["node"], "left").select(
+        "doc", F.coalesce("cluster_id", "doc").alias("cluster_id")
+    )
+
+
 def simhash16(text: Column) -> Column:
     """16-bit SimHash over (non-distinct) words: bit j of the output is
     the sign of sum over words of ±1 by word-hash bit j. Pure

@@ -273,3 +273,77 @@ def test_cosine_near_dup_salted_still_finds_dups(spark):
     # auto n_bits path runs end to end
     auto = cosine_near_dup_pairs(corpus, "vec_id", "embedding", threshold=0.99, dim=8)
     assert auto.count() >= 0
+
+
+# ---------------------------------------------------------------- graph / clusters
+
+
+def _uf_components(n_nodes, edges):
+    """Pure-python union-find oracle: node -> min id in component."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in range(n_nodes)}
+
+
+def test_connected_components_vs_union_find(spark):
+    """Randomized graphs vs a union-find oracle (deterministic seed)."""
+    import random
+
+    from kaskada_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(5, 45))
+        ]
+        df = spark.createDataFrame(
+            [(a, b) for a, b in edges], "id_a long, id_b long"
+        )
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(df).collect()
+        }
+        want = _uf_components(n, edges)
+        touched = {a for a, b in edges if a != b} | {b for a, b in edges if a != b}
+        assert set(got) == touched, f"trial {trial}: node set mismatch"
+        for v in touched:
+            assert got[v] == want[v], f"trial {trial}: node {v}"
+
+
+def test_connected_components_chain_and_empty(spark):
+    from kaskada_spark.operators.graph import connected_components
+
+    # a 12-node chain exercises multi-round convergence (diameter 11)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["cluster_id"] for r in connected_components(chain).collect()}
+    assert got == {i: 0 for i in range(12)}
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+
+
+def test_near_dup_clusters(docs):
+    from kaskada_spark.operators.dedup import near_dup_clusters
+
+    got = {
+        r["doc"]: r["cluster_id"]
+        for r in near_dup_clusters(docs, "doc_id", "text").collect()
+    }
+    # identical docs 1,2 and near-identical 3 all cluster under min id 1;
+    # unrelated doc 4 is a singleton
+    assert got[1] == 1 and got[2] == 1 and got[3] == 1
+    assert got[4] == 4
