@@ -561,6 +561,17 @@ def q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3)
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (operators/text.py).
+    Word/bigram repetition is the live signal on this corpus (word-soup
+    docs); the line-duplication columns are exercised by unit fixtures
+    with planted newline docs (test_pipeline_ops.py)."""
+    from kaskada_spark.operators.text import repetition_signals
+
+    docs = read_table(spark, sf_dir, "documents")
+    return repetition_signals(docs, "doc_id", "text")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-duplicate clusters: LSH pairs -> connected components
     (large-star/small-star, operators/graph.py) -> (doc, cluster_id)
@@ -885,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "repetition": q_repetition,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embed_knn": q_embed_knn,
@@ -1381,6 +1393,56 @@ def _pipeline_oracles() -> dict[str, str]:
         "minhash_lsh": f"""
             WITH {_sql_minhash_pairs_ctes()}
             SELECT id_a, id_b FROM pairs
+        """,
+        "repetition": """
+            WITH base AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ws,
+                     list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS lines
+              FROM documents
+            ), mid AS (
+              SELECT doc_id, ws, lines,
+                     list_sort(list_transform(
+                       generate_series(1, greatest(len(ws) - 1, 0)),
+                       i -> ws[i] || ' ' || ws[i+1])) AS bg,
+                     list_sort(lines) AS ls
+              FROM base
+            ), runs AS (
+              SELECT *, list_append(
+                       list_filter(generate_series(1, len(bg)),
+                                   i -> i = 1 OR bg[i] <> bg[i-1]),
+                       len(bg) + 1) AS ext
+              FROM mid
+            ), scored AS (
+              SELECT doc_id, ws, lines, bg, ls,
+                     CASE WHEN len(bg) > 0 THEN
+                       list_max(list_transform(generate_series(1, len(ext) - 1),
+                                               j -> ext[j+1] - ext[j]))
+                     END AS max_run,
+                     coalesce(list_sum(list_transform(generate_series(1, len(ls)),
+                       i -> CASE WHEN (i > 1 AND ls[i] = ls[i-1])
+                                   OR (i < len(ls) AND ls[i] = ls[i+1])
+                                 THEN len(ls[i]) ELSE 0 END)), 0) AS dup_chars,
+                     coalesce(list_sum(list_transform(ls, l -> len(l))), 0) AS total_chars
+              FROM runs
+            )
+            SELECT doc_id AS doc,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   CAST(len(list_distinct(ws)) AS BIGINT) AS uniq_words,
+                   CASE WHEN len(ws) > 0 THEN
+                     CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+                   END AS dup_word_frac,
+                   CASE WHEN len(bg) > 0 THEN
+                     CAST(max_run AS DOUBLE) / CAST(len(bg) AS DOUBLE)
+                   END AS top_bigram_frac,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CASE WHEN len(lines) > 0 THEN
+                     CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / CAST(len(lines) AS DOUBLE)
+                   END AS dup_line_frac,
+                   CASE WHEN total_chars > 0 THEN
+                     CAST(dup_chars AS DOUBLE) / CAST(total_chars AS DOUBLE)
+                   END AS dup_line_char_frac
+            FROM scored
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE {_sql_minhash_pairs_ctes()}, edges AS (

@@ -129,6 +129,117 @@ def quality_score(text: Column) -> Column:
     return score
 
 
+def _bigrams(text: Column) -> Column:
+    """NON-distinct word bigrams (repetition analysis needs counts;
+    dedup's shingles() dedups). Same zip_with-over-slices shape so the
+    words() regexp runs a constant number of times, never per element."""
+    w = words(text)
+    n = F.greatest(F.size(w) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(w, 1, n), F.slice(w, 2, n), lambda a, b: F.concat_ws(" ", a, b)
+    )
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements in a SORTED
+    array = max multiplicity of any element. O(L log L) per row, closed
+    form (no per-element lookups into the array inside lambdas — HOF
+    lambdas are not CSE'd): run starts are positions whose left
+    neighbor differs; run lengths are deltas between consecutive
+    starts."""
+    arr = sorted_arr
+    size = F.size(arr)
+    n1 = F.greatest(size - 1, F.lit(0))
+    # eq[i] = arr[i] == arr[i+1], for the L-1 interior boundaries
+    eq = F.zip_with(
+        F.slice(arr, 1, n1), F.slice(arr, 2, n1), lambda a, b: a == b
+    )
+    flags = F.concat(F.array(F.lit(True)), F.transform(eq, lambda x: ~x))
+    starts = F.transform(
+        F.filter(
+            F.zip_with(
+                flags,
+                F.sequence(F.lit(1), size),
+                lambda fl, i: F.struct(fl.alias("f"), i.alias("i")),
+            ),
+            lambda s: s["f"],
+        ),
+        lambda s: s["i"],
+    )
+    ext = F.concat(starts, F.array(size + 1))
+    lens = F.zip_with(
+        F.slice(ext, 2, F.size(starts)), starts, lambda b, a: b - a
+    )
+    return F.when(size > 0, F.array_max(lens))
+
+
+def repetition_signals(df, id_col: str, text_col: str):
+    """Gopher-style repetition quality signals, one row per document —
+    the filters a web-scale corpus applies before training (Rae et al.,
+    "Scaling Language Models: ... Gopher", §A1.1 repetition filters):
+
+    - ``dup_word_frac``   — excess word occurrences: (n - distinct)/n
+    - ``top_bigram_frac`` — occurrences of the most frequent word bigram
+      over total bigrams (boilerplate detector)
+    - ``dup_line_frac``   — excess duplicate lines over non-empty lines
+    - ``dup_line_char_frac`` — fraction of characters living in lines
+      that occur 2+ times (ALL occurrences counted, per the reference
+      implementations)
+
+    Ratios are null when the denominator is 0 (ANSI mode raises on
+    division by zero). Everything is a pure Catalyst column expression:
+    sort the token array once, then derive multiplicities from
+    adjacent-equality — O(L log L) per row, map-only, zero shuffle, so
+    the operator pipelines into the scan at any corpus size. A SQL
+    engine reproduces each number exactly (integer counts divided as
+    doubles)."""
+    text = F.col(text_col)
+    w = words(text)
+    wc = F.size(w)
+    uniq = F.size(F.array_distinct(w))
+    bg = F.array_sort(_bigrams(text))
+    n_bg = F.size(bg)
+
+    lines = F.filter(F.split(text, "\n"), lambda l: F.length(l) > 0)
+    ls = F.array_sort(lines)
+    n_lines = F.size(ls)
+    uniq_lines = F.size(F.array_distinct(ls))
+    nl1 = F.greatest(n_lines - 1, F.lit(0))
+    # line i sits in a duplicated group iff it equals a sorted neighbor
+    eq = F.zip_with(F.slice(ls, 1, nl1), F.slice(ls, 2, nl1), lambda a, b: a == b)
+    mask = F.zip_with(
+        F.concat(F.array(F.lit(False)), eq),
+        F.concat(eq, F.array(F.lit(False))),
+        lambda a, b: a | b,
+    )
+    dup_chars = F.aggregate(
+        F.zip_with(mask, ls, lambda m, l: F.when(m, F.length(l)).otherwise(F.lit(0))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    total_chars = F.aggregate(ls, F.lit(0), lambda acc, l: acc + F.length(l))
+
+    return df.select(
+        F.col(id_col).cast("long").alias("doc"),
+        wc.cast("long").alias("n_words"),
+        uniq.cast("long").alias("uniq_words"),
+        F.when(wc > 0, (wc - uniq).cast("double") / wc.cast("double")).alias(
+            "dup_word_frac"
+        ),
+        F.when(
+            n_bg > 0, _max_run(bg).cast("double") / n_bg.cast("double")
+        ).alias("top_bigram_frac"),
+        n_lines.cast("long").alias("n_lines"),
+        F.when(
+            n_lines > 0,
+            (n_lines - uniq_lines).cast("double") / n_lines.cast("double"),
+        ).alias("dup_line_frac"),
+        F.when(
+            total_chars > 0, dup_chars.cast("double") / total_chars.cast("double")
+        ).alias("dup_line_char_frac"),
+    )
+
+
 def _word_hash28(w: Column) -> Column:
     return F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("long")
 

@@ -347,3 +347,40 @@ def test_near_dup_clusters(docs):
     # unrelated doc 4 is a singleton
     assert got[1] == 1 and got[2] == 1 and got[3] == 1
     assert got[4] == 4
+
+
+# ---------------------------------------------------------------- repetition
+
+
+def test_repetition_signals(spark):
+    from kaskada_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b c"),            # "a b" 3x of 6 bigrams
+            (2, "intro\nsame line\nsame line\nsame line\n\nend"),
+            (3, ""),                          # degenerate: all null ratios
+            (4, "unique words only here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc"]: r.asDict() for r in repetition_signals(df, "doc_id", "text").collect()}
+
+    assert got[1]["n_words"] == 7 and got[1]["uniq_words"] == 3
+    assert got[1]["dup_word_frac"] == pytest.approx(4 / 7)
+    assert got[1]["top_bigram_frac"] == pytest.approx(3 / 6)
+
+    # doc 2: 5 non-empty lines, "same line" x3 -> dup_line_frac (5-3)/5,
+    # dup chars = 3*9 of total 5+9+9+9+3 = 35
+    assert got[2]["n_lines"] == 5
+    assert got[2]["dup_line_frac"] == pytest.approx(2 / 5)
+    assert got[2]["dup_line_char_frac"] == pytest.approx(27 / 35)
+
+    assert got[3]["n_words"] == 0
+    assert got[3]["dup_word_frac"] is None
+    assert got[3]["top_bigram_frac"] is None
+    assert got[3]["dup_line_frac"] is None
+    assert got[3]["dup_line_char_frac"] is None
+
+    assert got[4]["dup_word_frac"] == 0.0
+    assert got[4]["dup_line_frac"] == 0.0
