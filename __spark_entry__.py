@@ -612,6 +612,16 @@ def q_embed_knn_lsh(spark, sf_dir):
     return lsh_knn(emb, "vec_id", "embedding", list(range(10)), k=5, n_bits=6, dim=64)
 
 
+def q_embed_knn_ivf(spark, sf_dir):
+    """IVF-partitioned ANN: md5-sampled centroids, nearest-cell
+    assignment (one map-side-combined shuffle), exact search within the
+    n_probe nearest cells per query (operators/similarity.py ivf_knn)."""
+    from kaskada_spark.operators.similarity import ivf_knn
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_knn(emb, "vec_id", "embedding", list(range(10)), k=5, n_cells=16, n_probe=4)
+
+
 def _near_dup_corpus(emb):
     """Embeddings plus 20 planted near-duplicates so the near-dup checks
     are NON-vacuous (round-2 verdict: both engines returned 0 rows, a
@@ -901,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embed_knn": q_embed_knn,
         "embed_knn_lsh": q_embed_knn_lsh,
+        "embed_knn_ivf": q_embed_knn_ivf,
         "cosine_near_dup": q_cosine_near_dup,
         "cosine_near_dup_banded": q_cosine_near_dup_banded,
         "lang_id": q_lang_id,
@@ -1486,6 +1497,34 @@ def _pipeline_oracles() -> dict[str, str]:
                      {_sql_cosine("e.embedding", "q.qvec")} AS sim
               FROM embeddings e CROSS JOIN q
               WHERE e.vec_id != q.query_id
+            )
+            {knn_rank}
+        """,
+        "embed_knn_ivf": f"""
+            WITH cent AS (
+              SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+                     embedding AS cvec
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+            ), assign AS (
+              SELECT neighbor_id, cell, nvec FROM (
+                SELECT e.vec_id AS neighbor_id, c.cell, e.embedding AS nvec,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {_sql_cosine("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+                FROM embeddings e CROSS JOIN cent c
+              ) WHERE rn = 1
+            ), probes AS (
+              SELECT query_id, cell, qvec FROM (
+                SELECT e.vec_id AS query_id, c.cell, e.embedding AS qvec,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {_sql_cosine("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+                FROM embeddings e CROSS JOIN cent c
+                WHERE e.vec_id IN ({_QIDS})
+              ) WHERE rn <= 4
+            ), scored AS (
+              SELECT a.neighbor_id, p.query_id, {_sql_cosine("a.nvec", "p.qvec")} AS sim
+              FROM assign a JOIN probes p USING (cell)
+              WHERE a.neighbor_id != p.query_id
             )
             {knn_rank}
         """,

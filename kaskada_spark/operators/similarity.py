@@ -127,6 +127,99 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out.cast("int")
 
 
+def ivf_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_cells: int
+) -> DataFrame:
+    """Training-free IVF coarse quantizer: the ``n_cells`` corpus
+    vectors with the smallest md5(id) — a deterministic pseudo-random
+    sample every engine reproduces (no k-means iterations to disagree
+    on). Selection is a global top-k (TakeOrderedAndProject — no full
+    sort), then cell ids 0..n_cells-1 in hash order over the tiny
+    result."""
+    ranked = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        F.md5(F.col(id_col).cast("string")).alias("h"),
+    )
+    top = ranked.orderBy("h", "cid").limit(n_cells)
+    w = W.orderBy("h", "cid")
+    return top.withColumn("cell", F.row_number().over(w) - 1).select(
+        "cell", "cvec", norm(F.col("cvec")).alias("cnorm")
+    )
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF partitioning: assign every vector to
+    its nearest centroid cell, search queries exactly within their
+    ``n_probe`` nearest cells only.
+
+    Plan shape (the 100 TB story): centroid table is tiny and
+    broadcast; assignment is a broadcast nested-loop + map-side-combined
+    `max_by` groupBy — ONE corpus shuffle, emitting one (vector, cell)
+    row per input. Candidate generation joins the assigned corpus to
+    the broadcast probe table on `cell`, so each query scans ~n_probe/
+    n_cells of the corpus instead of all of it. In production the
+    assignment is written once as a cell-partitioned table and repeated
+    query batches prune to probed cells at the parquet level; this
+    function composes both steps for a single batch.
+
+    All cosine math is the sequential-fold form (`dot`/`norm`) so an
+    external SQL engine reproduces cell assignment and ranking
+    bit-exactly. Ties break to the lowest cell / neighbor id."""
+    cents = ivf_centroids(corpus, id_col, vec_col, n_cells)
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        norm(F.col(vec_col)).alias("nnorm"),
+    )
+    scored_cells = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "csim", dot(F.col("nvec"), F.col("cvec")) / (F.col("nnorm") * F.col("cnorm"))
+    )
+    assigned = scored_cells.groupBy("neighbor_id").agg(
+        F.max_by(
+            F.struct("cell", "nvec", "nnorm"),
+            F.struct(F.col("csim").alias("s"), (-F.col("cell")).alias("nc")),
+        ).alias("b")
+    ).select("neighbor_id", F.col("b.cell").alias("cell"),
+             F.col("b.nvec").alias("nvec"), F.col("b.nnorm").alias("nnorm"))
+
+    qvecs = corpus.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnorm"),
+    )
+    qscored = qvecs.crossJoin(F.broadcast(cents)).withColumn(
+        "csim", dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))
+    )
+    wprobe = W.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cell"))
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qvec", "qnorm", "cell")
+    )
+
+    cand = assigned.join(F.broadcast(probes), on="cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cand = cand.withColumn(
+        "sim", dot(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 BAND_SEED_STRIDE = 1000003  # band b uses seed + b * stride (co-prime, stable)
 
 

@@ -384,3 +384,36 @@ def test_repetition_signals(spark):
 
     assert got[4]["dup_word_frac"] == 0.0
     assert got[4]["dup_line_frac"] == 0.0
+
+
+def test_ivf_knn_exhaustive_equals_brute_force(spark):
+    """With n_probe == n_cells, IVF searches every cell — results must
+    be IDENTICAL to brute force (same ordering, same tie-breaks)."""
+    import math
+
+    from kaskada_spark.operators.similarity import brute_force_knn, ivf_knn
+
+    rows = [
+        (i, [math.sin(0.1 * (i + 1) * (j + 1)) for j in range(8)]) for i in range(40)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qids = [0, 1, 2]
+    bf = sorted(
+        map(tuple, brute_force_knn(corpus, "vec_id", "embedding", qids, k=4).collect())
+    )
+    ivf = sorted(
+        map(
+            tuple,
+            ivf_knn(
+                corpus, "vec_id", "embedding", qids, k=4, n_cells=4, n_probe=4
+            ).collect(),
+        )
+    )
+    assert ivf == bf
+
+    # pruned probing returns k results per query (approximate but full)
+    pruned = ivf_knn(corpus, "vec_id", "embedding", qids, k=4, n_cells=4, n_probe=2)
+    cnt = {r["query_id"]: 0 for r in pruned.collect()}
+    for r in pruned.collect():
+        cnt[r["query_id"]] += 1
+    assert all(v == 4 for v in cnt.values())
