@@ -88,11 +88,15 @@ def exp(a: Column) -> Column:
 
 
 def zip_min(a: Column, b: Column) -> Column:
-    return F.least(a, b)
+    """Pairwise min, NULL-STRICT: any null input nulls the result
+    (math_tests.rs::test_i64_zip_min golden — zip_min(12, null) is
+    null). Spark's least() skips nulls, so guard explicitly."""
+    return F.when(a.isNull() | b.isNull(), F.lit(None)).otherwise(F.least(a, b))
 
 
 def zip_max(a: Column, b: Column) -> Column:
-    return F.greatest(a, b)
+    """Pairwise max, NULL-STRICT (math_tests.rs::test_i64_zip_max)."""
+    return F.when(a.isNull() | b.isNull(), F.lit(None)).otherwise(F.greatest(a, b))
 
 
 # --- comparison (null-strict, matching Spark's) ---

@@ -1434,3 +1434,71 @@ def test_when_false_empty(spark):
     # when_tests.rs test_when_false: literal-false filter -> zero rows
     out = fenl("WhenFixture | when(false)", {"WhenFixture": _when_tl(spark)})
     assert out.count() == 0
+
+
+# ----------------------------------------------------------------------
+# e2e goldens ported from sparrow-main/tests/e2e/math_tests.rs
+# ----------------------------------------------------------------------
+def _numbers_tl(spark, floats=False):
+    # fixtures.rs {i64,f64}_data_fixture: keys A,B,A,A,A,A with nulls
+    if floats:
+        m, n = [5.2, 24.3, 17.6, None, 12.4, None], [10.0, 3.9, 6.2, 9.25, None, None]
+        typ = "double"
+    else:
+        m, n = [5, 24, 17, None, 12, None], [10, 3, 6, 9, None, None]
+        typ = "long"
+    import datetime as dt
+
+    t0 = dt.datetime(1996, 12, 19, 16, 39, 57)
+    rows = [
+        (t0 + dt.timedelta(seconds=i), i, k, m[i], n[i])
+        for i, k in enumerate("ABAAAA")
+    ]
+    df = spark.createDataFrame(
+        rows, f"time timestamp, sub long, key string, m {typ}, n {typ}"
+    )
+    return Timeline.from_events(df, time_col="time", key_col="key", subsort_col="sub")
+
+
+def test_e2e_math_zip_powf_clamp_sqrt_i64(spark):
+    # math_tests.rs::{test_i64_zip_min,zip_max,powf,clamp,sqrt} goldens
+    q = """{ zmin: zip_min(Input.m, Input.n), zmin2: zip_min(2, Input.n)
+           , zmax: zip_max(Input.m, Input.n)
+           , p: powf(Input.m, Input.n), p2m: powf(2, Input.m)
+           , c1: clamp(Input.m, min = 2, max = Input.n)
+           , c2: clamp(Input.m, min = 2, max = 10)
+           , cmin: clamp(Input.m, min = Input.n)
+           , sq: sqrt(Input.m) }"""
+    out = fenl(q, _numbers_tl(spark))
+    got = {r["_subsort"]: r.asDict() for r in out.collect()}
+
+    assert [got[i]["zmin"] for i in range(6)] == [5, 3, 6, None, None, None]
+    assert [got[i]["zmin2"] for i in range(6)] == [2, 2, 2, 2, None, None]
+    assert [got[i]["zmax"] for i in range(6)] == [10, 24, 17, None, None, None]
+    assert [got[i]["p"] for i in range(6)] == [9765625.0, 13824.0, 24137569.0, None, None, None]
+    assert [got[i]["p2m"] for i in range(6)] == [32.0, 16777216.0, 131072.0, None, 4096.0, None]
+    # null max/min bound = unbounded on that side; null VALUE = null out
+    assert [got[i]["c1"] for i in range(6)] == [5, 3, 6, None, 12, None]
+    assert [got[i]["c2"] for i in range(6)] == [5, 10, 10, None, 10, None]
+    assert [got[i]["cmin"] for i in range(6)] == [10, 24, 17, None, 12, None]
+    assert got[0]["sq"] == pytest.approx(2.23606797749979)
+    assert got[4]["sq"] == pytest.approx(3.4641016151377544)
+    assert got[3]["sq"] is None
+
+
+def test_e2e_math_exp_powf_f64(spark):
+    # math_tests.rs::{test_f64_exp,test_f64_powf,test_f64_zip_min} goldens
+    q = """{ e: exp(Input.m), p: powf(Input.m, Input.n)
+           , zmin: zip_min(Input.m, Input.n) }"""
+    out = fenl(q, _numbers_tl(spark, floats=True))
+    got = {r["_subsort"]: r.asDict() for r in out.collect()}
+    assert got[0]["e"] == pytest.approx(181.27224187515122, rel=1e-13)
+    assert got[1]["e"] == pytest.approx(3.575657481192565e10, rel=1e-13)
+    assert got[4]["e"] == pytest.approx(242801.61749832364, rel=1e-13)
+    assert got[3]["e"] is None and got[5]["e"] is None
+    assert got[0]["p"] == pytest.approx(14455510.594905708, rel=1e-13)
+    assert got[2]["p"] == pytest.approx(52744665.25889734, rel=1e-13)
+    assert got[4]["p"] is None
+    assert [got[i]["zmin"] for i in range(6)] == [
+        5.2, 3.9, 6.2, None, None, None
+    ]
