@@ -99,6 +99,7 @@ _DIAG = {
     "E0009": "Duplicate field names in record expression",
     "E0010": "Invalid argument type(s)",
     "E0011": "Invalid syntax",
+    "E0012": "Circular dependency",
 }
 
 
@@ -194,6 +195,7 @@ class Compiler:
         self.scope: dict[str, CVal] = {}
         self.formulas = formulas or {}
         self.ast_bindings: dict[str, A.Node] = {}
+        self._formula_stack: list[str] = []
         self._gen = 0
         self.universe_gen = 0
         # Implicit joins ("automatic joins", reference README.md:53):
@@ -281,6 +283,23 @@ class Compiler:
         """A CVal pinned to the current universe generation."""
         return CVal(col, mask, gen=self.universe_gen, **kw)
 
+    def _spark_type(self, col: Column):
+        """Static Spark type of an expression (schema-only analysis, no
+        job) — the compile-time type information the reference's DFG
+        carries natively (sparrow-compiler typechecking)."""
+        return self.df.select(col.alias("__t")).schema[0].dataType
+
+    def _map_record(self, v: CVal, fn, mask: Column | None) -> CVal:
+        """Apply a column transform to every field of a record, keeping
+        the record structure (reference record pushdown semantics:
+        if/null_if/else over a record transform each field, and the row
+        stays in the output — logical_tests.rs test_if_record)."""
+        new_fields = {
+            n: replace(f, col=fn(f.col), mask=mask) for n, f in v.fields.items()
+        }
+        col = F.struct(*[f.col.alias(n) for n, f in new_fields.items()])
+        return self._v(col, mask, continuous=v.continuous, fields=new_fields)
+
     def _tl(self) -> Timeline:
         return Timeline(self.df)
 
@@ -366,7 +385,26 @@ class Compiler:
                 )
             return self._table_val()
         if name in self.formulas:
-            val = self.compile(self.formulas[name])
+            # Cyclic formulas are a compile error, not a stack overflow
+            # (formula_tests.rs test_formulas_cyclic_dependency, E0012)
+            if name in self._formula_stack:
+                cycle = self._formula_stack[self._formula_stack.index(name):]
+                raise FenlCompileError(
+                    "formula "
+                    + " references ".join(f"'{c}'" for c in [*cycle, name]),
+                    code="E0012",
+                )
+            bound = self.formulas[name]
+            if isinstance(bound, Exception):
+                # a formula that failed to parse only errors when it is
+                # actually referenced (test_unused_formula_does_not_
+                # report_query_error)
+                raise bound
+            self._formula_stack.append(name)
+            try:
+                val = self.compile(bound)
+            finally:
+                self._formula_stack.pop()
             self.scope[name] = val  # hash-consing: formulas compile once
             return val
         known = set(self.tables) | set(self.formulas) | set(self.scope)
@@ -461,7 +499,17 @@ class Compiler:
         # Fenl casts yield null on unparseable/overflowing input
         # (cast_tests.rs: '"hello" as i64' -> null); Spark 4's ANSI cast
         # would raise, so lower to try_cast
-        return replace(v, col=v.col.try_cast(_FENL_TYPES[node.to]))
+        tgt = _FENL_TYPES[node.to]
+        if tgt in ("tinyint", "smallint", "int", "bigint", "long", "float", "double"):
+            from pyspark.sql import types as T
+
+            if isinstance(self._spark_type(v.col), T.TimestampType):
+                # timestamp_ns as a number = NANOSECONDS since epoch
+                # (time_tests.rs test_time_of_record_as_i64), not Spark's
+                # epoch-seconds cast
+                ns = F.unix_micros(v.col) * F.lit(1000)
+                return replace(v, col=ns.try_cast(tgt))
+        return replace(v, col=v.col.try_cast(tgt))
 
     # -- calls ---------------------------------------------------------
     def _c_call(self, node: A.Call) -> CVal | WindowVal | TickVal:
@@ -806,27 +854,68 @@ class Compiler:
         c = self.compile(c_node)
         v = self.compile(v_node)
         self._chk(c, v)
-        return self._v(S.if_(_masked(c.col, c.mask), v.col), _or_masks(c, v))
+        cond = _masked(c.col, c.mask)
+        if v.fields is not None:
+            return self._map_record(v, lambda col: S.if_(cond, col), _or_masks(c, v))
+        return self._v(S.if_(cond, v.col), _or_masks(c, v))
 
     def _fn_null_if(self, node: A.Call) -> CVal:
         c_node, v_node = self._positional(node, 2, ("condition", "value"))
         c = self.compile(c_node)
         v = self.compile(v_node)
         self._chk(c, v)
-        return self._v(S.null_if(_masked(c.col, c.mask), v.col), _or_masks(c, v))
+        cond = _masked(c.col, c.mask)
+        if v.fields is not None:
+            return self._map_record(
+                v, lambda col: S.null_if(cond, col), _or_masks(c, v)
+            )
+        return self._v(S.null_if(cond, v.col), _or_masks(c, v))
 
     def _fn_else_(self, node: A.Call) -> CVal:
         d_node, v_node = self._positional(node, 2, ("default", "value"))
         d = self.compile(d_node)
         v = self.compile(v_node)
         self._chk(d, v)
+        if v.fields is not None and d.fields is not None:
+            # fieldwise else over matching record fields
+            # (logical_tests.rs test_else_record)
+            dcols = {n: f.col for n, f in d.fields.items()}
+            mask = _or_masks(d, v)
+            new_fields = {
+                n: replace(f, col=F.coalesce(f.col, dcols[n]) if n in dcols else f.col,
+                           mask=mask)
+                for n, f in v.fields.items()
+            }
+            col = F.struct(*[f.col.alias(n) for n, f in new_fields.items()])
+            return self._v(col, mask, fields=new_fields)
         return self._v(F.coalesce(v.col, d.col), _or_masks(d, v))
 
     _fn_else = _fn_else_
 
     def _fn_coalesce(self, node: A.Call) -> CVal:
+        if not node.args and not self.input_stack:
+            # coalesce() with no argument and no pipe input
+            # (coalesce_tests.rs test_coalesce_zero)
+            raise FenlCompileError("expected 1 argument but got 0", code="E0008")
         vals = [self.compile(a) for a in (node.args or (A.Ref("$input"),))]
         self._chk(*vals)
+        if len(vals) > 1:
+            # all arguments must share a type family — mixing e.g. i64
+            # and string is E0010 (test_coalesce_incompatible_types)
+            from pyspark.sql import types as T
+
+            def family(t):
+                if isinstance(t, T.NumericType):
+                    return "number"
+                return type(t).__name__
+
+            fams = {family(self._spark_type(v.col)) for v in vals}
+            if len(fams) > 1:
+                raise FenlCompileError(
+                    "invalid types for call to 'coalesce': "
+                    + ", ".join(sorted(fams)),
+                    code="E0010",
+                )
         return self._v(F.coalesce(*[v.col for v in vals]), _or_masks(*vals))
 
     def _fn_hash(self, node: A.Call) -> CVal:
@@ -969,7 +1058,15 @@ def compile_fenl(
     if isinstance(tables, Timeline):
         tables = {"Input": tables}
     node = parse(source)
-    parsed_formulas = {n: parse(s) for n, s in (formulas or {}).items()}
+    # Formula parse failures defer until the formula is referenced: an
+    # unused invalid formula must not fail the query (formula_tests.rs
+    # test_unused_formula_does_not_report_query_error)
+    parsed_formulas: dict[str, A.Node] = {}
+    for n, s in (formulas or {}).items():
+        try:
+            parsed_formulas[n] = parse(s)
+        except Exception as exc:  # noqa: BLE001 — re-raised on reference
+            parsed_formulas[n] = exc
     referenced = _referenced_tables(node, parsed_formulas, tables)
     primary = referenced[0] if referenced else _primary_table(node, parsed_formulas, tables)
     ticks = _tick_units(node, parsed_formulas)
@@ -1041,6 +1138,8 @@ def _tick_units(node: A.Node, formulas: dict[str, A.Node]) -> tuple[str, ...]:
     seen: set[str] = set()
 
     def walk(n: A.Node, env: dict[str, A.Node]) -> None:
+        if isinstance(n, Exception):  # deferred formula parse failure
+            return
         if isinstance(n, A.Call):
             if n.func in TICK_UNITS and n.func not in units:
                 units.append(n.func)
@@ -1079,6 +1178,8 @@ def _referenced_tables(
     seen: set[str] = set()
 
     def walk(n: A.Node, env: dict[str, A.Node]) -> None:
+        if isinstance(n, Exception):  # deferred formula parse failure
+            return
         if isinstance(n, A.Call) and n.func == "lookup":
             # only the key side contributes to the primary grouping
             if n.args:

@@ -234,26 +234,34 @@ def months(n: Column) -> Column:
     return F.make_ym_interval(months=n.cast("int"))
 
 
+def _as_ts(t: Column) -> Column:
+    """Coerce to timestamp: Fenl lets a string literal stand in for a
+    timestamp (time_tests.rs test_add_time_duration_s_to_literal), and
+    try_cast keeps the null-on-invalid cast semantics."""
+    return t.try_cast("timestamp")
+
+
 def add_time(delta: Column, t: Column) -> Column:
-    return t + delta
+    return _as_ts(t) + delta
 
 
 def seconds_between(t1: Column, t2: Column) -> Column:
-    return (F.unix_timestamp(t2) - F.unix_timestamp(t1)).cast("long")
+    return (F.unix_timestamp(_as_ts(t2)) - F.unix_timestamp(_as_ts(t1))).cast("long")
 
 
 def days_between(t1: Column, t2: Column) -> Column:
     """Whole 24-hour periods between t1 and t2, truncated toward zero
     (reference interval_days semantics — days_between.toml: timestamps
     23h apart give 0, -1.79 days gives -1; NOT calendar-day datediff)."""
-    secs = F.unix_timestamp(t2) - F.unix_timestamp(t1)
+    secs = F.unix_timestamp(_as_ts(t2)) - F.unix_timestamp(_as_ts(t1))
     return (secs / F.lit(86400)).cast("long").cast("int")
 
 
 def months_between(t1: Column, t2: Column) -> Column:
     """Whole calendar months between t1 and t2 (reference returns i32
     calendar months, evaluators/time/months_between.rs)."""
-    return ((F.year(t2) - F.year(t1)) * 12 + (F.month(t2) - F.month(t1))).cast("int")
+    a, b = _as_ts(t1), _as_ts(t2)
+    return ((F.year(b) - F.year(a)) * 12 + (F.month(b) - F.month(a))).cast("int")
 
 
 # --- validity / hashing / json (inst.rs:100,104,108-110) ---

@@ -1,0 +1,405 @@
+"""e2e goldens ported from the reference's sparrow-main test suites.
+
+Each test transcribes the QueryFixture query and expected CSV snapshot
+from /root/reference/crates/sparrow-main/tests/e2e/*.rs (time_tests,
+coalesce_tests, logical_tests, equality_tests, comparison_tests,
+record_tests, general_tests, formula_tests, with_key_tests,
+entity_key_output_tests) and replays it through the full Fenl
+parse → compile → Spark pipeline. Reference convention: an empty CSV
+field in a STRING column is the empty string "", not null (fixtures.rs
+strings_data_fixture); empty non-string fields are null.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from kaskada_spark.fenl import fenl
+from kaskada_spark.fenl.compiler import FenlCompileError
+from kaskada_spark.timeline import Timeline
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+# ----------------------------------------------------------------------
+# fixtures.rs transcriptions (times shifted -08:00 → UTC, matching the
+# reference CSV writer's UTC output)
+# ----------------------------------------------------------------------
+def _times_tl(spark) -> Timeline:
+    # fixtures.rs timestamp_ns_data_fixture: key,n,m,other_time,fruit
+    rows = [
+        ("1994-12-20T00:39:57", "A", 2, 4, "2003-12-20T00:39:57", "pear"),
+        ("1995-10-20T00:40:57", "B", 4, 3, "1994-11-20T00:39:57", "watermelon"),
+        ("1996-08-20T00:41:57", "B", 5, None, "1998-12-20T00:39:57", "mango"),
+        ("1997-12-12T00:42:57", "B", None, None, "1992-12-20T00:39:57", ""),
+        ("1998-12-13T00:43:57", "B", 8, 8, None, ""),
+        ("2004-12-06T00:44:57", "B", 23, 11, "1994-12-20T00:39:57", "mango"),
+    ]
+    df = spark.createDataFrame(
+        [
+            (_ts(t), i, k, n, m, _ts(o) if o else None, f)
+            for i, (t, k, n, m, o, f) in enumerate(rows)
+        ],
+        "time timestamp, sub long, key string, n long, m long, "
+        "other_time timestamp, fruit string",
+    )
+    return Timeline.from_events(df, time_col="time", key_col="key", subsort_col="sub")
+
+
+def _booleans_tl(spark) -> Timeline:
+    # fixtures.rs boolean_data_fixture: a,b with every null combination
+    vals = [
+        (True, True), (False, False), (None, True), (True, False),
+        (False, True), (False, None), (None, None),
+    ]
+    t0 = _ts("1996-12-20T00:39:57")
+    df = spark.createDataFrame(
+        [
+            (t0 + dt.timedelta(minutes=i), i, "A" if i == 0 else "B", a, b)
+            for i, (a, b) in enumerate(vals)
+        ],
+        "time timestamp, sub long, key string, a boolean, b boolean",
+    )
+    return Timeline.from_events(df, time_col="time", key_col="key", subsort_col="sub")
+
+
+def _strings2_tl(spark) -> Timeline:
+    # fixtures.rs strings_data_fixture with the t column; "" not null
+    vals = [
+        ("hEllo", 0, "hEllo"), ("World", 5, "world"),
+        ("hello world", -2, "hello world"), ("", -2, "greetings"),
+        ("", 2, "salutations"), ("goodbye", None, ""),
+    ]
+    t0 = _ts("1996-12-20T00:39:57")
+    df = spark.createDataFrame(
+        [
+            (t0 + dt.timedelta(minutes=i), i, "A" if i == 0 else "B", s, n, t)
+            for i, (s, n, t) in enumerate(vals)
+        ],
+        "time timestamp, sub long, key string, s string, n long, t string",
+    )
+    return Timeline.from_events(df, time_col="time", key_col="key", subsort_col="sub")
+
+
+def _numbers_tl(spark, floats: bool = False) -> Timeline:
+    # fixtures.rs {i64,f64}_data_fixture: keys A,B,A,A,A,A with nulls
+    if floats:
+        m, n = [5.2, 24.3, 17.6, None, 12.4, None], [10.0, 3.9, 6.2, 9.25, None, None]
+        typ = "double"
+    else:
+        m, n = [5, 24, 17, None, 12, None], [10, 3, 6, 9, None, None]
+        typ = "long"
+    t0 = _ts("1996-12-20T00:39:57")
+    df = spark.createDataFrame(
+        [
+            (t0 + dt.timedelta(seconds=i), i, k, m[i], n[i])
+            for i, k in enumerate("ABAAAA")
+        ],
+        f"time timestamp, sub long, key string, m {typ}, n {typ}",
+    )
+    return Timeline.from_events(df, time_col="time", key_col="key", subsort_col="sub")
+
+
+def _got(out, *cols):
+    """Collect rows keyed by _subsort for positional golden asserts."""
+    return {r["_subsort"]: tuple(r[c] for c in cols) for r in out.collect()}
+
+
+def _col(out, col):
+    g = _got(out, col)
+    return [g[i][0] for i in range(len(g))]
+
+
+# ----------------------------------------------------------------------
+# time_tests.rs
+# ----------------------------------------------------------------------
+def test_e2e_time_of_and_calendar_parts(spark):
+    # time_tests.rs::{test_time_of_record,test_time_of_record_as_i64,
+    # test_day_of_month(0),test_day_of_year(0),test_month_of_year(0),
+    # test_year} goldens
+    q = """{ t: time_of(Times), tns: time_of(Times) as i64
+           , dom: day_of_month(Times.time), dom0: day_of_month0(Times.time)
+           , doy: day_of_year(Times.time), doy0: day_of_year0(Times.time)
+           , moy: month_of_year(Times.time), moy0: month_of_year0(Times.time)
+           , y: year(Times.time) }"""
+    out = fenl(q, {"Times": _times_tl(spark)})
+    got = _got(out, "t", "tns", "dom", "dom0", "doy", "doy0", "moy", "moy0", "y")
+    times = ["1994-12-20T00:39:57", "1995-10-20T00:40:57", "1996-08-20T00:41:57",
+             "1997-12-12T00:42:57", "1998-12-13T00:43:57", "2004-12-06T00:44:57"]
+    epoch = dt.datetime(1970, 1, 1)
+    for i, t in enumerate(times):
+        assert got[i][0] == _ts(t)
+        assert got[i][1] == int((_ts(t) - epoch).total_seconds()) * 10**9
+    assert [got[i][2] for i in range(6)] == [20, 20, 20, 12, 13, 6]
+    assert [got[i][3] for i in range(6)] == [19, 19, 19, 11, 12, 5]
+    assert [got[i][4] for i in range(6)] == [354, 293, 233, 346, 347, 341]
+    assert [got[i][5] for i in range(6)] == [353, 292, 232, 345, 346, 340]
+    assert [got[i][6] for i in range(6)] == [12, 10, 8, 12, 12, 12]
+    assert [got[i][7] for i in range(6)] == [11, 9, 7, 11, 11, 11]
+    assert [got[i][8] for i in range(6)] == [1994, 1995, 1996, 1997, 1998, 2004]
+
+
+def test_e2e_add_time_durations_and_intervals(spark):
+    # time_tests.rs::{test_add_time_duration_s, test_add_time_interval_
+    # months(+literal,+negative), test_add_time_interval_days(+literal),
+    # test_add_time_duration_s_to_literal} goldens — null n nulls the sum
+    q = """{ s: Times.time | add_time(seconds(Times.n))
+           , mo: Times.time | add_time(months(Times.n))
+           , mneg: Times.time | add_time(months(-1))
+           , d: Times.time | add_time(days(Times.n))
+           , dlit: Times.time | add_time(days(372))
+           , slit: "1994-12-20T00:39:59.000000000Z" | add_time(seconds(Times.n)) }"""
+    out = fenl(q, {"Times": _times_tl(spark)})
+    got = _got(out, "s", "mo", "mneg", "d", "dlit", "slit")
+
+    def ts(v):
+        return _ts(v) if v else None
+
+    assert [got[i][0] for i in range(6)] == [
+        ts("1994-12-20T00:39:59"), ts("1995-10-20T00:41:01"),
+        ts("1996-08-20T00:42:02"), None,
+        ts("1998-12-13T00:44:05"), ts("2004-12-06T00:45:20")]
+    assert [got[i][1] for i in range(6)] == [
+        ts("1995-02-20T00:39:57"), ts("1996-02-20T00:40:57"),
+        ts("1997-01-20T00:41:57"), None,
+        ts("1999-08-13T00:43:57"), ts("2006-11-06T00:44:57")]
+    assert [got[i][2] for i in range(6)] == [
+        ts("1994-11-20T00:39:57"), ts("1995-09-20T00:40:57"),
+        ts("1996-07-20T00:41:57"), ts("1997-11-12T00:42:57"),
+        ts("1998-11-13T00:43:57"), ts("2004-11-06T00:44:57")]
+    assert [got[i][3] for i in range(6)] == [
+        ts("1994-12-22T00:39:57"), ts("1995-10-24T00:40:57"),
+        ts("1996-08-25T00:41:57"), None,
+        ts("1998-12-21T00:43:57"), ts("2004-12-29T00:44:57")]
+    assert [got[i][4] for i in range(6)] == [
+        ts("1995-12-27T00:39:57"), ts("1996-10-26T00:40:57"),
+        ts("1997-08-27T00:41:57"), ts("1998-12-19T00:42:57"),
+        ts("1999-12-20T00:43:57"), ts("2005-12-13T00:44:57")]
+    assert [got[i][5] for i in range(6)] == [
+        ts("1994-12-20T00:40:01"), ts("1994-12-20T00:40:03"),
+        ts("1994-12-20T00:40:04"), None,
+        ts("1994-12-20T00:40:07"), ts("1994-12-20T00:40:22")]
+
+
+def test_e2e_between_functions(spark):
+    # time_tests.rs::{test_seconds_between, test_days_between,
+    # test_months_between, test_*_between_literal} goldens — directional
+    # (other - time), days truncate toward zero, months are calendar
+    # year*12+month deltas
+    q = """{ sb: seconds_between(Times.time, Times.other_time) as i64
+           , db: days_between(Times.time, Times.other_time) as i32
+           , mb: months_between(Times.time, Times.other_time) as i32
+           , sbl: seconds_between(Times.time, "1994-12-20T08:41:57.000000000Z") as i64
+           , dbl: days_between(Times.time, "1994-12-20T08:41:57.000000000Z") as i32 }"""
+    out = fenl(q, {"Times": _times_tl(spark)})
+    got = _got(out, "sb", "db", "mb", "sbl", "dbl")
+    assert [got[i][0] for i in range(6)] == [
+        283996800, -28857660, 73612680, -157075380, None, -314409900]
+    assert [got[i][1] for i in range(6)] == [3287, -334, 851, -1818, None, -3639]
+    assert [got[i][2] for i in range(6)] == [108, -11, 28, -60, None, -120]
+    assert [got[i][3] for i in range(6)] == [
+        28920, -26236740, -52588800, -93974460, -125596920, -314380980]
+    assert [got[i][4] for i in range(6)] == [0, -303, -608, -1087, -1453, -3638]
+
+
+def test_e2e_mean_time_between(spark):
+    # time_tests.rs::test_mean_time_between — lag + seconds_between +
+    # running mean pipeline
+    q = """
+        let curr = time_of(Times)
+        let prev = curr | lag(1)
+        let elapsed = seconds_between(prev, curr) as i64
+        in { elapsed, mean_elapsed: mean(elapsed) }"""
+    out = fenl(q, {"Times": _times_tl(spark)})
+    got = _got(out, "elapsed", "mean_elapsed")
+    assert [got[i][0] for i in range(6)] == [
+        None, None, 26352060, 41385660, 31622460, 188784060]
+    assert [got[i][1] for i in range(6)] == [
+        None, None, 26352060.0, 33868860.0, 33120060.0, 72036060.0]
+
+
+# ----------------------------------------------------------------------
+# coalesce_tests.rs
+# ----------------------------------------------------------------------
+def test_e2e_coalesce_values(spark):
+    # coalesce_tests.rs::{test_coalesce_two_boolean ($input pipe),
+    # test_coalesce_two_i64_one_literal} goldens
+    out = fenl(
+        "{ c: Booleans.a | coalesce($input, Booleans.b) }",
+        {"Booleans": _booleans_tl(spark)},
+    )
+    assert _col(out, "c") == [True, False, True, True, False, False, None]
+
+    out = fenl(
+        "{ c: coalesce(Numbers.m, Numbers.n, 42) }",
+        {"Numbers": _numbers_tl(spark)},
+    )
+    assert _col(out, "c") == [5, 24, 17, 9, 12, 42]
+
+
+def test_e2e_coalesce_literal_widening(spark):
+    # coalesce_tests.rs::test_coalesce_one_i64_one_literal_f64 — an f64
+    # literal widens the whole result to f64
+    out = fenl(
+        "{ c: coalesce(Times.n, 12345.7) }", {"Times": _times_tl(spark)}
+    )
+    assert dict(out.dtypes)["c"] == "double"
+    assert _col(out, "c") == [2.0, 4.0, 5.0, 12345.7, 8.0, 23.0]
+
+
+def test_e2e_coalesce_strings_and_records(spark):
+    # coalesce_tests.rs::{test_coalesce_two_string ("" is a VALUE, so it
+    # wins over a later non-empty), test_coalesce_two_record}
+    out = fenl(
+        "{ c: coalesce(Strings.s, Strings.t) }", {"Strings": _strings2_tl(spark)}
+    )
+    assert _col(out, "c") == [
+        "hEllo", "World", "hello world", "", "", "goodbye"]
+
+    out = fenl(
+        "{ c: coalesce(Times, Times) | $input.n }", {"Times": _times_tl(spark)}
+    )
+    assert _col(out, "c") == [2, 4, 5, None, 8, 23]
+
+
+def test_e2e_coalesce_errors(spark):
+    # coalesce_tests.rs::{test_coalesce_zero → E0008,
+    # test_coalesce_incompatible_types → E0010}
+    tl = {"Numbers": _numbers_tl(spark)}
+    with pytest.raises(FenlCompileError) as ei:
+        fenl("{ c: coalesce() }", tl)
+    assert "E0008" in str(ei.value)
+    with pytest.raises(FenlCompileError) as ei:
+        fenl('{ c: coalesce(Numbers.m, "hello") }', tl)
+    assert "E0010" in str(ei.value)
+
+
+# ----------------------------------------------------------------------
+# logical_tests.rs
+# ----------------------------------------------------------------------
+def test_e2e_logical_kleene(spark):
+    # logical_tests.rs::{test_not_boolean, test_logical_or_boolean,
+    # test_logical_and_boolean} — three-valued logic goldens
+    q = "{ na: !Booleans.a, o: Booleans.a or Booleans.b, a: Booleans.a and Booleans.b }"
+    out = fenl(q, {"Booleans": _booleans_tl(spark)})
+    got = _got(out, "na", "o", "a")
+    assert [got[i][0] for i in range(7)] == [False, True, None, False, True, True, None]
+    assert [got[i][1] for i in range(7)] == [True, False, True, True, True, None, None]
+    assert [got[i][2] for i in range(7)] == [True, False, None, False, False, False, None]
+
+
+def test_e2e_if_null_if_else_i64(spark):
+    # logical_tests.rs::{test_if_i64, test_null_if_i64, test_else_i64}
+    q = """{ i: Numbers.m | if(Numbers.m == 5)
+           , ni: Numbers.m | null_if(Numbers.m == 5)
+           , e: Numbers.m | else(Numbers.n) }"""
+    out = fenl(q, {"Numbers": _numbers_tl(spark)})
+    got = _got(out, "i", "ni", "e")
+    assert [got[i][0] for i in range(6)] == [5, None, None, None, None, None]
+    assert [got[i][1] for i in range(6)] == [None, 24, 17, None, 12, None]
+    assert [got[i][2] for i in range(6)] == [5, 24, 17, 9, 12, None]
+
+
+def test_e2e_if_null_if_literal(spark):
+    # logical_tests.rs::{test_if_literal, test_null_if_literal} — a
+    # literal inherits the condition's universe
+    q = """{ i: 1 | if(Times.key == "B"), ni: 1 | null_if(Times.key == "B") }"""
+    out = fenl(q, {"Times": _times_tl(spark)})
+    got = _got(out, "i", "ni")
+    assert [got[i][0] for i in range(6)] == [None, 1, 1, 1, 1, 1]
+    assert [got[i][1] for i in range(6)] == [1, None, None, None, None, None]
+
+
+def test_e2e_if_else_records_and_strings(spark):
+    # logical_tests.rs::{test_if_record, test_else_record,
+    # test_else_string ("" is a value and suppresses the else arm)}
+    q = """{ ir: Times | if(Times.key == "B") | $input.n
+           , er: Times | else(Times) | $input.n }"""
+    out = fenl(q, {"Times": _times_tl(spark)})
+    got = _got(out, "ir", "er")
+    assert [got[i][0] for i in range(6)] == [None, 4, 5, None, 8, 23]
+    assert [got[i][1] for i in range(6)] == [2, 4, 5, None, 8, 23]
+
+    out = fenl(
+        "{ e: Strings.s | else(Strings.t) }", {"Strings": _strings2_tl(spark)}
+    )
+    assert _col(out, "e") == ["hEllo", "World", "hello world", "", "", "goodbye"]
+
+
+def test_e2e_if_record_nulls_all_fields(spark):
+    # logical_tests.rs::{test_if_null_condition_string_equality,
+    # test_null_if_null_condition} — a false/null condition nulls every
+    # field of the record but KEEPS the row
+    out = fenl('Times | if ($input.fruit == "mango")', {"Times": _times_tl(spark)})
+    got = _got(out, "n", "key")
+    assert len(got) == 6
+    assert [got[i][0] for i in range(6)] == [None, None, 5, None, None, 23]
+    assert [got[i][1] for i in range(6)] == [None, None, "B", None, None, "B"]
+
+    out = fenl("Times | null_if ($input.n > 6)", {"Times": _times_tl(spark)})
+    got = _got(out, "n")
+    assert [got[i][0] for i in range(6)] == [2, 4, 5, None, None, None]
+
+
+def test_e2e_if_record_then_when(spark):
+    # logical_tests.rs::test_if_record_nested_is_valid_num_eq — extend +
+    # record-if + when(is_valid) keeps only the surviving rows
+    out = fenl(
+        "Times | extend({gr_5: $input.n > 5}) | if(Times.n > 5) "
+        "| when(is_valid($input.key))",
+        {"Times": _times_tl(spark)},
+    )
+    rows = sorted((r["_time"], r["n"], r["gr_5"]) for r in out.collect())
+    assert rows == [
+        (_ts("1998-12-13T00:43:57"), 8, True),
+        (_ts("2004-12-06T00:44:57"), 23, True),
+    ]
+
+
+# ----------------------------------------------------------------------
+# formula_tests.rs
+# ----------------------------------------------------------------------
+def test_e2e_formulas_out_of_order(spark):
+    # formula_tests.rs::test_formulas_out_of_order — formulas resolve by
+    # reference, not declaration order
+    out = fenl(
+        "{ m: Numbers.m, n: Numbers.n, add: n_plus_m }",
+        {"Numbers": _numbers_tl(spark)},
+        formulas={"n_plus_m": "numbers_m + Numbers.n", "numbers_m": "Numbers.m"},
+    )
+    assert _col(out, "add") == [15, 27, 23, None, None, None]
+
+
+def test_e2e_formulas_cyclic_dependency(spark):
+    # formula_tests.rs::test_formulas_cyclic_dependency → E0012
+    with pytest.raises(FenlCompileError) as ei:
+        fenl(
+            "{ sum: n + m }", {"Numbers": _numbers_tl(spark)},
+            formulas={"n": "m + 1", "m": "n + 1"},
+        )
+    msg = str(ei.value)
+    assert "error[E0012]: Circular dependency" in msg
+    assert "'n'" in msg and "'m'" in msg
+
+
+def test_e2e_unused_invalid_formula_ok(spark):
+    # formula_tests.rs::test_unused_formula_does_not_report_query_error:
+    # an invalid formula only errors when referenced
+    out = fenl(
+        "{ n: Numbers.n }", {"Numbers": _numbers_tl(spark)},
+        formulas={"Invalid": "Numbers.n + $$"},
+    )
+    assert _col(out, "n") == [10, 3, 6, 9, None, None]
+
+    # ...but referencing it reports the formula's own syntax error
+    # (test_invalid_formula_not_rereported)
+    with pytest.raises(ValueError) as ei:
+        fenl(
+            "{ n: Invalid + 5 }", {"Numbers": _numbers_tl(spark)},
+            formulas={"Invalid": "Numbers.n + $$"},
+        )
+    assert "E0011" in str(ei.value)
