@@ -100,6 +100,7 @@ _DIAG = {
     "E0010": "Invalid argument type(s)",
     "E0011": "Invalid syntax",
     "E0012": "Circular dependency",
+    "E0014": "Invalid non-constant argument",
 }
 
 
@@ -443,6 +444,9 @@ class Compiler:
         )
 
     def _c_record(self, node: A.Record) -> CVal:
+        if not node.fields:
+            # record_tests.rs test_empty_record: `{ }` is E0008
+            raise FenlCompileError("record needs at least one field", code="E0008")
         fields: dict[str, CVal] = {}
         for name, sub in node.fields:
             if name in fields:
@@ -499,16 +503,28 @@ class Compiler:
         # Fenl casts yield null on unparseable/overflowing input
         # (cast_tests.rs: '"hello" as i64' -> null); Spark 4's ANSI cast
         # would raise, so lower to try_cast
+        from pyspark.sql import types as T
+
         tgt = _FENL_TYPES[node.to]
         if tgt in ("tinyint", "smallint", "int", "bigint", "long", "float", "double"):
-            from pyspark.sql import types as T
-
             if isinstance(self._spark_type(v.col), T.TimestampType):
                 # timestamp_ns as a number = NANOSECONDS since epoch
                 # (time_tests.rs test_time_of_record_as_i64), not Spark's
                 # epoch-seconds cast
                 ns = F.unix_micros(v.col) * F.lit(1000)
                 return replace(v, col=ns.try_cast(tgt))
+        elif node.to.startswith("timestamp_") and isinstance(
+            self._spark_type(v.col), T.NumericType
+        ):
+            # a number as timestamp_<unit> counts <unit>s since epoch
+            # (reference timestamp cast kernels)
+            unit = node.to.rsplit("_", 1)[1]
+            if unit == "ns":
+                micros = (v.col / F.lit(1000)).try_cast("long")
+            else:
+                micros = (v.col * F.lit({"s": 10**6, "ms": 10**3, "us": 1}[unit])
+                          ).try_cast("long")
+            return replace(v, col=F.timestamp_micros(micros))
         return replace(v, col=v.col.try_cast(tgt))
 
     # -- calls ---------------------------------------------------------
@@ -667,14 +683,17 @@ class Compiler:
 
     def _rebase(self, tl: Timeline, keep_fields: dict[str, CVal] | None) -> CVal:
         """Swap the universe to a re-rooted timeline (after shift/
-        with_key) and return its whole-record value."""
+        with_key) and return its value — the whole record when the input
+        was a record, the bare scalar otherwise (with_key_tests.rs
+        test_with_key_aggregate_select re-keys a running sum and the
+        result stays a scalar column)."""
         self.df = tl.df
         self.universe_gen += 1
-        if keep_fields is not None:
-            fields = {n: self._v(F.col(n)) for n in keep_fields}
-            col = F.struct(*[F.col(n).alias(n) for n in fields])
-            return self._v(col, fields=fields)
-        return self._table_val()
+        if keep_fields is None:
+            return self._v(F.col("result"))
+        fields = {n: self._v(F.col(n)) for n in keep_fields}
+        col = F.struct(*[F.col(n).alias(n) for n in fields])
+        return self._v(col, fields=fields)
 
     def _domain_input(
         self, v: CVal, extra: dict[str, Column] | None = None
@@ -696,7 +715,7 @@ class Compiler:
             tl = Timeline(df.select(*META, *extra, *names))
             return tl, {n: None for n in names}
         df = df.withColumn("result", v.col)
-        return Timeline(df.select(*META, *extra, "result")), {"result": None}
+        return Timeline(df.select(*META, *extra, "result")), None
 
     def _fn_shift_by(self, node: A.Call) -> CVal:
         d_node, v_node = self._positional(node, 2, ("delta", "value"))
@@ -732,13 +751,29 @@ class Compiler:
         tl = Timeline(base.select(*META, *names, "__fenl_pred"))
         shifted = tl.shift_until(F.col("__fenl_pred"))
         out = Timeline(shifted.df.drop("__fenl_pred"))
-        return self._rebase(out, {n: None for n in names})
+        return self._rebase(
+            out, {n: None for n in names} if v.fields is not None else None
+        )
 
     def _fn_with_key(self, node: A.Call) -> CVal:
+        # `grouping=` only names the new grouping domain for slicing
+        # metadata (with_key.toml) — accepted, no runtime effect here
+        if any(kn == "grouping" for kn, _ in node.kwargs):
+            node = replace(
+                node, kwargs=tuple((kn, kv) for kn, kv in node.kwargs
+                                   if kn != "grouping")
+            )
         k_node, v_node = self._positional(node, 2, ("key", "value"))
         k = self.compile(k_node)
         v = self.compile(v_node)
         self._chk(k, v)
+        if k.fields is not None:
+            # with_key_tests.rs test_with_key_unsupported_type: a record
+            # is not a valid key
+            raise FenlCompileError(
+                "invalid types for call to 'with_key': expected 'key', "
+                "got a record", code="E0010",
+            )
         tl, fields = self._domain_input(v, {"__fenl_newkey": k.col})
         rekeyed = Timeline(tl.with_key(F.col("__fenl_newkey")).df.drop("__fenl_newkey"))
         return self._rebase(rekeyed, fields)
@@ -748,15 +783,64 @@ class Compiler:
         expression at the primary timeline's rows (reference
         functions/general.rs:33-88, LookupRequest/Response ops)."""
         k_node, v_node = self._positional(node, 2, ("key", "value"))
-        k = self.compile(k_node)
         env = {**self.formulas, **self.ast_bindings}
         foreign_name = _foreign_table_of(
             v_node, set(self.tables) - {self.primary}, env
         )
+        if foreign_name is None and _depends_on_input(v_node, env):
+            # Piped value (Table | with_key(..) | .. | lookup(key)): the
+            # CURRENT (re-keyed) universe is the foreign side; the key
+            # evaluates over a fresh copy of the primary universe, which
+            # becomes the result universe (with_key_tests.rs
+            # test_with_key_lookup_select).
+            from pyspark.sql import types as T
+
+            v = self.compile(v_node)
+            self._chk(v)
+            field_cols: dict[str, Column] | None = None
+            if v.fields is not None:
+                field_cols = {n: f.col for n, f in v.fields.items()}
+            elif isinstance(self._spark_type(v.col), T.StructType):
+                # e.g. `.. | last() | lookup(key)`: a struct value whose
+                # field structure went through an aggregation
+                field_cols = {
+                    f.name: v.col.getField(f.name)
+                    for f in self._spark_type(v.col).fields
+                }
+            if field_cols is not None:
+                # alias foreign value columns to fresh names so they
+                # can't collide with the key-side payload columns
+                aliases = {n: self._fresh(f"lkp_{n}") for n in field_cols}
+                fdf = self.df
+                for n, c in field_cols.items():
+                    fdf = fdf.withColumn(aliases[n], _masked(c, v.mask))
+                names = list(aliases.values())
+            else:
+                names = ["__fenl_lv"]
+                fdf = self.df.withColumn("__fenl_lv", _masked(v.col, v.mask))
+            foreign_tl = Timeline(fdf.select(*META, *names))
+            key_comp = Compiler(self.tables, self.primary, env)
+            kv = key_comp.compile(k_node)
+            out = Timeline(key_comp.df).lookup(foreign_tl, key=kv.col, values=names)
+            self.df = out.df
+            self.universe_gen += 1
+            if field_cols is not None:
+                fields = {
+                    n: self._v(F.col(a), continuous=True)
+                    for n, a in aliases.items()
+                }
+                col = F.struct(*[f.col.alias(n) for n, f in fields.items()])
+                return self._v(col, continuous=True, fields=fields)
+            alias = self._fresh("lookup")
+            self.df = self.df.withColumnRenamed("__fenl_lv", alias)
+            return self._v(F.col(alias), continuous=True)
         if foreign_name is None:
-            raise FenlCompileError(
-                "lookup(value) must reference exactly one foreign table"
-            )
+            # Self-grouping value (e.g. lookup(k, with_key(k2, agg))):
+            # the value still compiles in its own fresh universe rooted
+            # at the primary table (entity_key_output_tests.rs
+            # test_lookup_with_key_entity_keys)
+            foreign_name = self.primary
+        k = self.compile(k_node)
         # ticks used inside the lookup value belong to the FOREIGN
         # universe: scan the value subtree (chasing env bindings) and
         # inject them in the sub-compiler, not the primary one
@@ -798,21 +882,46 @@ class Compiler:
         return self._field_subset(node, keep=False)
 
     def _field_subset(self, node: A.Call, keep: bool) -> CVal:
+        # error codes mirror record_tests.rs: non-record base / non-string
+        # field → E0010, non-constant field → E0014, unknown field →
+        # E0001, empty result record → E0008
         if not node.args:
-            raise FenlCompileError("select/remove_fields needs a record argument")
+            raise FenlCompileError(
+                "select/remove_fields needs a record argument", code="E0008"
+            )
         rec = self.compile(node.args[0])
-        if rec.fields is None:
-            raise FenlCompileError("select/remove_fields argument must be a record")
+        if not isinstance(rec, CVal) or rec.fields is None:
+            raise FenlCompileError(
+                "select/remove_fields argument must be a record", code="E0010"
+            )
         names = []
         for a in node.args[1:]:
-            if not (isinstance(a, A.Literal) and isinstance(a.value, str)):
-                raise FenlCompileError("field names must be string literals")
-            names.append(a.value)
+            if isinstance(a, A.Literal) and isinstance(a.value, str):
+                names.append(a.value)
+            elif isinstance(a, A.Literal):
+                raise FenlCompileError(
+                    f"field name {a.value!r} must be a string", code="E0010"
+                )
+            else:
+                raise FenlCompileError(
+                    "field names must be constant strings", code="E0014"
+                )
+        for nm in names:
+            if nm not in rec.fields:
+                raise FenlCompileError(
+                    f"no field named {nm!r}"
+                    f"{_nearest(nm, rec.fields, 'fields')}",
+                    code="E0001",
+                )
         chosen = (
             {n: v for n, v in rec.fields.items() if n in names}
             if keep
             else {n: v for n, v in rec.fields.items() if n not in names}
         )
+        if not chosen:
+            raise FenlCompileError(
+                "record would have no fields", code="E0008"
+            )
         col = F.struct(*[v.col.alias(n) for n, v in chosen.items()])
         return replace(rec, col=col, fields=chosen)
 
@@ -978,6 +1087,27 @@ def _foreign_table_of(
 
     walk(node)
     return found.pop() if len(found) == 1 else None
+
+
+def _depends_on_input(node: A.Node, env: dict[str, A.Node] | None = None) -> bool:
+    """True when the expression reads the pipe's $input, chasing
+    let-binding / formula references."""
+    seen: set[str] = set()
+    env = env or {}
+
+    def walk(n: A.Node) -> bool:
+        if isinstance(n, Exception):
+            return False
+        if isinstance(n, A.Ref):
+            if n.name == "$input":
+                return True
+            if n.name in env and n.name not in seen:
+                seen.add(n.name)
+                if walk(env[n.name]):
+                    return True
+        return any(walk(c) for c in _child_nodes(n))
+
+    return walk(node)
 
 
 # scalar registry: Fenl name -> (arity, Column function). All lower to

@@ -403,3 +403,301 @@ def test_e2e_unused_invalid_formula_ok(spark):
             formulas={"Invalid": "Numbers.n + $$"},
         )
     assert "E0011" in str(ei.value)
+
+
+# ----------------------------------------------------------------------
+# equality_tests.rs / comparison_tests.rs
+# ----------------------------------------------------------------------
+def test_e2e_eq_neq_null_strict(spark):
+    # equality_tests.rs::{test_eq_i64, test_neq_i64_old (<>),
+    # test_neq_i64_new (!=), test_eq_i64_literal(+converse),
+    # test_eq_i64_literal_null(+converse)} — null-strict, even vs a
+    # null literal
+    q = """{ eq: Numbers.m == Numbers.n, neq: Numbers.m != Numbers.n
+           , neq2: Numbers.m <> Numbers.n
+           , eql: Numbers.m == 10, eqlc: 10 == Numbers.m
+           , eqn: Numbers.m == null, eqnc: null == Numbers.m }"""
+    out = fenl(q, {"Numbers": _numbers_tl(spark)})
+    got = _got(out, "eq", "neq", "neq2", "eql", "eqlc", "eqn", "eqnc")
+    assert [got[i][0] for i in range(6)] == [False, False, False, None, None, None]
+    assert [got[i][1] for i in range(6)] == [True, True, True, None, None, None]
+    assert [got[i][2] for i in range(6)] == [True, True, True, None, None, None]
+    assert [got[i][3] for i in range(6)] == [False, False, False, None, False, None]
+    assert [got[i][4] for i in range(6)] == [False, False, False, None, False, None]
+    assert [got[i][5] for i in range(6)] == [None] * 6
+    assert [got[i][6] for i in range(6)] == [None] * 6
+
+
+def test_e2e_eq_boolean_and_string(spark):
+    # equality_tests.rs::{test_eq_boolean, test_eq_boolean_literal,
+    # test_eq_string ("" is a value: "" == "greetings" is false)}
+    out = fenl(
+        "{ eq: Booleans.a == Booleans.b, eql: Booleans.a == true }",
+        {"Booleans": _booleans_tl(spark)},
+    )
+    got = _got(out, "eq", "eql")
+    assert [got[i][0] for i in range(7)] == [
+        True, True, None, False, False, None, None]
+    assert [got[i][1] for i in range(7)] == [
+        True, False, None, True, False, False, None]
+
+    out = fenl(
+        "{ eq: Strings.s == Strings.t }", {"Strings": _strings2_tl(spark)}
+    )
+    assert _col(out, "eq") == [True, False, True, False, False, False]
+
+
+def test_e2e_comparisons(spark):
+    # comparison_tests.rs::{test_lt_i64, test_gt_i64, test_lte_i64,
+    # test_gte_i64, test_*_i64_literal} goldens
+    q = """{ lt: Numbers.m < Numbers.n, gt: Numbers.m > Numbers.n
+           , lte: Numbers.m <= Numbers.n, gte: Numbers.m >= Numbers.n
+           , ltl: Numbers.m < 10, gtl: Numbers.m > 10
+           , ltel: Numbers.m <= 10, gtel: Numbers.m >= 10 }"""
+    out = fenl(q, {"Numbers": _numbers_tl(spark)})
+    got = _got(out, "lt", "gt", "lte", "gte", "ltl", "gtl", "ltel", "gtel")
+    assert [got[i][0] for i in range(6)] == [True, False, False, None, None, None]
+    assert [got[i][1] for i in range(6)] == [False, True, True, None, None, None]
+    assert [got[i][2] for i in range(6)] == [True, False, False, None, None, None]
+    assert [got[i][3] for i in range(6)] == [False, True, True, None, None, None]
+    assert [got[i][4] for i in range(6)] == [True, False, False, None, False, None]
+    assert [got[i][5] for i in range(6)] == [False, True, True, None, True, None]
+    assert [got[i][6] for i in range(6)] == [True, False, False, None, False, None]
+    assert [got[i][7] for i in range(6)] == [False, True, True, None, True, None]
+
+
+def test_e2e_timestamp_unit_casts(spark):
+    # comparison_tests.rs::test_lt_timestamp_ns — i64 as timestamp_ns
+    # counts NANOSECONDS; round-trips with the as-i64 cast. Spark
+    # timestamps floor to MICROsecond precision, so the comparison uses
+    # µs-representable nano counts (m seconds in ns).
+    q = """{ lt: ((Times.m * 1000000000) as timestamp_ns)
+                  < ((Times.n * 1000000000) as timestamp_ns)
+           , rt: ((Times.time as i64) as timestamp_ns) == Times.time
+           , secs: (2 as timestamp_s) as i64 }"""
+    out = fenl(q, {"Times": _times_tl(spark)})
+    got = _got(out, "lt", "rt", "secs")
+    assert [got[i][0] for i in range(6)] == [False, True, None, None, False, True]
+    assert all(got[i][1] for i in range(6))
+    assert got[0][2] == 2 * 10**9
+
+
+# ----------------------------------------------------------------------
+# record_tests.rs
+# ----------------------------------------------------------------------
+def test_e2e_record_select_remove(spark):
+    # record_tests.rs::{test_record_removal(_pipe), test_record_select
+    # (_pipe)} — the subset keeps source column values ("" stays "")
+    out = fenl(
+        'Strings | remove_fields($input, "time", "sub")',
+        {"Strings": _strings2_tl(spark)},
+    )
+    assert set(out.columns) == {"_time", "_subsort", "_key", "key", "s", "n", "t"}
+    assert _col(out, "s") == ["hEllo", "World", "hello world", "", "", "goodbye"]
+
+    out = fenl(
+        'select_fields(Strings, "time", "s")', {"Strings": _strings2_tl(spark)}
+    )
+    assert set(out.columns) == {"_time", "_subsort", "_key", "time", "s"}
+    assert _col(out, "s") == ["hEllo", "World", "hello world", "", "", "goodbye"]
+
+
+def test_e2e_record_errors(spark):
+    # record_tests.rs error goldens: non-record base → E0010, unknown
+    # field → E0001, non-string field → E0010, non-const field → E0014,
+    # empty record → E0008, remove-to-empty → E0008
+    tl = {"Strings": _strings2_tl(spark)}
+
+    def err(q):
+        with pytest.raises(FenlCompileError) as ei:
+            fenl(q, tl)
+        return str(ei.value)
+
+    assert "E0010" in err('remove_fields(Strings.s, "time", "s")')
+    assert "E0001" in err('remove_fields(Strings, "x", "s")')
+    assert "E0010" in err('remove_fields(Strings, 54, "s")')
+    assert "E0014" in err('remove_fields(Strings, Strings.s, "s")')
+    assert "E0010" in err('select_fields(Strings.s, "time", "s")')
+    assert "E0001" in err('select_fields(Strings, "x", "s")')
+    assert "E0008" in err("{ }")
+    assert "E0008" in err("{ a: Strings.s } | remove_fields($input, 'a')")
+
+
+# ----------------------------------------------------------------------
+# general_tests.rs
+# ----------------------------------------------------------------------
+def test_e2e_is_valid(spark):
+    # general_tests.rs::{test_is_valid_i64, test_is_valid_string ("" IS
+    # valid), test_is_valid_boolean, test_is_valid_record}
+    out = fenl(
+        "{ v: is_valid(Numbers.m) }", {"Numbers": _numbers_tl(spark)}
+    )
+    assert _col(out, "v") == [True, True, True, False, True, False]
+
+    out = fenl(
+        "{ v: is_valid(Strings.s), r: is_valid(Strings) }",
+        {"Strings": _strings2_tl(spark)},
+    )
+    got = _got(out, "v", "r")
+    assert [got[i][0] for i in range(6)] == [True] * 6
+    assert [got[i][1] for i in range(6)] == [True] * 6
+
+    out = fenl(
+        "{ v: is_valid(Booleans.a) }", {"Booleans": _booleans_tl(spark)}
+    )
+    assert _col(out, "v") == [True, True, False, True, True, True, False]
+
+
+def test_e2e_hash_deterministic(spark):
+    # general_tests.rs::{test_hash_i64, test_hash_string} semantics:
+    # stable 64-bit hash; null hashes to a stable NON-null value; equal
+    # values hash equal (exact constants are engine-specific)
+    out = fenl(
+        "{ h: hash(Numbers.m), h2: hash(Numbers.m) }",
+        {"Numbers": _numbers_tl(spark)},
+    )
+    got = _got(out, "h", "h2")
+    vals = [got[i][0] for i in range(6)]
+    assert all(v is not None for v in vals)
+    assert vals[3] == vals[5]  # both null inputs
+    assert len({vals[0], vals[1], vals[2], vals[4]}) == 4  # distinct inputs
+    assert [got[i][1] for i in range(6)] == vals  # deterministic
+
+
+# ----------------------------------------------------------------------
+# with_key_tests.rs / entity_key_output_tests.rs
+# ----------------------------------------------------------------------
+def _withkey_tl(spark) -> Timeline:
+    # with_key_tests.rs with_key_data_fixture
+    rows = [
+        ("A", 0, "B", 0), ("B", 1, "A", 1), ("A", 2, None, None),
+        ("A", 2, "C", 2), ("A", 1, "A", 3), ("A", 0, "B", 4),
+    ]
+    t0 = _ts("1996-12-20T00:39:57")
+    df = spark.createDataFrame(
+        [
+            (t0 + dt.timedelta(seconds=i), i, k, fi, fs, n)
+            for i, (k, fi, fs, n) in enumerate(rows)
+        ],
+        "time timestamp, sub long, key string, foreign_key_i64 long, "
+        "foreign_key_str string, n long",
+    )
+    return Timeline.from_events(df, time_col="time", key_col="key", subsort_col="sub")
+
+
+def test_e2e_with_key_rekey(spark):
+    # with_key_tests.rs::{test_with_key_i64_pipe, test_with_computed_
+    # key_i64, test_with_computed_key_str (null key keeps the row)}
+    tl = {"Table": _withkey_tl(spark)}
+    out = fenl("Table | with_key($input.foreign_key_i64)", tl)
+    got = _got(out, "_key", "n")
+    assert [str(got[i][0]) for i in range(6)] == ["0", "1", "2", "2", "1", "0"]
+    assert [got[i][1] for i in range(6)] == [0, 1, None, 2, 3, 4]
+
+    out = fenl("with_key(Table.foreign_key_i64 + 1, Table)", tl)
+    got = _got(out, "_key")
+    assert [str(got[i][0]) for i in range(6)] == ["1", "2", "3", "3", "2", "1"]
+
+    out = fenl("with_key(Table.foreign_key_str, Table)", tl)
+    got = _got(out, "_key", "n")
+    assert [got[i][0] for i in range(6)] == ["B", "A", None, "C", "A", "B"]
+    assert [got[i][1] for i in range(6)] == [0, 1, None, 2, 3, 4]
+
+
+def test_e2e_with_key_grouping_kwarg(spark):
+    # entity_key_output_tests.rs::test_with_key — grouping= is accepted
+    out = fenl(
+        "Table | with_key($input.n, grouping='other_key')",
+        {"Table": _withkey_tl(spark)},
+    )
+    assert len(out.collect()) == 6
+
+
+def test_e2e_with_key_aggregate_select(spark):
+    # with_key_tests.rs::test_with_key_aggregate_select — the value
+    # (a when-filtered running sum over the ORIGINAL key) re-keys by the
+    # foreign key afterward
+    out = fenl(
+        "{ sum: Table.n | when(Table.key == 'A') | sum() "
+        "| with_key(Table.foreign_key_i64) }",
+        {"Table": _withkey_tl(spark)},
+    )
+    got = _got(out, "_key", "sum")
+    assert [(str(got[i][0]), got[i][1]) for i in range(6)] == [
+        ("0", 0), ("1", None), ("2", 0), ("2", 2), ("1", 5), ("0", 9)]
+
+
+def test_e2e_with_key_lookup_roundtrip(spark):
+    # with_key_tests.rs::test_with_key_lookup_select — re-key, latch
+    # last, look the value back up by the foreign key, filter
+    out = fenl(
+        "Table | with_key($input.foreign_key_i64) | last() "
+        "| lookup(Table.foreign_key_i64) | when($input.foreign_key_i64 > 0)",
+        {"Table": _withkey_tl(spark)},
+    )
+    rows = sorted(
+        (r["_time"], r["_key"], r["n"]) for r in out.collect()
+    )
+    t0 = _ts("1996-12-20T00:39:57")
+    assert rows == [
+        (t0 + dt.timedelta(seconds=1), "B", 1),
+        (t0 + dt.timedelta(seconds=2), "A", None),
+        (t0 + dt.timedelta(seconds=3), "A", 2),
+        (t0 + dt.timedelta(seconds=4), "A", 3),
+    ]
+
+
+def test_e2e_with_key_errors(spark):
+    # with_key_tests.rs::{test_with_key_unsupported_type → E0010,
+    # test_with_key_error_key → E0006}
+    tl = {"Table": _withkey_tl(spark)}
+    with pytest.raises(FenlCompileError) as ei:
+        fenl("with_key({k: Table.foreign_key_str}, Table)", tl)
+    assert "E0010" in str(ei.value)
+    with pytest.raises(FenlCompileError) as ei:
+        fenl("with_key(unbound_key, Table)", tl)
+    assert "E0006" in str(ei.value)
+
+
+def test_e2e_multiple_tables_disjoint_keys(spark):
+    # entity_key_output_tests.rs::{test_multiple_tables_entity_keys,
+    # test_lookup_entity_keys, test_lookup_with_key_entity_keys}
+    t0 = _ts("1996-12-20T00:39:57")
+
+    def tbl(keys, offset):
+        df = spark.createDataFrame(
+            [
+                (t0 + dt.timedelta(seconds=offset + i), i, k, m, n)
+                for i, (k, m, n) in enumerate(keys)
+            ],
+            "time timestamp, sub long, key string, m double, n double",
+        )
+        return Timeline.from_events(
+            df, time_col="time", key_col="key", subsort_col="sub"
+        )
+
+    n1 = tbl(
+        [("A", 5.2, 10.0), ("B", 24.3, 3.9), ("A", 17.6, 6.2),
+         ("A", None, 9.25), ("A", 12.4, None), ("A", None, None)], 0)
+    n2 = tbl(
+        [("C", 5.2, 10.0), ("D", 24.3, 3.9), ("C", 17.6, 6.2),
+         ("C", None, 9.25), ("C", 12.4, None), ("C", None, None)], 6)
+    tables = {"Numbers": n1, "Numbers2": n2}
+
+    out = fenl("{ m: Numbers.m, n: Numbers2.n }", tables)
+    rows = sorted((r["_time"], r["_key"], r["m"], r["n"]) for r in out.collect())
+    assert len(rows) == 12
+    # Numbers rows carry m with null n; Numbers2 rows the converse
+    assert rows[0] == (t0, "A", 5.2, None)
+    assert rows[6] == (t0 + dt.timedelta(seconds=6), "C", None, 10.0)
+
+    # keys A/B never appear in Numbers2 → lookup finds nothing
+    out = fenl("{ m: lookup(Numbers.key, sum(Numbers2.n)) }", tables)
+    assert _col(out, "m") == [None] * 6
+
+    # lookup of a with_key'd self-aggregation round-trips the value
+    out = fenl(
+        "{ m: lookup(Numbers.key, with_key(Numbers.key, sum(Numbers.m))) }",
+        tables,
+    )
+    assert _col(out, "m") == pytest.approx([5.2, 24.3, 22.8, 22.8, 35.2, 35.2])
