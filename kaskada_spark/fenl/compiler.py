@@ -585,6 +585,18 @@ class Compiler:
                 f"{op}() takes at most 2 arguments (input, window); got {len(args)}",
                 code="E0008",
             )
+        if _is_eventless(input_node):
+            # A literal (or expression over only literals) has an EMPTY
+            # discrete domain — aggregations see no events: count-like
+            # ops are 0, everything else null (aggregation_tests.rs
+            # test_count_constant / test_min_sum / test_literal_agg)
+            if op in ("count", "count_if"):
+                return self._v(F.lit(0).cast("long"), continuous=True)
+            v = self.compile(input_node)
+            typ = "double" if op in ("mean", "variance", "stddev") else (
+                self._spark_type(v.col).simpleString()
+            )
+            return self._v(F.lit(None).cast(typ), continuous=True)
         v = self.compile(input_node)
         if not isinstance(v, CVal):
             raise FenlCompileError(f"{op}() input is not a value")
@@ -605,6 +617,14 @@ class Compiler:
     def _fn_lag(self, node: A.Call) -> CVal:
         n_node, v_node = self._positional(node, 2, ("n", "input"))
         n = self._const_int(n_node, "lag n")
+        if _is_eventless(v_node):
+            # lag over a literal: no events to look back through
+            # (aggregation_tests.rs test_lag_constant)
+            v = self.compile(v_node)
+            return self._v(
+                F.lit(None).cast(self._spark_type(v.col).simpleString()),
+                continuous=True,
+            )
         v = self.compile(v_node)
         self._chk(v)
         alias = self._fresh("lag")
@@ -1087,6 +1107,21 @@ def _foreign_table_of(
 
     walk(node)
     return found.pop() if len(found) == 1 else None
+
+
+def _is_eventless(node: A.Node) -> bool:
+    """True for expressions built only from literals (casts, scalar ops,
+    or aggregations over them). They have an empty discrete domain — no
+    rows ever occur — so aggregating them observes nothing (reference
+    literal semantics, aggregation_tests.rs constant tests)."""
+    if isinstance(node, A.Literal):
+        return True
+    if isinstance(node, A.Cast):
+        return _is_eventless(node.value)
+    if isinstance(node, A.Call):
+        children = list(node.args) + [v for _, v in node.kwargs]
+        return bool(children) and all(_is_eventless(c) for c in children)
+    return False
 
 
 def _depends_on_input(node: A.Node, env: dict[str, A.Node] | None = None) -> bool:

@@ -701,3 +701,178 @@ def test_e2e_multiple_tables_disjoint_keys(spark):
         tables,
     )
     assert _col(out, "m") == pytest.approx([5.2, 24.3, 22.8, 22.8, 35.2, 35.2])
+
+
+# ----------------------------------------------------------------------
+# aggregation_tests.rs
+# ----------------------------------------------------------------------
+def test_e2e_literal_aggregations(spark):
+    # aggregation_tests.rs::{test_count_constant, test_count_if_constant,
+    # test_min_sum, test_min_constant, test_max_constant, test_min_
+    # stddev, test_min_variance, test_last_constant, test_lag_constant,
+    # test_first_sum_constant, test_add_sum_constants, test_literal_agg}
+    # — a literal has no events, so count-like aggs are 0 and the rest
+    # null, at every universe row
+    q = """{ c: count(0), cif: count_if(false), s: sum(2), mn: min(2)
+           , mx: max(2), sd: stddev(2), vr: variance(2), lst: last(2)
+           , lg: lag(2, 2), fs: first(sum(1)), ss: sum(1) + sum(2)
+           , mxm: max(Numbers.m) }"""
+    out = fenl(q, {"Numbers": _numbers_tl(spark)})
+    got = _got(out, "c", "cif", "s", "mn", "mx", "sd", "vr", "lst", "lg",
+               "fs", "ss", "mxm")
+    for i in range(6):
+        assert got[i][0] == 0 and got[i][1] == 0
+        assert all(v is None for v in got[i][2:11])
+    assert [got[i][11] for i in range(6)] == [5, 24, 17, 17, 17, 17]
+
+
+def test_e2e_nested_aggregation(spark):
+    # aggregation_tests.rs::test_nested_sum_i64 — the inner running sum
+    # is discrete at its input rows, so the outer sum accumulates it
+    out = fenl("{ sum: sum(sum(Numbers.m)) }", {"Numbers": _numbers_tl(spark)})
+    assert _col(out, "sum") == [5, 24, 27, 49, 83, 117]
+
+
+def test_e2e_typed_aggregations(spark):
+    # aggregation_tests.rs::{test_count_string ("" counts),
+    # test_count_record, test_first_string, test_last_string ("" is a
+    # real latched value), test_count_boolean}
+    q = """{ cs: count(Strings.s), cr: count(Strings)
+           , fs: first(Strings.s), ls: last(Strings.s) }"""
+    out = fenl(q, {"Strings": _strings2_tl(spark)})
+    got = _got(out, "cs", "cr", "fs", "ls")
+    assert [got[i][0] for i in range(6)] == [1, 1, 2, 3, 4, 5]
+    assert [got[i][1] for i in range(6)] == [1, 1, 2, 3, 4, 5]
+    assert [got[i][2] for i in range(6)] == [
+        "hEllo", "World", "World", "World", "World", "World"]
+    assert [got[i][3] for i in range(6)] == [
+        "hEllo", "World", "hello world", "", "", "goodbye"]
+
+    out = fenl(
+        "{ cb: count(Booleans.a) }", {"Booleans": _booleans_tl(spark)}
+    )
+    assert _col(out, "cb") == [1, 1, 1, 2, 3, 4, 4]
+
+
+def test_e2e_minmax_timestamp(spark):
+    # aggregation_tests.rs::{test_min_timestamp_ns, test_max_timestamp_ns}
+    # over the other_time column (running min/max latch through nulls)
+    q = """{ mn: min(Times.other_time), mx: max(Times.other_time) }"""
+    out = fenl(q, {"Times": _times_tl(spark)})
+    got = _got(out, "mn", "mx")
+    assert [got[i][0] for i in range(6)] == [
+        _ts("2003-12-20T00:39:57"), _ts("1994-11-20T00:39:57"),
+        _ts("1994-11-20T00:39:57"), _ts("1992-12-20T00:39:57"),
+        _ts("1992-12-20T00:39:57"), _ts("1992-12-20T00:39:57")]
+    assert [got[i][1] for i in range(6)] == [
+        _ts("2003-12-20T00:39:57"), _ts("1994-11-20T00:39:57"),
+        _ts("1998-12-20T00:39:57"), _ts("1998-12-20T00:39:57"),
+        _ts("1998-12-20T00:39:57"), _ts("1998-12-20T00:39:57")]
+
+
+# ----------------------------------------------------------------------
+# multiple_tables.rs — purchase fixtures (times shifted -08:00 → UTC)
+# ----------------------------------------------------------------------
+_PURCHASES = [
+    ("2022-01-03T00:39:57", "A", 1), ("2022-01-03T01:39:57", "B", 10),
+    ("2022-01-03T02:39:57", "A", 2), ("2022-01-03T03:39:57", "B", 20),
+    ("2022-01-03T04:39:57", "C", 100), ("2022-01-03T05:39:57", "C", 200),
+    ("2022-01-03T06:39:57", "A", 3),
+]
+
+_OVERLAPPING = [
+    ("2022-01-03T00:39:57", "X", 1), ("2022-01-03T01:39:57", "B", 10),
+    ("2022-01-03T02:39:57", "A", 2), ("2022-01-03T03:39:57", "Y", 20),
+    ("2022-01-03T04:39:57", "C", 100), ("2022-01-03T05:39:57", "Z", 200),
+    ("2022-01-03T06:39:57", "X", 3),
+]
+
+_SUPERSET = [
+    ("2022-01-03T00:37:57", "B", 1), ("2022-01-03T00:38:57", "A", 1),
+    ("2022-01-03T00:39:57", "A", 1), ("2022-01-03T00:39:58", "A", 666),
+    ("2022-01-03T01:39:57", "B", 10), ("2022-01-03T01:40:57", "B", 1000),
+    ("2022-01-03T02:38:57", "A", 777), ("2022-01-03T02:39:57", "A", 2),
+    ("2022-01-03T02:44:57", "A", 888), ("2022-01-03T03:39:57", "B", 20),
+    ("2022-01-03T04:39:57", "C", 100), ("2022-01-03T05:39:57", "C", 200),
+    ("2022-01-03T06:39:57", "A", 3), ("2022-01-03T06:43:57", "B", 3),
+    ("2022-01-03T06:45:57", "C", 3),
+]
+
+
+def _purchase_tl(spark, rows) -> Timeline:
+    # subsort is 0 for every row, as in the reference CSV — implicit
+    # joins merge rows from different tables on (time, subsort, key)
+    df = spark.createDataFrame(
+        [(_ts(t), 0, k, total) for t, k, total in rows],
+        "time timestamp, sub long, key string, total long",
+    )
+    return Timeline.from_events(df, time_col="time", key_col="key", subsort_col="sub")
+
+
+def _join_rows(out):
+    return sorted(
+        (r["_time"], r["_key"]) + tuple(r[c] for c in out.columns[3:])
+        for r in out.collect()
+    )
+
+
+def test_e2e_join_overlapping_keys(spark):
+    # multiple_tables.rs::test_tables_overlapping_keys — same-instant
+    # rows from both tables merge per key; the null-strict add only
+    # fires where both sides have an event
+    out = fenl(
+        "{t1_val: Purchases.total, t2_val: OKPurchases.total, "
+        "sum: Purchases.total + OKPurchases.total}",
+        {"Purchases": _purchase_tl(spark, _PURCHASES),
+         "OKPurchases": _purchase_tl(spark, _OVERLAPPING)},
+    )
+    assert _join_rows(out) == [
+        (_ts("2022-01-03T00:39:57"), "A", 1, None, None),
+        (_ts("2022-01-03T00:39:57"), "X", None, 1, None),
+        (_ts("2022-01-03T01:39:57"), "B", 10, 10, 20),
+        (_ts("2022-01-03T02:39:57"), "A", 2, 2, 4),
+        (_ts("2022-01-03T03:39:57"), "B", 20, None, None),
+        (_ts("2022-01-03T03:39:57"), "Y", None, 20, None),
+        (_ts("2022-01-03T04:39:57"), "C", 100, 100, 200),
+        (_ts("2022-01-03T05:39:57"), "C", 200, None, None),
+        (_ts("2022-01-03T05:39:57"), "Z", None, 200, None),
+        (_ts("2022-01-03T06:39:57"), "A", 3, None, None),
+        (_ts("2022-01-03T06:39:57"), "X", None, 3, None),
+    ]
+
+
+def test_e2e_join_superset(spark):
+    # multiple_tables.rs::test_tables_superset
+    out = fenl(
+        "{t1_val: Purchases.total, t2_val: SSPurchases.total, "
+        "sum: Purchases.total + SSPurchases.total}",
+        {"Purchases": _purchase_tl(spark, _PURCHASES),
+         "SSPurchases": _purchase_tl(spark, _SUPERSET)},
+    )
+    rows = _join_rows(out)
+    assert len(rows) == 15
+    assert (_ts("2022-01-03T00:39:57"), "A", 1, 1, 2) in rows
+    assert (_ts("2022-01-03T00:39:58"), "A", None, 666, None) in rows
+    assert (_ts("2022-01-03T05:39:57"), "C", 200, 200, 400) in rows
+    assert (_ts("2022-01-03T06:45:57"), "C", None, 3, None) in rows
+
+
+def test_e2e_join_three_tables_common_operand(spark):
+    # multiple_tables.rs::test_3_tables_with_3_additions_with_1_common_
+    # operand — three-way merge; SSPurchases.total feeds two additions
+    out = fenl(
+        "{t1_val: Purchases.total, t2_val: SSPurchases.total, "
+        "t3_val: OKPurchases.total, "
+        "sum: (Purchases.total + SSPurchases.total) "
+        "+ (SSPurchases.total + OKPurchases.total)}",
+        {"Purchases": _purchase_tl(spark, _PURCHASES),
+         "SSPurchases": _purchase_tl(spark, _SUPERSET),
+         "OKPurchases": _purchase_tl(spark, _OVERLAPPING)},
+    )
+    rows = _join_rows(out)
+    assert len(rows) == 19
+    assert (_ts("2022-01-03T01:39:57"), "B", 10, 10, 10, 40) in rows
+    assert (_ts("2022-01-03T02:39:57"), "A", 2, 2, 2, 8) in rows
+    assert (_ts("2022-01-03T04:39:57"), "C", 100, 100, 100, 400) in rows
+    assert (_ts("2022-01-03T00:39:57"), "X", None, None, 1, None) in rows
+    assert (_ts("2022-01-03T03:39:57"), "B", 20, 20, None, None) in rows
