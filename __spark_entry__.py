@@ -543,6 +543,28 @@ def q_fenl_since(spark, sf_dir):
     )
 
 
+def q_fenl_lookup_rekey(spark, sf_dir):
+    """Self-grouping lookup: the value re-keys a per-user running sum by
+    event_type, then lookup() latches it back as-of each primary row
+    (reference with_key+lookup composition,
+    with_key_tests.rs::test_with_key_lookup_select,
+    entity_key_output_tests.rs::test_lookup_with_key_entity_keys).
+    Because every primary row also appears on the re-keyed foreign side,
+    the as-of latch resolves to the row's own running sum — which is
+    exactly what the oracle computes directly; any ordering/tie bug in
+    the union-window lowering breaks the hash."""
+    from kaskada_spark.fenl import fenl
+
+    q = ("{ s: lookup(Events.event_type, "
+         "with_key(Events.event_type, sum(floor(Events.value) as i64))) }")
+    out = fenl(q, {"Events": _events(spark, sf_dir)})
+    return out.select(
+        F.col(SUBSORT).alias("event_id"),
+        F.col(KEY).alias("user_id"),
+        F.col("s").alias("s"),
+    )
+
+
 # ----------------------------------------------------------------------
 # training-data pipeline: dedup / similarity / text analysis
 # (driver mandate — first-class alongside the reference operators)
@@ -898,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fenl_running": q_fenl_running,
         "fenl_when": q_fenl_when,
         "fenl_since": q_fenl_since,
+        "fenl_lookup_rekey": q_fenl_lookup_rekey,
         "fenl_merge": q_fenl_merge,
         "lookup_asof": q_lookup_asof,
         "merge_align": q_merge_align,
@@ -1285,6 +1308,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) OVER (PARTITION BY user_id, wid ORDER BY ts, event_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt_since
             FROM w
+        """,
+        "fenl_lookup_rekey": f"""
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(FLOOR(value) AS BIGINT))
+                     OVER ({_EVENTS_ORDER}
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS s
+            FROM events
         """,
         "fenl_merge": """
             WITH l AS (
