@@ -871,6 +871,23 @@ class Compiler:
         fv = sub.compile(v_node)
         if not isinstance(fv, CVal):
             raise FenlCompileError("lookup value is not a value")
+        if fv.fields is not None:
+            # record-valued lookup keeps its fields so the result can be
+            # extended/field-accessed (documentation_code_tests.rs
+            # `extend(lookup($input.entity, target))`)
+            aliases = {n: self._fresh(f"lkp_{n}") for n in fv.fields}
+            fdf = sub.df
+            for n, f in fv.fields.items():
+                fdf = fdf.withColumn(aliases[n], _masked(f.col, fv.mask))
+            names = list(aliases.values())
+            foreign_tl = Timeline(fdf.select(*META, *names))
+            out = self._tl().lookup(foreign_tl, key=k.col, values=names)
+            self.df = out.df
+            fields = {
+                n: self._v(F.col(a), continuous=True) for n, a in aliases.items()
+            }
+            col = F.struct(*[f.col.alias(n) for n, f in fields.items()])
+            return self._v(col, continuous=True, fields=fields)
         fdf = sub.df.withColumn("__fenl_lv", _masked(fv.col, fv.mask))
         foreign_tl = Timeline(fdf.select(*META, "__fenl_lv"))
         alias = self._fresh("lookup")

@@ -876,3 +876,103 @@ def test_e2e_join_three_tables_common_operand(spark):
     assert (_ts("2022-01-03T04:39:57"), "C", 100, 100, 100, 400) in rows
     assert (_ts("2022-01-03T00:39:57"), "X", None, None, 1, None) in rows
     assert (_ts("2022-01-03T03:39:57"), "B", 20, 20, None, None) in rows
+
+
+# ----------------------------------------------------------------------
+# notebooks/*.rs — realistic end-to-end pipelines
+# ----------------------------------------------------------------------
+def test_e2e_notebook_gaming(spark):
+    # notebooks/gaming_tests.rs::test_gaming_events_to_csv — filtered
+    # sub-universe (GameDefeat), windowed count since a win, compound
+    # prediction condition, and a +10min shift of the feature record
+    rows = [
+        ("2022-01-01T02:30:00", "Alice", 10, True),
+        ("2022-01-01T02:35:00", "Bob", 3, False),
+        ("2022-01-01T03:46:00", "Bob", 8, False),
+        ("2022-01-01T03:58:00", "Bob", 23, True),
+        ("2022-01-01T04:25:00", "Bob", 8, True),
+        ("2022-01-01T05:05:00", "Alice", 53, True),
+        ("2022-01-01T05:36:00", "Alice", 2, False),
+        ("2022-01-01T07:22:00", "Bob", 7, False),
+        ("2022-01-01T08:35:00", "Alice", 5, False),
+        ("2022-01-01T10:01:00", "Alice", 43, True),
+    ]
+    df = spark.createDataFrame(
+        [(_ts(t), i, k, d, w) for i, (t, k, d, w) in enumerate(rows)],
+        "event_at timestamp, sub long, entity_id string, duration long, won boolean",
+    )
+    tl = Timeline.from_events(
+        df, time_col="event_at", key_col="entity_id", subsort_col="sub"
+    )
+    q = """
+    let GameDefeat = GamePlay | when(not(GamePlay.won))
+    let features = { loss_duration: sum(GameDefeat.duration) }
+    let is_prediction_time = not(GamePlay.won)
+        and (count(GameDefeat, window=since(GamePlay.won)) == 2)
+    let example = features | when(is_prediction_time) | shift_by(seconds(60*10))
+    in example
+    """
+    out = fenl(q, {"GamePlay": tl})
+    rows = sorted((r["_time"], r["_key"], r["loss_duration"]) for r in out.collect())
+    assert rows == [
+        (_ts("2022-01-01T03:56:00"), "Bob", 11),
+        (_ts("2022-01-01T08:45:00"), "Alice", 7),
+    ]
+
+
+def test_e2e_notebook_purchase_features(spark):
+    # notebooks/documentation_code_tests.rs::test_feature_query — the
+    # docs' training-export pipeline: cross-grouping mean lookup,
+    # shift_to(+30d), and extending with a record-valued fraud-count
+    # lookup as of the SHIFTED time
+    purchases = [
+        ("cb_001", "2020-01-01", "karen", 9), ("kk_001", "2020-01-01", "patrick", 3),
+        ("cb_002", "2020-01-02", "karen", 2), ("kk_002", "2020-01-02", "patrick", 5),
+        ("cb_003", "2020-01-03", "karen", 4), ("kk_003", "2020-01-03", "patrick", 12),
+        ("cb_004", "2020-01-04", "patrick", 5000), ("cb_005", "2020-01-04", "karen", 3),
+        ("cb_006", "2020-01-05", "karen", 5), ("kk_004", "2020-01-05", "patrick", 9),
+    ]
+    pdf = spark.createDataFrame(
+        [
+            (pid, _ts(t), cust, amt, i)
+            for i, (pid, t, cust, amt) in enumerate(purchases)
+        ],
+        "id string, purchase_time timestamp, customer_id string, amount long, sub long",
+    )
+    fraud = spark.createDataFrame(
+        [("cb_004", _ts("2020-01-20"), 0)],
+        "purchase_id string, time timestamp, sub long",
+    )
+    tables = {
+        "Purchase": Timeline.from_events(
+            pdf, time_col="purchase_time", key_col="id", subsort_col="sub"),
+        "PurchaseByCustomer": Timeline.from_events(
+            pdf, time_col="purchase_time", key_col="customer_id", subsort_col="sub"),
+        "FraudReport": Timeline.from_events(
+            fraud, time_col="time", key_col="purchase_id", subsort_col="sub"),
+    }
+    q = """
+    let average_purchase_by_customer = PurchaseByCustomer.amount | mean()
+    let predictors = {
+        entity: Purchase.id,
+        purchase_total: Purchase.amount | last(),
+        mean_purchase: lookup(Purchase.customer_id, average_purchase_by_customer),
+    }
+    let target = { target: count(FraudReport) }
+    let shifted = predictors | shift_to(time_of($input) | add_time(days(30)))
+    in shifted | extend(lookup($input.entity, target))
+    """
+    out = fenl(q, tables)
+    got = {r["entity"]: (r["_time"], r["purchase_total"], r["mean_purchase"],
+                         r["target"]) for r in out.collect()}
+    assert len(got) == 10
+    assert got["cb_001"] == (_ts("2020-01-31T00:00:00"), 9, 9.0, None)
+    assert got["kk_001"] == (_ts("2020-01-31T00:00:00"), 3, 3.0, None)
+    assert got["cb_002"] == (_ts("2020-02-01T00:00:00"), 2, 5.5, None)
+    assert got["kk_002"] == (_ts("2020-02-01T00:00:00"), 5, 4.0, None)
+    assert got["cb_003"] == (_ts("2020-02-02T00:00:00"), 4, 5.0, None)
+    assert got["kk_003"][1] == 12 and got["kk_003"][2] == pytest.approx(20/3)
+    assert got["cb_004"] == (_ts("2020-02-03T00:00:00"), 5000, 1255.0, 1)
+    assert got["cb_005"] == (_ts("2020-02-03T00:00:00"), 3, 4.5, None)
+    assert got["cb_006"] == (_ts("2020-02-04T00:00:00"), 5, 4.6, None)
+    assert got["kk_004"] == (_ts("2020-02-04T00:00:00"), 9, 1005.8, None)
