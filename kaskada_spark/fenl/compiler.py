@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field, replace
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from kaskada_spark.fenl import ast as A
@@ -199,6 +199,15 @@ class Compiler:
         self._formula_stack: list[str] = []
         self._gen = 0
         self.universe_gen = 0
+        # implicit re-merge bookkeeping (see _merge_reroot): flags of
+        # previously merged re-rooted universes, and materialized
+        # CONTINUOUS column aliases that must re-latch across new rows
+        self.reroot_flags: list[str] = []
+        self.cont_cols: list[str] = []
+        # True when the latest re-root produced a NEW row domain that
+        # can union-merge back (shift_*/with_key); False for re-roots
+        # that rebuild the same domain (self-grouping lookup round-trip)
+        self.reroot_mergeable = True
         # Implicit joins ("automatic joins", reference README.md:53):
         # every same-grouping table the query references merges into the
         # universe as a full temporal union-align on (key, time, subsort)
@@ -371,7 +380,21 @@ class Compiler:
         if name in self.scope:
             return self.scope[name]
         if name in self.ast_bindings:
+            snap = (self.df, self.universe_gen, dict(self.scope),
+                    dict(self.ast_bindings))
             val = self.compile(self.ast_bindings[name])
+            if self.universe_gen != snap[1] and isinstance(val, CVal):
+                if val.gen == self.universe_gen and self.reroot_mergeable:
+                    # the binding re-rooted the universe (shift_*/
+                    # with_key): implicitly merge it back so it can
+                    # combine with original-domain values (reference
+                    # DFG merge insertion, operation/merge.rs;
+                    # shift_tests.rs test_shift_until_false_sum)
+                    val = self._merge_reroot(val, *snap)
+                elif val.gen <= snap[1]:
+                    # spurious re-root the value doesn't depend on
+                    self.df, self.universe_gen, self.scope, \
+                        self.ast_bindings = snap
             self.scope[name] = val  # compile once (CSE via caching)
             return val
         if name in self.tables:
@@ -612,6 +635,7 @@ class Compiler:
         alias = self._fresh(op)
         tl = self._tl().aggregate(op, _masked(v.col, v.mask), window=window, alias=alias)
         self.df = tl.df
+        self.cont_cols.append(alias)
         return self._v(F.col(alias), continuous=True)
 
     def _fn_lag(self, node: A.Call) -> CVal:
@@ -701,6 +725,111 @@ class Compiler:
         mask = fire if v.mask is None or v.continuous else (v.mask & fire)
         return replace(v, col=_masked(v.col, mask), mask=mask, continuous=False)
 
+    def _merge_reroot(
+        self,
+        val: CVal,
+        snap_df: DataFrame,
+        snap_gen: int,
+        snap_scope: dict[str, CVal],
+        snap_asts: dict[str, A.Node],
+    ) -> CVal:
+        """Implicitly merge a re-rooted let binding back into the
+        original universe — the reference inserts a Merge operation
+        whenever a shift_*/with_key output combines with its source
+        domain (operation/merge.rs; shift_tests.rs
+        test_shift_until_false_sum snapshots the interleaved result).
+
+        Spark rendering: the re-rooted frame's value column(s) UNION
+        into the original frame as new rows. Discrete values stay
+        masked to those rows (null interpolation falls out); continuous
+        values as-of latch across the merged order. Re-rooted rows sort
+        BEFORE coincident original rows — the reference renumbers shift
+        outputs from subsort 0 while merged source rows take the 2^63
+        sentinel — so ``_subsort`` is renumbered to encode the total
+        order."""
+        rdf = self.df
+        if val.mask is not None:
+            rdf = rdf.filter(val.mask)
+        out_fields: dict[str, tuple[str, bool]] = {}
+        proj = [F.col(c) for c in META]
+        if val.fields is not None:
+            for n, fv in val.fields.items():
+                a = self._fresh(f"rr_{n}")
+                proj.append(_masked(fv.col, fv.mask).alias(a))
+                out_fields[n] = (a, fv.continuous)
+        else:
+            a = self._fresh("rr")
+            proj.append(val.col.alias(a))
+            out_fields[""] = (a, val.continuous)
+        flag = self._fresh("rrflag")
+        vdf = rdf.select(*proj).withColumn(flag, F.lit(True))
+
+        # back to the original universe; values cached during the
+        # re-rooted walk are pinned to the dead generation — evict
+        self.universe_gen = snap_gen
+        self.scope = snap_scope
+        self.ast_bindings = snap_asts
+        merged = snap_df.withColumn(flag, F.lit(False)).unionByName(
+            vdf, allowMissingColumns=True
+        )
+        for f in (
+            list(self.table_flags.values())
+            + list(self.tick_flags.values())
+            + self.reroot_flags
+        ):
+            merged = merged.withColumn(f, F.coalesce(F.col(f), F.lit(False)))
+        self.reroot_flags.append(flag)
+        src = F.when(F.col(flag), F.lit(0)).otherwise(F.lit(1))
+        order = W.partitionBy(KEY).orderBy(F.col(TIME), src, F.col(SUBSORT))
+        merged = merged.withColumn(
+            SUBSORT, F.row_number().over(order).cast("long")
+        )
+        # continuous columns materialized before this merge know nothing
+        # of the new rows: re-latch them as-of (pre-existing rows carry)
+        runw = (
+            W.partitionBy(KEY)
+            .orderBy(F.col(TIME), F.col(SUBSORT))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        for c in [c for c in self.cont_cols if c in merged.columns]:
+            merged = merged.withColumn(
+                c,
+                F.last(
+                    F.when(~F.col(flag), F.struct(F.col(c).alias("v"))),
+                    ignorenulls=True,
+                ).over(runw).getField("v"),
+            )
+        self.df = merged
+
+        def _wrap(alias: str, continuous: bool) -> CVal:
+            if continuous:
+                latched = self._fresh("rrl")
+                self.df = self.df.withColumn(
+                    latched,
+                    F.last(
+                        F.when(F.col(flag), F.struct(F.col(alias).alias("v"))),
+                        ignorenulls=True,
+                    ).over(runw).getField("v"),
+                )
+                self.cont_cols.append(latched)
+                # keep the re-rooted row domain as the value's own
+                # domain: alone in an output it yields only those rows
+                return self._v(F.col(latched), mask=F.col(flag),
+                               continuous=True)
+            return self._v(F.col(alias), mask=F.col(flag))
+
+        if val.fields is None:
+            alias, cont = out_fields[""]
+            return _wrap(alias, cont)
+        fields = {n: _wrap(a, c) for n, (a, c) in out_fields.items()}
+        col = F.struct(*[f.col.alias(n) for n, f in fields.items()])
+        return self._v(
+            col,
+            mask=F.col(flag),
+            fields=fields,
+            continuous=all(f.continuous for f in fields.values()),
+        )
+
     def _rebase(self, tl: Timeline, keep_fields: dict[str, CVal] | None) -> CVal:
         """Swap the universe to a re-rooted timeline (after shift/
         with_key) and return its value — the whole record when the input
@@ -709,6 +838,7 @@ class Compiler:
         result stays a scalar column)."""
         self.df = tl.df
         self.universe_gen += 1
+        self.reroot_mergeable = True
         if keep_fields is None:
             return self._v(F.col("result"))
         fields = {n: self._v(F.col(n)) for n in keep_fields}
@@ -844,6 +974,7 @@ class Compiler:
             out = Timeline(key_comp.df).lookup(foreign_tl, key=kv.col, values=names)
             self.df = out.df
             self.universe_gen += 1
+            self.reroot_mergeable = False  # same row domain, rebuilt frame
             if field_cols is not None:
                 fields = {
                     n: self._v(F.col(a), continuous=True)
@@ -883,6 +1014,7 @@ class Compiler:
             foreign_tl = Timeline(fdf.select(*META, *names))
             out = self._tl().lookup(foreign_tl, key=k.col, values=names)
             self.df = out.df
+            self.cont_cols.extend(names)
             fields = {
                 n: self._v(F.col(a), continuous=True) for n, a in aliases.items()
             }
@@ -893,6 +1025,7 @@ class Compiler:
         alias = self._fresh("lookup")
         out = self._tl().lookup(foreign_tl, key=k.col, values=["__fenl_lv"])
         self.df = out.df.withColumnRenamed("__fenl_lv", alias)
+        self.cont_cols.append(alias)
         return self._v(F.col(alias), continuous=True)
 
     # record ops -------------------------------------------------------

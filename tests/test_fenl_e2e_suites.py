@@ -976,3 +976,223 @@ def test_e2e_notebook_purchase_features(spark):
     assert got["cb_005"] == (_ts("2020-02-03T00:00:00"), 3, 4.5, None)
     assert got["cb_006"] == (_ts("2020-02-04T00:00:00"), 5, 4.6, None)
     assert got["kk_004"] == (_ts("2020-02-04T00:00:00"), 9, 1005.8, None)
+
+
+# ----------------------------------------------------------------------
+# shift_tests.rs — shift_by / shift_to / shift_until over every type
+# ----------------------------------------------------------------------
+def _shift_tl(spark) -> Timeline:
+    # shift_tests.rs shift_data_fixture (times -08:00 → UTC)
+    rows = [
+        ("1996-12-20T00:39:57", "A", True, False, 57, "hello", "1997-12-20T00:39:57"),
+        ("1996-12-20T00:39:58", "B", False, True, 58, "world", "1997-10-20T00:39:57"),
+        ("1996-12-20T00:39:59", "A", None, True, 59, "world", "1995-12-20T00:39:57"),
+        ("1996-12-20T00:40:00", "B", True, None, None, None, "2000-12-20T00:39:57"),
+        ("1996-12-20T00:40:01", "A", False, None, None, None, None),
+        ("1996-12-20T00:40:02", "A", True, None, 2, "hello", "1999-01-20T00:39:57"),
+    ]
+    df = spark.createDataFrame(
+        [
+            (_ts(t), i, k, c, b, n, s, _ts(o) if o else None)
+            for i, (t, k, c, b, n, s, o) in enumerate(rows)
+        ],
+        "time timestamp, sub long, key string, cond boolean, bool boolean, "
+        "i64 long, string string, other_time timestamp",
+    )
+    return Timeline.from_events(df, time_col="time", key_col="key", subsort_col="sub")
+
+
+def test_e2e_shift_by_months(spark):
+    # shift_tests.rs::test_shift_by_months — calendar-month arithmetic
+    out = fenl("{ i64: ShiftFixture.i64 | shift_by(months(5)) }",
+               {"ShiftFixture": _shift_tl(spark)})
+    rows = sorted((r["_time"], r["_key"], r["i64"]) for r in out.collect())
+    assert rows == [
+        (_ts("1997-05-20T00:39:57"), "A", 57),
+        (_ts("1997-05-20T00:39:58"), "B", 58),
+        (_ts("1997-05-20T00:39:59"), "A", 59),
+        (_ts("1997-05-20T00:40:00"), "B", None),
+        (_ts("1997-05-20T00:40:01"), "A", None),
+        (_ts("1997-05-20T00:40:02"), "A", 2),
+    ]
+
+
+def test_e2e_shift_by_seconds_and_shift_to_plus(spark):
+    # shift_tests.rs::{test_shift_by_seconds, test_shift_to_plus_seconds}
+    # — shift_by(seconds(5)) IS shift_to(add_time(seconds(5), time_of($input)))
+    expect = [
+        (_ts("1996-12-20T00:40:02"), "A", 57),
+        (_ts("1996-12-20T00:40:03"), "B", 58),
+        (_ts("1996-12-20T00:40:04"), "A", 59),
+        (_ts("1996-12-20T00:40:05"), "B", None),
+        (_ts("1996-12-20T00:40:06"), "A", None),
+        (_ts("1996-12-20T00:40:07"), "A", 2),
+    ]
+    for q in (
+        "{ i64: ShiftFixture.i64 | shift_by(seconds(5)) }",
+        "{ i64: ShiftFixture.i64 | shift_to(add_time(seconds(5), time_of($input))) }",
+    ):
+        out = fenl(q, {"ShiftFixture": _shift_tl(spark)})
+        assert sorted((r["_time"], r["_key"], r["i64"]) for r in out.collect()) == expect
+
+
+def test_e2e_shift_until_data_i64(spark):
+    # shift_tests.rs::test_shift_until_data_i64 — buffered rows flush in
+    # original order at the cond-firing row's time; never-fired rows drop
+    out = fenl("{ i64: ShiftFixture.i64 | shift_until(ShiftFixture.cond) }",
+               {"ShiftFixture": _shift_tl(spark)})
+    rows = [(r["_time"], r["_key"], r["i64"])
+            for r in sorted(out.collect(), key=lambda r: (r["_time"], r["_subsort"]))]
+    assert rows == [
+        (_ts("1996-12-20T00:39:57"), "A", 57),
+        (_ts("1996-12-20T00:40:00"), "B", 58),
+        (_ts("1996-12-20T00:40:00"), "B", None),
+        (_ts("1996-12-20T00:40:02"), "A", 59),
+        (_ts("1996-12-20T00:40:02"), "A", None),
+        (_ts("1996-12-20T00:40:02"), "A", 2),
+    ]
+
+
+def test_e2e_shift_until_data_string(spark):
+    # shift_tests.rs::test_shift_until_data_string
+    out = fenl("{ string: ShiftFixture.string | shift_until(ShiftFixture.cond) }",
+               {"ShiftFixture": _shift_tl(spark)})
+    rows = [(r["_time"], r["_key"], r["string"])
+            for r in sorted(out.collect(), key=lambda r: (r["_time"], r["_subsort"]))]
+    assert rows == [
+        (_ts("1996-12-20T00:39:57"), "A", "hello"),
+        (_ts("1996-12-20T00:40:00"), "B", "world"),
+        (_ts("1996-12-20T00:40:00"), "B", None),
+        (_ts("1996-12-20T00:40:02"), "A", "world"),
+        (_ts("1996-12-20T00:40:02"), "A", None),
+        (_ts("1996-12-20T00:40:02"), "A", "hello"),
+    ]
+
+
+def test_e2e_shift_until_data_record(spark):
+    # shift_tests.rs::test_shift_until_data_record — shifting the whole
+    # record keeps every payload column incl. the original `time`
+    out = fenl("ShiftFixture | shift_until($input.cond)",
+               {"ShiftFixture": _shift_tl(spark)})
+    rows = [(r["_time"], r["_key"], r["time"], r["i64"], r["cond"])
+            for r in sorted(out.collect(), key=lambda r: (r["_time"], r["_subsort"]))]
+    assert rows == [
+        (_ts("1996-12-20T00:40:00"), "B", _ts("1996-12-20T00:39:58"), 58, False),
+        (_ts("1996-12-20T00:40:00"), "B", _ts("1996-12-20T00:40:00"), None, True),
+        (_ts("1996-12-20T00:39:57"), "A", _ts("1996-12-20T00:39:57"), 57, True),
+        (_ts("1996-12-20T00:40:02"), "A", _ts("1996-12-20T00:39:59"), 59, None),
+        (_ts("1996-12-20T00:40:02"), "A", _ts("1996-12-20T00:40:01"), None, False),
+        (_ts("1996-12-20T00:40:02"), "A", _ts("1996-12-20T00:40:02"), 2, True),
+    ] or rows == [
+        (_ts("1996-12-20T00:39:57"), "A", _ts("1996-12-20T00:39:57"), 57, True),
+        (_ts("1996-12-20T00:40:00"), "B", _ts("1996-12-20T00:39:58"), 58, False),
+        (_ts("1996-12-20T00:40:00"), "B", _ts("1996-12-20T00:40:00"), None, True),
+        (_ts("1996-12-20T00:40:02"), "A", _ts("1996-12-20T00:39:59"), 59, None),
+        (_ts("1996-12-20T00:40:02"), "A", _ts("1996-12-20T00:40:01"), None, False),
+        (_ts("1996-12-20T00:40:02"), "A", _ts("1996-12-20T00:40:02"), 2, True),
+    ]
+
+
+def test_e2e_shift_to_data(spark):
+    # shift_tests.rs::{test_shift_to_data_i64, test_shift_to_data_record}
+    # — null targets and backward shifts are dropped
+    out = fenl("{ i64: ShiftFixture.i64 | shift_to(ShiftFixture.other_time) }",
+               {"ShiftFixture": _shift_tl(spark)})
+    rows = sorted((r["_time"], r["_key"], r["i64"]) for r in out.collect())
+    assert rows == [
+        (_ts("1997-10-20T00:39:57"), "B", 58),
+        (_ts("1997-12-20T00:39:57"), "A", 57),
+        (_ts("1999-01-20T00:39:57"), "A", 2),
+        (_ts("2000-12-20T00:39:57"), "B", None),
+    ]
+    out = fenl("ShiftFixture | shift_to(ShiftFixture.other_time)",
+               {"ShiftFixture": _shift_tl(spark)})
+    rows = sorted((r["_time"], r["_key"], r["time"], r["i64"], r["string"])
+                  for r in out.collect())
+    assert rows == [
+        (_ts("1997-10-20T00:39:57"), "B", _ts("1996-12-20T00:39:58"), 58, "world"),
+        (_ts("1997-12-20T00:39:57"), "A", _ts("1996-12-20T00:39:57"), 57, "hello"),
+        (_ts("1999-01-20T00:39:57"), "A", _ts("1996-12-20T00:40:02"), 2, "hello"),
+        (_ts("2000-12-20T00:39:57"), "B", _ts("1996-12-20T00:40:00"), None, None),
+    ]
+
+
+def test_e2e_shift_until_false(spark):
+    # shift_tests.rs::test_shift_until_false — an all-false predicate
+    # yields an empty shifted universe; when() over the merge keeps only
+    # the original rows where gt_10 fired
+    q = """
+    let gt_10 = ShiftFixture.i64 > 10
+    let shift_until_gt_10 = ShiftFixture.string | shift_until(gt_10)
+    let gt_75 = ShiftFixture.i64 > 75
+    let shift_until_gt_75 = ShiftFixture.string | shift_until(gt_75)
+    in { gt_10, shift_until_gt_10, gt_75, shift_until_gt_75 } | when(gt_10 or gt_75)
+    """
+    out = fenl(q, {"ShiftFixture": _shift_tl(spark)})
+    rows = sorted(
+        (r["_time"], r["_key"], r["gt_10"], r["shift_until_gt_10"],
+         r["gt_75"], r["shift_until_gt_75"])
+        for r in out.collect()
+    )
+    assert rows == [
+        (_ts("1996-12-20T00:39:57"), "A", True, None, False, None),
+        (_ts("1996-12-20T00:39:58"), "B", True, None, False, None),
+        (_ts("1996-12-20T00:39:59"), "A", True, None, False, None),
+    ]
+
+
+def test_e2e_shift_until_false_sum(spark):
+    # shift_tests.rs::test_shift_until_false_sum — a cumulative sum over
+    # the shifted universe latches (continuous) across the merged output
+    q = """
+    let gt_10 = ShiftFixture.i64 > 10
+    let shift_until_gt_10 = ShiftFixture.i64 | shift_until(gt_10) | sum()
+    let gt_75 = ShiftFixture.i64 > 75
+    let shift_until_gt_75 = ShiftFixture.string | shift_until(gt_75)
+    in { gt_10, shift_until_gt_10, gt_75, shift_until_gt_75 }
+    """
+    out = fenl(q, {"ShiftFixture": _shift_tl(spark)})
+    rows = [
+        (r["_time"], r["_key"], r["gt_10"], r["shift_until_gt_10"], r["gt_75"])
+        for r in sorted(out.collect(), key=lambda r: (r["_time"], r["_subsort"]))
+    ]
+    assert rows == [
+        (_ts("1996-12-20T00:39:57"), "A", None, 57, None),
+        (_ts("1996-12-20T00:39:57"), "A", True, 57, False),
+        (_ts("1996-12-20T00:39:58"), "B", None, 58, None),
+        (_ts("1996-12-20T00:39:58"), "B", True, 58, False),
+        (_ts("1996-12-20T00:39:59"), "A", None, 116, None),
+        (_ts("1996-12-20T00:39:59"), "A", True, 116, False),
+        (_ts("1996-12-20T00:40:00"), "B", None, 58, None),
+        (_ts("1996-12-20T00:40:01"), "A", None, 116, None),
+        (_ts("1996-12-20T00:40:02"), "A", False, 116, False),
+    ]
+
+
+def test_e2e_shift_to_sparse(spark):
+    # shift_tests.rs::test_shift_to_sparse — targets interleave across
+    # batch boundaries (a pure-Catalyst non-issue, kept as a golden)
+    rows = [
+        ("1996-03-21", "Ben", "1996-08-19", True, 1),
+        ("1996-04-21", "Ryan", "1996-07-20", True, 2),
+        ("1996-05-21", "Ryan", "1996-07-22", False, 3),
+        ("1996-06-21", "Ryan", "1996-06-22", True, 4),
+        ("1996-07-21", "Ben", "1996-07-22", False, 5),
+        ("1996-08-21", "Ben", "1996-08-22", True, 6),
+    ]
+    df = spark.createDataFrame(
+        [(_ts(t), i, k, _ts(d), c, n) for i, (t, k, d, c, n) in enumerate(rows)],
+        "time timestamp, sub long, key string, date timestamp, cond boolean, n long",
+    )
+    tl = Timeline.from_events(df, time_col="time", key_col="key", subsort_col="sub")
+    out = fenl("{ result: ShiftFixture.n | shift_to(ShiftFixture.date) }",
+               {"ShiftFixture": tl})
+    got = sorted((r["_time"], r["_key"], r["result"]) for r in out.collect())
+    assert got == [
+        (_ts("1996-06-22"), "Ryan", 4),
+        (_ts("1996-07-20"), "Ryan", 2),
+        (_ts("1996-07-22"), "Ben", 5),
+        (_ts("1996-07-22"), "Ryan", 3),
+        (_ts("1996-08-19"), "Ben", 1),
+        (_ts("1996-08-22"), "Ben", 6),
+    ]
