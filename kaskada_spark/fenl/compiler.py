@@ -660,9 +660,14 @@ class Compiler:
         return self._v(F.col(alias))
 
     def _const_int(self, node: A.Node, what: str) -> int:
+        # non-constant durations are a dedicated diagnostic in the
+        # reference (windowed_aggregation_tests.rs
+        # test_non_constant_sliding_duration_produces_diagnostic, E0014)
         if isinstance(node, A.Literal) and isinstance(node.value, int):
             return node.value
-        raise FenlCompileError(f"{what} must be an integer literal")
+        raise FenlCompileError(
+            f"{what} must be constant, but was not", code="E0014"
+        )
 
     # windows ----------------------------------------------------------
     def _window_cond(self, cond) -> Column:

@@ -1196,3 +1196,267 @@ def test_e2e_shift_to_sparse(spark):
         (_ts("1996-08-19"), "Ben", 1),
         (_ts("1996-08-22"), "Ben", 6),
     ]
+
+
+# ----------------------------------------------------------------------
+# windowed_aggregation_tests.rs — since()/sliding() windows, every agg
+# ----------------------------------------------------------------------
+def _window_tl(spark) -> Timeline:
+    # windowed_aggregation_tests.rs window_data_fixture (-08:00 → UTC)
+    rows = [
+        ("1996-12-20T00:39:57", "A", 10.0, "arugula", True),
+        ("1996-12-20T00:39:58", "B", 3.9, "beet", True),
+        ("1996-12-20T00:39:59", "A", 6.2, "carrot", False),
+        ("1996-12-20T00:40:00", "A", 9.25, "dill", False),
+        ("1996-12-20T00:40:01", "A", 3.0, "edamame", True),
+        ("1996-12-20T00:40:02", "A", 8.0, "fennel", False),
+        ("1996-12-20T00:40:03", "A", None, "green beans", True),
+        ("1996-12-20T00:40:04", "A", 10.0, "habanero", False),
+    ]
+    df = spark.createDataFrame(
+        [(_ts(t), i, k, n, v, b) for i, (t, k, n, v, b) in enumerate(rows)],
+        "time timestamp, sub long, key string, n double, vegetable string, "
+        "bool boolean",
+    )
+    return Timeline.from_events(df, time_col="time", key_col="key", subsort_col="sub")
+
+
+def _window_nulls_tl(spark) -> Timeline:
+    # windowed_aggregation_tests.rs window_data_fixture_with_nulls
+    rows = [
+        ("1996-12-20T00:39:57", "A", 10.0, "arugula", True),
+        ("1996-12-20T00:39:58", "B", 3.9, "beet", True),
+        ("1996-12-20T00:39:59", "A", None, "carrot", False),
+        ("1996-12-20T00:40:00", "A", 9.25, "dill", None),
+        ("1996-12-20T00:40:01", "A", None, "edamame", None),
+        ("1996-12-20T00:40:02", "A", None, "fennel", False),
+        ("1996-12-20T00:40:03", "A", 1.0, "green beans", True),
+        ("1996-12-20T00:40:04", "A", 10.0, "habanero", True),
+    ]
+    df = spark.createDataFrame(
+        [(_ts(t), i, k, n, v, b) for i, (t, k, n, v, b) in enumerate(rows)],
+        "time timestamp, sub long, key string, n double, vegetable string, "
+        "bool boolean",
+    )
+    return Timeline.from_events(df, time_col="time", key_col="key", subsort_col="sub")
+
+
+def _wrows(out, *cols):
+    """Rows ordered by event time (unique per row in these fixtures)."""
+    return [
+        tuple(r[c] for c in cols)
+        for r in sorted(out.collect(), key=lambda r: r["_time"])
+    ]
+
+
+def _feq(got, exp):
+    assert len(got) == len(exp), f"{len(got)} rows != {len(exp)}"
+    for i, (g, e) in enumerate(zip(got, exp)):
+        for gv, ev in zip(g, e):
+            if ev is None:
+                assert gv is None, f"row {i}: {g} != {e}"
+            elif isinstance(ev, float):
+                assert gv == pytest.approx(ev, rel=1e-12), f"row {i}: {g} != {e}"
+            else:
+                assert gv == ev, f"row {i}: {g} != {e}"
+
+
+@pytest.mark.parametrize(
+    "op,total,since",
+    [
+        # windowed_aggregation_tests.rs test_{count,sum,min,max,mean,
+        # variance,last,f64_first}_since_window — expected CSV verbatim
+        ("count", [1, 1, 2, 3, 4, 5, 5, 6], [1, 1, 2, 1, 2, 1, 1, 2]),
+        ("sum", [10.0, 3.9, 16.2, 25.45, 28.45, 36.45, 36.45, 46.45],
+         [10.0, 3.9, 16.2, 9.25, 12.25, 8.0, 8.0, 18.0]),
+        ("min", [10.0, 3.9, 6.2, 6.2, 3.0, 3.0, 3.0, 3.0],
+         [10.0, 3.9, 6.2, 9.25, 3.0, 8.0, 8.0, 8.0]),
+        ("max", [10.0, 3.9, 10.0, 10.0, 10.0, 10.0, 10.0, 10.0],
+         [10.0, 3.9, 10.0, 9.25, 9.25, 8.0, 8.0, 10.0]),
+        ("mean", [10.0, 3.9, 8.1, 8.483333333333333, 7.112499999999999,
+                  7.289999999999999, 7.289999999999999, 7.741666666666666],
+         [10.0, 3.9, 8.1, 9.25, 6.125, 8.0, 8.0, 9.0]),
+        ("variance", [None, None, 3.609999999999999, 2.7005555555555554,
+                      7.662968749999997, 6.256399999999998,
+                      6.256399999999998, 6.233680555555555],
+         [None, None, 3.609999999999999, None, 9.765625, None, None, 1.0]),
+        ("last", [10.0, 3.9, 6.2, 9.25, 3.0, 8.0, 8.0, 10.0],
+         [10.0, 3.9, 6.2, 9.25, 3.0, 8.0, 8.0, 10.0]),
+        ("first", [10.0, 3.9, 10.0, 10.0, 10.0, 10.0, 10.0, 10.0],
+         [10.0, 3.9, 10.0, 9.25, 9.25, 8.0, 8.0, 8.0]),
+    ],
+)
+def test_e2e_since_window_aggs(spark, op, total, since):
+    q = (f"{{ total: {op}(Foo.n), "
+         f"  w: {op}(Foo.n, window=since(Foo.n < 7.0)) }}")
+    out = fenl(q, {"Foo": _window_tl(spark)})
+    _feq(_wrows(out, "total", "w"), list(zip(total, since)))
+
+
+@pytest.mark.parametrize(
+    "col,total,since",
+    [
+        # test_string_{first,last}_since_window, test_bool_*_since_window
+        ("first(Foo.vegetable)",
+         ["arugula", "beet", "arugula", "arugula", "arugula", "arugula",
+          "arugula", "arugula"],
+         ["arugula", "beet", "arugula", "dill", "dill", "fennel", "fennel",
+          "fennel"]),
+        ("last(Foo.vegetable)",
+         ["arugula", "beet", "carrot", "dill", "edamame", "fennel",
+          "green beans", "habanero"],
+         ["arugula", "beet", "carrot", "dill", "edamame", "fennel",
+          "green beans", "habanero"]),
+        ("first(Foo.bool)",
+         [True, True, True, True, True, True, True, True],
+         [True, True, True, False, False, False, False, False]),
+        ("last(Foo.bool)",
+         [True, True, False, False, True, False, True, False],
+         [True, True, False, False, True, False, True, False]),
+    ],
+)
+def test_e2e_since_window_typed_first_last(spark, col, total, since):
+    wcol = col.replace(")", ", window=since(Foo.n < 7.0))")
+    out = fenl(f"{{ total: {col}, w: {wcol} }}", {"Foo": _window_tl(spark)})
+    _feq(_wrows(out, "total", "w"), list(zip(total, since)))
+
+
+def test_e2e_window_emits_value_on_reset(spark):
+    # test_{first,last}_{since,sliding}_window_emits_value_on_reset —
+    # window resets/evictions emit regardless of input validity
+    tl = _window_nulls_tl(spark)
+    out = fenl("{ f: first(Foo.n, window=since(Foo.bool)), "
+               "  l: last(Foo.n, window=since(Foo.bool)) }", {"Foo": tl})
+    _feq(_wrows(out, "f", "l"), [
+        (10.0, 10.0), (3.9, 3.9), (None, None), (9.25, 9.25), (9.25, 9.25),
+        (9.25, 9.25), (9.25, 1.0), (10.0, 10.0),
+    ])
+    out = fenl("{ f: first(Foo.n, window=sliding(2, is_valid(Foo))), "
+               "  l: last(Foo.n, window=sliding(2, is_valid(Foo))) }",
+               {"Foo": tl})
+    _feq(_wrows(out, "f", "l"), [
+        (10.0, 10.0), (3.9, 3.9), (10.0, 10.0), (9.25, 9.25), (9.25, 9.25),
+        (None, None), (1.0, 1.0), (1.0, 10.0),
+    ])
+
+
+def test_e2e_sliding_window_counts(spark):
+    # test_count_sliding_window_every_few_events,
+    # test_count_sliding_window_with_condition,
+    # test_count_sliding_duration_1_equivalent_to_since
+    tl = _window_tl(spark)
+    out = fenl("{ total_count: count(Foo), "
+               "  sliding_count: count(Foo, window=sliding(3, is_valid(Foo))) }",
+               {"Foo": tl})
+    _feq(_wrows(out, "total_count", "sliding_count"), [
+        (1, 1), (1, 1), (2, 2), (3, 3), (4, 3), (5, 3), (6, 3), (7, 3),
+    ])
+    out = fenl("{ cond: Foo.n > 5, "
+               "  sliding_count: count(Foo.n, window=sliding(2, Foo.n > 5)) }",
+               {"Foo": tl})
+    _feq(_wrows(out, "cond", "sliding_count"), [
+        (True, 1), (False, 1), (True, 2), (True, 2), (False, 2), (True, 3),
+        (None, 2), (True, 3),
+    ])
+    out = fenl("{ since: count(Foo.bool, window=since(Foo.n > 5)), "
+               "  sliding: count(Foo.bool, window=sliding(1, Foo.n > 5)) }",
+               {"Foo": tl})
+    _feq(_wrows(out, "since", "sliding"), [
+        (1, 1), (1, 1), (1, 1), (1, 1), (1, 1), (2, 2), (1, 1), (2, 2),
+    ])
+
+
+def test_e2e_sliding_every_few_events(spark):
+    # test_sum_sliding_every_few_events + typed first/last sliding
+    tl = _window_tl(spark)
+    out = fenl("{ s: sum(Foo.n, window=sliding(2, is_valid(Foo))), "
+               "  f: first(Foo.n, window=sliding(2, is_valid(Foo))), "
+               "  l: last(Foo.n, window=sliding(2, is_valid(Foo))) }",
+               {"Foo": tl})
+    _feq(_wrows(out, "s", "f", "l"), [
+        (10.0, 10.0, 10.0), (3.9, 3.9, 3.9), (16.2, 10.0, 6.2),
+        (15.45, 6.2, 9.25), (12.25, 9.25, 3.0), (11.0, 3.0, 8.0),
+        (8.0, 8.0, 8.0), (10.0, 10.0, 10.0),
+    ])
+    out = fenl("{ f: first(Foo.vegetable, window=sliding(2, is_valid(Foo))), "
+               "  l: last(Foo.vegetable, window=sliding(2, is_valid(Foo))), "
+               "  fb: first(Foo.bool, window=sliding(2, is_valid(Foo))), "
+               "  lb: last(Foo.bool, window=sliding(2, is_valid(Foo))) }",
+               {"Foo": tl})
+    _feq(_wrows(out, "f", "l", "fb", "lb"), [
+        ("arugula", "arugula", True, True), ("beet", "beet", True, True),
+        ("arugula", "carrot", True, False), ("carrot", "dill", False, False),
+        ("dill", "edamame", False, True), ("edamame", "fennel", True, False),
+        ("fennel", "green beans", False, True),
+        ("green beans", "habanero", True, False),
+    ])
+
+
+def test_e2e_sliding_window_with_predicate(spark):
+    # test_sliding_window_with_predicate (+ _final_results): daily since
+    # window (no boundary in range → running) next to a row-sliding one
+    q = ("{ since: count(Foo, window=since(daily())), "
+         "  slide: Foo | count(window=sliding(2, $input | is_valid())) }")
+    out = fenl(q, {"Foo": _window_tl(spark)})
+    _feq(_wrows(out, "since", "slide"), [
+        (1, 1), (1, 1), (2, 2), (3, 2), (4, 2), (5, 2), (6, 2), (7, 2),
+    ])
+    out = fenl(q, {"Foo": _window_tl(spark)}, behavior="final")
+    rows = sorted((r["_key"], r["since"], r["slide"]) for r in out.collect())
+    assert rows == [("A", 7, 2), ("B", 1, 1)]
+
+
+def test_e2e_final_sliding_window_constant(spark):
+    # test_final_sliding_window_constant — sliding(5, true) over rows
+    out = fenl("{ sliding_const: Foo.n | sum(window = sliding(5, true)) }",
+               {"Foo": _window_tl(spark)}, behavior="final")
+    rows = sorted((r["_key"], r["sliding_const"]) for r in out.collect())
+    _feq(rows, [("A", 30.25), ("B", 3.9)])
+
+
+def test_e2e_window_argument_errors(spark):
+    # test_aggregation_arguments_wrong: a window passed positionally
+    with pytest.raises(FenlCompileError):
+        fenl("{ count: Foo.n | count(since(Foo.n < 5)) }",
+             {"Foo": _window_tl(spark)})
+    # test_sliding_arguments_wrong: sliding() arity
+    with pytest.raises(FenlCompileError):
+        fenl("{ count: Foo.n | count(sliding(Foo.n)) }",
+             {"Foo": _window_tl(spark)})
+    # test_non_constant_sliding_duration_produces_diagnostic → E0014
+    with pytest.raises(FenlCompileError) as ei:
+        fenl("{ count: count(Foo, window=sliding(Foo.n, Foo.n)) }",
+             {"Foo": _window_tl(spark)})
+    assert ei.value.code == "E0014"
+    assert "must be constant" in str(ei.value)
+
+
+def test_e2e_sliding_count_final_results(spark):
+    # windowed_aggregation_tests.rs::test_sliding_count_final_results —
+    # window EVICTIONS at hourly ticks count as fresh values for the
+    # final-results decoration: B's final state comes from its last
+    # hourly tick (key/m null there, count evicted to 0), A's from its
+    # own last event. (The reference restamps final rows to global
+    # max-time+1ns; this engine keeps each entity's last-row time —
+    # sub-microsecond ticks aren't representable in Spark timestamps.)
+    rows = [
+        ("1996-12-15T02:38:57", "B", 2),
+        ("1996-12-15T02:39:57", "B", 1),
+        ("1996-12-20T06:42:05", "A", 3),
+    ]
+    df = spark.createDataFrame(
+        [(_ts(t), i, k, m) for i, (t, k, m) in enumerate(rows)],
+        "time timestamp, sub long, key string, m long",
+    )
+    tl = Timeline.from_events(df, time_col="time", key_col="key", subsort_col="sub")
+    out = fenl(
+        "{ key: Numbers.key, m: Numbers.m, "
+        "  daily_count: count(Numbers, window=sliding(3, hourly())) }",
+        {"Numbers": tl}, behavior="final",
+    )
+    got = {r["_key"]: (r["_time"], r["key"], r["m"], r["daily_count"])
+           for r in out.collect()}
+    assert got == {
+        "A": (_ts("1996-12-20T06:42:05"), "A", 3, 1),
+        "B": (_ts("1996-12-20T06:00:00"), None, None, 0),
+    }
