@@ -232,22 +232,50 @@ def scaling_sweep(spark, n_rows: int) -> dict:
 
 def _compact_throughput(full: dict) -> dict:
     """Shrink the sweep result for the single stdout line: per-level
-    numbers without run arrays. Full detail goes to BENCH_DETAIL.json."""
+    throughput only (no run arrays, no wall times, short level keys).
+    Full detail goes to BENCH_DETAIL.json."""
     return {
         "n_rows": full["n_rows"],
         "scaling_efficiency": full["scaling_efficiency"],
-        "scaling_pair": full["scaling_pair"],
-        "executor_levels": {
-            m: {"sec": v["sec"], "seq_per_sec": v["seq_per_sec"]}
-            for m, v in full["executor_levels"].items()
+        "scaling_pair": "1->4 executors (2c each, local-cluster)",
+        "executor_seq_per_sec": {
+            m: v["seq_per_sec"] for m, v in full["executor_levels"].items()
         },
-        "thread_levels": {
-            m: {"sec": v["sec"], "seq_per_sec": v["seq_per_sec"]}
-            for m, v in full["levels"].items()
+        "thread_seq_per_sec": {
+            m: v["seq_per_sec"] for m, v in full["levels"].items()
         },
         "thread_scaling_efficiency": full["thread_scaling_efficiency"],
         "max_throughput_seq_per_sec": full["executor_max_throughput_seq_per_sec"],
     }
+
+
+# The driver stores only the last N bytes of stdout (2000 in round 2,
+# BENCH_r02.json "tail") and json-parses the final line; round 2's line
+# overflowed that window and the round's numbers were machine-unreadable
+# ("parsed": null). Keep a safety margin below the observed window.
+_MAX_LINE = 1600
+
+
+def _emit(result: dict) -> None:
+    """Print ONE JSON line guaranteed under the driver's tail-capture
+    window, shedding optional detail in order until it fits (everything
+    shed is already in BENCH_DETAIL.json)."""
+    def line() -> str:
+        return json.dumps(result, separators=(",", ":"))
+
+    if len(line()) > _MAX_LINE:
+        result["queries"] = {k: round(v, 2) for k, v in result["queries"].items()}
+    thr = result.get("throughput")
+    if thr:
+        for victim in ("thread_seq_per_sec", "executor_seq_per_sec"):
+            if len(line()) > _MAX_LINE:
+                thr.pop(victim, None)
+    if len(line()) > _MAX_LINE:
+        result["metric"] = "kaskada_spark suite"
+    if len(line()) > _MAX_LINE:
+        # last resort: per-query detail lives in BENCH_DETAIL.json
+        result["queries"] = {"see": "BENCH_DETAIL.json"}
+    print(line())
 
 
 def main() -> None:
@@ -277,7 +305,7 @@ def main() -> None:
     # Contract: the FINAL stdout line is ONE compact JSON object small
     # enough for the driver's tail capture (run arrays + prose notes live
     # in BENCH_DETAIL.json, written above).
-    print(json.dumps(result, separators=(",", ":")))
+    _emit(result)
 
 
 if __name__ == "__main__":
