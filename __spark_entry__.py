@@ -565,6 +565,27 @@ def q_fenl_lookup_rekey(spark, sf_dir):
     )
 
 
+def q_fenl_finished(spark, sf_dir):
+    """`... | last() | when(finished())` — the reference's FinalTick
+    final-value idiom (tick_tests.rs test_tick_when_finished,
+    operation/final_tick.rs): one row per entity at global max event
+    time + 1µs (reference stamps +1ns; Spark timestamps are µs),
+    latching each entity's most recent NEW record — the discrete
+    event_type field comes from the entity's last event row even though
+    it is undefined at the final tick itself."""
+    from kaskada_spark.fenl import fenl
+
+    q = ("{ et: Events.event_type, n: count(Events) } "
+         "| last() | when(finished())")
+    out = fenl(q, {"Events": _events(spark, sf_dir)})
+    return out.select(
+        F.col(KEY).alias("user_id"),
+        F.col(TIME).alias("t"),
+        F.col("et").alias("et"),
+        F.col("n").alias("n"),
+    )
+
+
 # ----------------------------------------------------------------------
 # training-data pipeline: dedup / similarity / text analysis
 # (driver mandate — first-class alongside the reference operators)
@@ -921,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fenl_when": q_fenl_when,
         "fenl_since": q_fenl_since,
         "fenl_lookup_rekey": q_fenl_lookup_rekey,
+        "fenl_finished": q_fenl_finished,
         "fenl_merge": q_fenl_merge,
         "lookup_asof": q_lookup_asof,
         "merge_align": q_merge_align,
@@ -1316,6 +1338,15 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      AS BIGINT) AS s
             FROM events
+        """,
+        "fenl_finished": """
+            SELECT user_id,
+                   (SELECT MAX(ts) + INTERVAL 1 MICROSECOND FROM events) AS t,
+                   event_type AS et,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n
+            FROM events
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) = 1
         """,
         "fenl_merge": """
             WITH l AS (

@@ -147,6 +147,13 @@ class CVal:
     fields: dict[str, "CVal"] | None = None  # record structure when known
     is_json: bool = False
     gen: int = -1
+    #: rows where a CONTINUOUS value is NEW (updates), when that differs
+    #: from the event rows: a windowed aggregate also updates at its
+    #: window-boundary tick rows (since.toml 'Hourly Count' shows
+    #: time_of(record-with-windowed-count) populated at tick rows, while
+    #: tick_tests.rs test_time_of_produces_discrete_values shows
+    #: time_of(last(n)) null there). None = default rule (event rows).
+    new: Column | None = None
 
     @property
     def discrete(self) -> bool:
@@ -222,8 +229,14 @@ class Compiler:
         # is computed, so continuous values latch onto tick rows exactly
         # as the reference's merge-with-tick-stream does (tick.rs:33-60).
         self.tick_flags: dict[str, str] = {}
+        # finished() injects LAST so the final-tick row lands after every
+        # calendar tick and its max-time scan never sees injected rows
+        # that could straddle a calendar boundary
         for unit in tick_units:
-            self._inject_ticks(unit)
+            if unit != "finished":
+                self._inject_ticks(unit)
+        if "finished" in tick_units:
+            self._inject_finished()
 
     def _merge_table(self, name: str) -> None:
         if not self.table_flags:
@@ -262,6 +275,22 @@ class Compiler:
             self.df = self.df.withColumn(other, F.coalesce(F.col(other), F.lit(False)))
         self.tick_flags[unit] = flag
 
+    def _inject_finished(self) -> None:
+        """Inject the reference's FinalTick rows (one per entity at
+        global max event time + 1µs; operation/final_tick.rs) so
+        ``when(finished())`` and friends see a firing row after all
+        input, exactly like the calendar ticks."""
+        from kaskada_spark.operators.tick import TICK_COL, with_final_tick
+
+        flag = "__fenl_tick_finished"
+        merged = with_final_tick(Timeline(self.df)).df
+        self.df = merged.withColumn(
+            flag, F.coalesce(F.col(TICK_COL), F.lit(False))
+        ).drop(TICK_COL)
+        for other in list(self.tick_flags.values()) + list(self.table_flags.values()):
+            self.df = self.df.withColumn(other, F.coalesce(F.col(other), F.lit(False)))
+        self.tick_flags["finished"] = flag
+
     def _event_row(self) -> Column | None:
         """True on original event rows, false on injected tick rows."""
         if not self.tick_flags:
@@ -292,6 +321,15 @@ class Compiler:
     def _v(self, col: Column, mask: Column | None = None, **kw) -> CVal:
         """A CVal pinned to the current universe generation."""
         return CVal(col, mask, gen=self.universe_gen, **kw)
+
+    def _boolify(self, v):
+        """A tick used as a boolean VALUE (not a window/when condition):
+        true exactly on its injected tick rows, false on event rows —
+        e.g. ``Foo.n | if(hourly())`` (tick_tests.rs test_if_hourly;
+        ticks type-check as bool in the reference's DFG)."""
+        if isinstance(v, TickVal):
+            return self._v(F.col(v.flag))
+        return v
 
     def _spark_type(self, col: Column):
         """Static Spark type of an expression (schema-only analysis, no
@@ -485,8 +523,27 @@ class Compiler:
             v.discrete for v in fields.values()
         ) else None
         col = F.struct(*[v.col.alias(n) for n, v in fields.items()])
+        # The record VALUE is new where any field is new: the field's
+        # explicit mask, else the event rows (unmasked discrete fields
+        # and continuous aggregates update at event rows, never at an
+        # injected tick row). This governs what last()/first() over the
+        # record latch (tick_tests.rs test_tick_when_finished latches
+        # the last EVENT row's record at the final tick), independent
+        # of the output row domain in ``mask``.
+        ev = self._event_row()
+        new_mask = None
+        if ev is not None:
+            news = [
+                v.new if v.new is not None
+                else (v.mask if v.mask is not None else ev)
+                for v in fields.values()
+            ]
+            new_mask = news[0]
+            for m in news[1:]:
+                new_mask = new_mask | m
+            col = F.when(new_mask, col)
         return self._v(col, mask, continuous=all(v.continuous for v in fields.values()),
-                       fields=fields)
+                       fields=fields, new=new_mask)
 
     def _c_pipe(self, node: A.Pipe) -> CVal:
         lhs = self.compile(node.lhs)
@@ -561,7 +618,7 @@ class Compiler:
         if name in _SCALARS:
             nargs, fn = _SCALARS[name]
             args = self._positional(node, nargs)
-            vals = [self.compile(a) for a in args]
+            vals = [self._boolify(self.compile(a)) for a in args]
             self._chk(*vals)
             cols = [v.col for v in vals]
             return self._v(fn(*cols), _or_masks(*vals))
@@ -636,7 +693,30 @@ class Compiler:
         tl = self._tl().aggregate(op, _masked(v.col, v.mask), window=window, alias=alias)
         self.df = tl.df
         self.cont_cols.append(alias)
-        return self._v(F.col(alias), continuous=True)
+        out = self._v(F.col(alias), continuous=True)
+        ev = self._event_row()
+        if ev is not None:
+            # newness: the aggregate updates where its input is new, and
+            # — for a windowed aggregate — at every window-boundary row
+            # (evictions/resets are fresh values, see CVal.new)
+            base_new = v.new if v.new is not None else (
+                v.mask if v.mask is not None else ev
+            )
+            if window is not None:
+                base_new = base_new | F.coalesce(
+                    window.condition, F.lit(False)
+                )
+            out = replace(out, new=base_new)
+        if v.fields is not None and op in ("first", "last"):
+            # a record-typed latch keeps its structure so the result
+            # flattens into columns like the reference's record output
+            # (tick_tests.rs test_tick_when_finished: `{...} | last()`
+            # emits `time,sum` columns, not one struct)
+            out = replace(out, fields={
+                n: self._v(F.col(alias)[n], continuous=True)
+                for n in v.fields
+            })
+        return out
 
     def _fn_lag(self, node: A.Call) -> CVal:
         n_node, v_node = self._positional(node, 2, ("n", "input"))
@@ -698,12 +778,16 @@ class Compiler:
             )
         return TickVal(Tick(unit), self.tick_flags[unit])
 
-    def _fn_finished(self, node: A.Call):
-        raise FenlCompileError(
-            "finished() is the reference's internal final-tick marker "
-            "(functions/window.rs:48-54); use "
-            "compile_fenl(..., behavior='final') for FINAL results"
-        )
+    def _fn_finished(self, node: A.Call) -> TickVal:
+        """The reference's final-tick marker (functions/window.rs:48-54):
+        fires once per entity just after all input, so
+        ``last() | when(finished())`` produces final values
+        (tick_tests.rs test_tick_when_finished)."""
+        if "finished" not in self.tick_flags:
+            raise FenlCompileError(
+                "finished() ticks were not pre-scanned; this is a compiler bug"
+            )
+        return TickVal(None, self.tick_flags["finished"])
 
     def _fn_minutely(self, node: A.Call) -> TickVal:
         return self._tickval("minutely")
@@ -727,8 +811,17 @@ class Compiler:
         v = self.compile(v_node)
         self._chk(cond, v)
         fire = self._window_cond(cond)
-        mask = fire if v.mask is None or v.continuous else (v.mask & fire)
-        return replace(v, col=_masked(v.col, mask), mask=mask, continuous=False)
+        # The ROW domain of when() is wherever the condition fires; a
+        # discrete value that is not new at a firing row contributes
+        # null rather than dropping the row (tick_tests.rs
+        # test_time_of_produces_discrete_values: every tick row emits,
+        # with null t).
+        vmask = fire if v.mask is None or v.continuous else (v.mask & fire)
+        if v.fields is not None:
+            out = self._map_record(v, lambda col: _masked(col, vmask), fire)
+            return replace(out, continuous=False, new=None)
+        return replace(v, col=_masked(v.col, vmask), mask=fire, continuous=False,
+                       new=None)
 
     def _merge_reroot(
         self,
@@ -1126,7 +1219,19 @@ class Compiler:
         (v_node,) = self._positional(node, 1, ("value",))
         v = self.compile(v_node)
         self._chk(v)
-        return self._v(F.col(TIME), v.mask, continuous=v.continuous)
+        # time_of produces DISCRETE values (tick_tests.rs
+        # test_time_of_produces_discrete_values): its domain is the rows
+        # where the input is NEW. An unwindowed aggregate updates at
+        # event rows, never at an injected tick row; a windowed one
+        # carries its boundary rows in CVal.new; an unmasked discrete
+        # input's new rows are likewise the event rows.
+        if v.new is not None:
+            mask = v.new
+        elif v.continuous or v.mask is None:
+            mask = self._event_row()
+        else:
+            mask = v.mask
+        return self._v(_masked(F.col(TIME), mask), mask, continuous=False)
 
     def _fn_json(self, node: A.Call) -> CVal:
         (v_node,) = self._positional(node, 1, ("s",))
@@ -1135,7 +1240,7 @@ class Compiler:
 
     def _fn_if(self, node: A.Call) -> CVal:
         c_node, v_node = self._positional(node, 2, ("condition", "value"))
-        c = self.compile(c_node)
+        c = self._boolify(self.compile(c_node))
         v = self.compile(v_node)
         self._chk(c, v)
         cond = _masked(c.col, c.mask)
@@ -1145,7 +1250,7 @@ class Compiler:
 
     def _fn_null_if(self, node: A.Call) -> CVal:
         c_node, v_node = self._positional(node, 2, ("condition", "value"))
-        c = self.compile(c_node)
+        c = self._boolify(self.compile(c_node))
         v = self.compile(v_node)
         self._chk(c, v)
         cond = _masked(c.col, c.mask)
@@ -1414,7 +1519,10 @@ def compile_fenl(
         )
         out = out.filter(F.col(TIME) >= cs)
     if behavior == "final":
-        out = Timeline(out).final()
+        # stamp at the max time of the full UNIVERSE (not the possibly
+        # when()-filtered result) — the reference stamps final rows at
+        # max input time + 1ns (decoration_tests.rs)
+        out = Timeline(out).final(stamp_from=df.select(TIME))
     elif behavior == "final_at":
         if final_at is None:
             raise FenlCompileError("behavior='final_at' requires final_at=")
@@ -1461,7 +1569,7 @@ def _tick_units(node: A.Node, formulas: dict[str, A.Node]) -> tuple[str, ...]:
         if isinstance(n, Exception):  # deferred formula parse failure
             return
         if isinstance(n, A.Call):
-            if n.func in TICK_UNITS and n.func not in units:
+            if (n.func in TICK_UNITS or n.func == "finished") and n.func not in units:
                 units.append(n.func)
             if n.func == "lookup":
                 # only the key side lives in the primary universe

@@ -72,7 +72,37 @@ def materialize_fenl(
     (_time, _subsort, _key, payload…). Returns one output row per
     (non-late) input event with one column per record field.
     """
-    return _single_stage(parse(source), stream, table_name, watermark)
+    node = parse(source)
+    if _mentions_finished(node):
+        raise NotImplementedError(
+            "finished() has no meaning on an unbounded stream (the "
+            "reference's FinalTick fires at end-of-input, "
+            "operation/final_tick.rs); run the query in batch mode via "
+            "compile_fenl, or use behavior='final' over a bounded "
+            "(availableNow) replay"
+        )
+    return _single_stage(node, stream, table_name, watermark)
+
+
+def _mentions_finished(n: A.Node) -> bool:
+    import dataclasses
+
+    if isinstance(n, A.Call) and n.func == "finished":
+        return True
+    if not dataclasses.is_dataclass(n):
+        return False
+    for f in n.__dataclass_fields__:
+        v = getattr(n, f)
+        if isinstance(v, A.Node) and _mentions_finished(v):
+            return True
+        if isinstance(v, tuple):
+            for e in v:
+                if isinstance(e, A.Node) and _mentions_finished(e):
+                    return True
+                if (isinstance(e, tuple) and len(e) == 2
+                        and isinstance(e[1], A.Node) and _mentions_finished(e[1])):
+                    return True
+    return False
 
 
 def _subst_input(n: A.Node, repl: A.Node) -> A.Node:

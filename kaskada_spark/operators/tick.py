@@ -94,3 +94,28 @@ def with_ticks(tl: Timeline, tick: Tick, include_final: bool = False) -> Timelin
     events = df.withColumn(TICK_COL, F.lit(False))
     merged = events.unionByName(ticks, allowMissingColumns=True)
     return Timeline(merged)
+
+
+def with_final_tick(tl: Timeline) -> Timeline:
+    """Union ONLY the FinalTick rows: one per entity seen in the input,
+    just after end-of-input (operation/final_tick.rs; the reference
+    stamps global max event time + 1ns — Spark timestamps are
+    µs-precision, so +1µs). Payload columns are null on the tick rows;
+    a boolean ``_tick`` column marks them. One hash-distinct for the
+    entity registry + a broadcast single-row global max — no global
+    sort, scales with entity count."""
+    df = tl.df
+    gmax = df.agg(F.max(TIME).alias("__gmax"))
+    final = (
+        df.select(KEY)
+        .distinct()
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            (F.col("__gmax") + F.expr("interval 1 microsecond")).alias(TIME),
+            F.lit(TICK_SUBSORT).alias(SUBSORT),
+            F.col(KEY),
+            F.lit(True).alias(TICK_COL),
+        )
+    )
+    events = df.withColumn(TICK_COL, F.lit(False))
+    return Timeline(events.unionByName(final, allowMissingColumns=True))

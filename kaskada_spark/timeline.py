@@ -111,26 +111,48 @@ class Timeline:
             df = df.withColumn(name, col)
         return Timeline(df)
 
-    def final(self) -> DataFrame:
-        """FINAL per-entity behavior: the latest row per entity
-        (reference decoration, frontend.rs:99-104; FinalTick op).
+    def final(self, stamp_from: DataFrame | None = None) -> DataFrame:
+        """FINAL per-entity behavior: the latest row per entity,
+        restamped to (global max event time + 1µs, tick subsort
+        sentinel) — the reference decoration emits final values at its
+        final tick, max input time + 1ns (frontend.rs:99-104,
+        operation/final_tick.rs, decoration_tests.rs goldens; Spark
+        timestamps are µs-precision, so +1µs).
 
         Lowered to a single hash aggregation with `max_by` on the order
-        struct — map-side partial agg, no window sort needed.
-        """
+        struct plus one broadcast single-row max — map-side partial
+        agg, no window sort needed. ``stamp_from`` optionally provides
+        the frame whose max time stamps the output (compile_fenl passes
+        the full universe so a when()-filtered result still stamps at
+        max input time)."""
+        from kaskada_spark.operators.tick import TICK_SUBSORT
+
         order = F.struct(F.col(TIME), F.col(SUBSORT))
         row = F.struct(*[F.col(c) for c in self._df.columns])
         agg = self._df.groupBy(KEY).agg(F.max_by(row, order).alias("__row"))
-        return agg.select(*[F.col(f"__row.{c}").alias(c) for c in self._df.columns])
+        src = self._df if stamp_from is None else stamp_from
+        gmax = src.agg(
+            (F.max(TIME) + F.expr("interval 1 microsecond")).alias("__final_t")
+        )
+        out_cols = [
+            F.col("__final_t").alias(TIME) if c == TIME
+            else F.lit(TICK_SUBSORT).alias(SUBSORT) if c == SUBSORT
+            else F.col(f"__row.{c}").alias(c)
+            for c in self._df.columns
+        ]
+        return agg.crossJoin(F.broadcast(gmax)).select(*out_cols)
 
     def final_at(self, at_time: Column | str) -> DataFrame:
         """FINAL_AT_TIME per-entity behavior: the latest row per entity
-        as of ``at_time`` (reference decoration with
-        ``__final_at_time__`` placeholder, frontend.rs:99-104,170-232).
-        Rows after the cutoff are excluded before the max_by agg, so the
-        filter pushes into the scan."""
+        as of ``at_time``, restamped to ``at_time`` + 1µs (reference
+        decoration with ``__final_at_time__`` placeholder,
+        frontend.rs:99-104,170-232; decoration_tests.rs
+        test_final_at_time_past_input_times stamps at the given time
+        even past all inputs). Rows after the cutoff are excluded
+        before the max_by agg, so the filter pushes into the scan."""
         t = F.lit(at_time).cast("timestamp") if isinstance(at_time, str) else at_time
-        return Timeline(self._df.filter(F.col(TIME) <= t)).final()
+        out = Timeline(self._df.filter(F.col(TIME) <= t)).final()
+        return out.withColumn(TIME, t + F.expr("interval 1 microsecond"))
 
     def sessionize(self, gap: str, alias: str = "session") -> "Timeline":
         """Assign per-entity session windows (inactivity gap).

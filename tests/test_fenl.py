@@ -861,6 +861,67 @@ def test_decoration_changed_since_final(spark):
     assert got == [("B", 23)], got
 
 
+def test_decoration_final_restamp(spark):
+    # decoration_tests.rs test_final_equivalent_to_changed_since_zero:
+    # FINAL rows restamp to global max input time + 1µs (reference +1ns)
+    # and behave identically with changed_since=epoch-0
+    import datetime as dt
+
+    q = "{ last: last(Times.n, window=since(yearly())) }"
+    end = dt.datetime(2004, 12, 6, 0, 44, 57, 1)
+    for kw in ({}, {"changed_since": "1970-01-01 00:00:00"}):
+        out = fenl(q, {"Times": _tl(spark, TIMES)}, behavior="final", **kw)
+        got = sorted((r["_key"], r["_time"], r["last"]) for r in out.collect())
+        assert got == [("A", end, None), ("B", end, 23.0)], got
+
+
+def test_decoration_sum_final_at_time(spark):
+    # decoration_tests.rs test_sum_i64_final_at_time (+ the all-filtered
+    # variant): FINAL_AT rows stamp at the requested time + 1µs
+    import datetime as dt
+
+    nums = _tl(spark, """time,key,m
+1996-12-20T00:39:57,A,5
+1996-12-20T00:39:58,B,24
+1996-12-20T00:39:59,A,17
+1996-12-20T00:40:01,A,12
+""")
+    out = fenl("{ sum_field: sum(Input.m) }", {"Input": nums},
+               behavior="final_at", final_at="1996-12-20 00:39:58")
+    got = sorted((r["_key"], r["_time"], r["sum_field"]) for r in out.collect())
+    end = dt.datetime(1996, 12, 20, 0, 39, 58, 1)
+    assert got == [("A", end, 5), ("B", end, 24)], got
+    # test_sum_i64_all_filtered_final_at_time: cutoff before all input
+    out2 = fenl("{ sum_field: sum(Input.m) }", {"Input": nums},
+                behavior="final_at", final_at="1970-12-20 00:39:58")
+    assert out2.count() == 0
+
+
+def test_decoration_final_at_time_past_input_times(spark):
+    # decoration_tests.rs test_final_at_time_past_input_times: rows are
+    # produced AT the final time even past every input row
+    import datetime as dt
+
+    out = fenl("{ last: last(Times.n) }", {"Times": _tl(spark, TIMES)},
+               behavior="final_at", final_at="2020-01-01 00:00:00")
+    got = sorted((r["_key"], r["_time"], r["last"]) for r in out.collect())
+    end = dt.datetime(2020, 1, 1, 0, 0, 0, 1)
+    assert got == [("A", end, 2.0), ("B", end, 23.0)], got
+
+
+def test_decoration_changed_since_with_final_at_time(spark):
+    # decoration_tests.rs test_last_timestamp_ns_changed_since_with_
+    # final_at_time: the changed_since filter applies on natural row
+    # times BEFORE the final_at restamp, so only B survives
+    import datetime as dt
+
+    out = fenl("{ last: last(Times.n) }", {"Times": _tl(spark, TIMES)},
+               behavior="final_at", final_at="2000-01-01 00:00:00",
+               changed_since="1995-01-01 00:00:00")
+    got = [(r["_key"], r["_time"], r["last"]) for r in out.collect()]
+    assert got == [("B", dt.datetime(2000, 1, 1, 0, 0, 0, 1), 8.0)], got
+
+
 # ----------------------------------------------------------------------
 # calendar tick goldens (reference e2e tick_tests.rs:486-545)
 # ----------------------------------------------------------------------

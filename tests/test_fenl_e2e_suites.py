@@ -1436,9 +1436,8 @@ def test_e2e_sliding_count_final_results(spark):
     # window EVICTIONS at hourly ticks count as fresh values for the
     # final-results decoration: B's final state comes from its last
     # hourly tick (key/m null there, count evicted to 0), A's from its
-    # own last event. (The reference restamps final rows to global
-    # max-time+1ns; this engine keeps each entity's last-row time —
-    # sub-microsecond ticks aren't representable in Spark timestamps.)
+    # own last event. Final rows restamp to global max input time + 1µs
+    # (the reference stamps +1ns; Spark timestamps are µs-precision).
     rows = [
         ("1996-12-15T02:38:57", "B", 2),
         ("1996-12-15T02:39:57", "B", 1),
@@ -1456,7 +1455,496 @@ def test_e2e_sliding_count_final_results(spark):
     )
     got = {r["_key"]: (r["_time"], r["key"], r["m"], r["daily_count"])
            for r in out.collect()}
+    end = _ts("1996-12-20T06:42:05.000001")
     assert got == {
-        "A": (_ts("1996-12-20T06:42:05"), "A", 3, 1),
-        "B": (_ts("1996-12-20T06:00:00"), None, None, 0),
+        "A": (end, "A", 3, 1),
+        "B": (end, None, None, 0),
     }
+
+
+# ----------------------------------------------------------------------
+# tick_tests.rs — the full calendar-tick e2e suite (fixtures and
+# expected CSVs transcribed verbatim, -08:00 times shifted to UTC).
+# Tick rows are identified by the reference's subsort sentinel; our
+# engine uses i64::MAX where the reference uses u64::MAX, and the
+# reference's +1ns final-tick stamp becomes +1µs (Spark timestamps are
+# µs-precision).
+# ----------------------------------------------------------------------
+def _veg_tl(spark, rows):
+    df = spark.createDataFrame(
+        [(_ts(t), i, k, n, v, b) for i, (t, k, n, v, b) in enumerate(rows)],
+        "time timestamp, sub long, key string, n double, vegetable string, "
+        "bool boolean",
+    )
+    return Timeline.from_events(df, time_col="time", key_col="key", subsort_col="sub")
+
+
+def _tick_minutes_tl(spark):  # data_fixture_over_minutes
+    return _veg_tl(spark, [
+        ("1996-12-20T00:39:57", "A", 10.0, "arugula", True),
+        ("1996-12-20T00:39:58", "B", 3.9, "beet", True),
+        ("1996-12-20T00:39:59", "A", 6.2, "carrot", False),
+        ("1996-12-20T00:40:00", "A", 9.25, "dill", False),
+        ("1996-12-20T00:40:01", "A", 3.0, "edamame", True),
+        ("1996-12-20T00:40:02", "A", 8.0, "fennel", False),
+        ("1996-12-20T00:40:02", "B", 8.0, "fennel", False),
+        ("1996-12-20T00:40:03", "A", None, "green beans", True),
+        ("1996-12-20T00:40:04", "A", 10.0, "habanero", False),
+        ("1996-12-20T00:41:04", "A", 10.0, "habanero", False),
+    ])
+
+
+def _tick_hours_tl(spark):  # data_fixture_over_hours
+    return _veg_tl(spark, [
+        ("1996-12-20T07:39:57", "A", 10.0, "arugula", True),
+        ("1996-12-20T07:39:58", "B", 3.9, "beet", True),
+        ("1996-12-20T08:00:00", "A", 6.2, "carrot", False),
+        ("1996-12-20T08:44:00", "A", 9.25, "dill", False),
+        ("1996-12-20T08:45:01", "A", 3.0, "edamame", True),
+        ("1996-12-20T09:20:02", "A", 8.0, "fennel", False),
+        ("1996-12-20T09:25:02", "B", 23.9, "cabbage", False),
+        ("1996-12-20T10:30:03", "A", None, "green beans", True),
+        ("1996-12-20T11:40:04", "A", 10.0, "habanero", False),
+    ])
+
+
+def _tick_hours_eoh_tl(spark):  # data_fixture_over_hours_end_on_hour
+    return _veg_tl(spark, [
+        ("1996-12-20T07:39:57", "A", 10.0, "arugula", True),
+        ("1996-12-20T07:39:58", "B", 3.9, "beet", True),
+        ("1996-12-20T08:00:00", "A", 6.2, "carrot", False),
+        ("1996-12-20T08:44:00", "A", 9.25, "dill", False),
+        ("1996-12-20T08:45:01", "A", 3.0, "edamame", True),
+        ("1996-12-20T09:20:02", "A", 8.0, "fennel", False),
+        ("1996-12-20T09:25:02", "B", 23.9, "cabbage", False),
+        ("1996-12-20T10:30:03", "A", None, "green beans", True),
+        ("1996-12-20T11:00:00", "A", 10.0, "habanero", False),
+    ])
+
+
+def _tick_days_else_tl(spark):  # data_days_for_else
+    return _veg_tl(spark, [
+        ("1996-12-19T20:39:57", "A", 10.0, "arugula", True),
+        ("1996-12-19T20:39:58", "B", None, "beet", True),
+        ("1996-12-21T00:32:59", "A", 6.2, "carrot", False),
+        ("1996-12-21T00:44:00", "A", 9.25, "dill", False),
+        ("1996-12-21T00:45:01", "A", 3.0, "edamame", True),
+        ("1996-12-21T08:00:00", "A", 8.0, "fennel", False),
+        ("1996-12-22T00:30:03", "A", None, "green beans", True),
+        ("1996-12-23T00:40:04", "A", 10.0, "habanero", False),
+    ])
+
+
+def _tick_days_tl(spark):  # data_fixture_over_days
+    return _veg_tl(spark, [
+        ("1996-12-19T20:39:57", "A", 10.0, "arugula", True),
+        ("1996-12-19T20:39:58", "B", 3.9, "beet", True),
+        ("1996-12-21T00:32:59", "A", 6.2, "carrot", False),
+        ("1996-12-21T00:44:00", "A", 9.25, "dill", False),
+        ("1996-12-21T00:45:01", "A", 3.0, "edamame", True),
+        ("1996-12-21T08:00:00", "A", 8.0, "fennel", False),
+        ("1996-12-22T00:25:02", "B", 23.9, "cabbage", False),
+        ("1996-12-22T00:30:03", "A", None, "green beans", True),
+        ("1996-12-23T00:40:04", "A", 10.0, "habanero", False),
+    ])
+
+
+def _tick_months_tl(spark):  # data_fixture_over_months
+    return _veg_tl(spark, [
+        ("1996-12-19T20:39:57", "A", 10.0, "arugula", True),
+        ("1996-12-19T20:39:58", "B", 3.9, "beet", True),
+        ("1997-01-21T00:32:59", "A", 6.2, "carrot", False),
+        ("1997-01-21T00:44:00", "A", 9.25, "dill", False),
+        ("1997-02-21T00:45:01", "A", 3.0, "edamame", True),
+        ("1997-04-22T00:20:02", "A", 8.0, "fennel", False),
+        ("1997-04-22T00:25:02", "B", 23.9, "cabbage", False),
+        ("1997-04-22T00:30:03", "A", None, "green beans", True),
+        ("1997-05-23T00:40:04", "A", 10.0, "habanero", False),
+    ])
+
+
+def _tick_years_tl(spark):  # data_fixture_over_years
+    return _veg_tl(spark, [
+        ("1996-12-19T20:39:57", "A", 10.0, "arugula", True),
+        ("1996-12-19T20:39:58", "B", 3.9, "beet", True),
+        ("1998-01-21T00:32:59", "A", 6.2, "carrot", False),
+        ("1998-01-21T00:44:00", "A", 9.25, "dill", False),
+        ("1999-02-21T00:45:01", "A", 3.0, "edamame", True),
+        ("1999-04-22T00:20:02", "A", 8.0, "fennel", False),
+        ("2001-04-22T00:25:02", "B", 23.9, "cabbage", False),
+        ("2001-04-22T00:30:03", "A", None, "green beans", True),
+        ("2001-05-23T00:40:04", "A", 10.0, "habanero", False),
+    ])
+
+
+def _krows(out, *cols):
+    """Rows in the reference CSV order: (_time, _subsort, _key) puts a
+    tick row after coincident event rows (tick subsort sentinel), as
+    (iso_time, key, values...)."""
+    return [
+        (r["_time"].isoformat(), r["_key"], *[r[c] for c in cols])
+        for r in sorted(out.collect(),
+                        key=lambda r: (r["_time"], r["_subsort"], r["_key"]))
+    ]
+
+
+def test_e2e_tick_time_of_produces_discrete_values(spark):
+    out = fenl("{ t: Foo.n | last() | time_of() } | when(hourly())",
+               {"Foo": _tick_hours_eoh_tl(spark)})
+    got = _krows(out, "t")
+    assert got == [
+        (f"1996-12-20T{h:02d}:00:00", k, None)
+        for h in (8, 9, 10, 11) for k in ("A", "B")
+    ]
+
+
+def test_e2e_tick_time_of_to_last_produces_continuous_values(spark):
+    out = fenl("{ t: Foo.n | time_of() | last() } | when(hourly())",
+               {"Foo": _tick_hours_eoh_tl(spark)})
+    got = [(t, k, v.isoformat()) for t, k, v in _krows(out, "t")]
+    assert got == [
+        ("1996-12-20T08:00:00", "A", "1996-12-20T08:00:00"),
+        ("1996-12-20T08:00:00", "B", "1996-12-20T07:39:58"),
+        ("1996-12-20T09:00:00", "A", "1996-12-20T08:45:01"),
+        ("1996-12-20T09:00:00", "B", "1996-12-20T07:39:58"),
+        ("1996-12-20T10:00:00", "A", "1996-12-20T09:20:02"),
+        ("1996-12-20T10:00:00", "B", "1996-12-20T09:25:02"),
+        ("1996-12-20T11:00:00", "A", "1996-12-20T11:00:00"),
+        ("1996-12-20T11:00:00", "B", "1996-12-20T09:25:02"),
+    ]
+
+
+def test_e2e_tick_with_discrete_values(spark):
+    # Foo | when(hourly()): every payload column is null on tick rows
+    out = fenl("Foo | when(hourly())", {"Foo": _tick_hours_eoh_tl(spark)})
+    got = _krows(out, "time", "sub", "key", "n", "vegetable", "bool")
+    assert got == [
+        (f"1996-12-20T{h:02d}:00:00", k, None, None, None, None, None, None)
+        for h in (8, 9, 10, 11) for k in ("A", "B")
+    ]
+
+
+def test_e2e_tick_since_tick_when_tick(spark):
+    out = fenl("{ when: count(Foo, window=since(hourly())) } | when(hourly())",
+               {"Foo": _tick_hours_eoh_tl(spark)})
+    got = _krows(out, "when")
+    assert got == [
+        ("1996-12-20T08:00:00", "A", 2), ("1996-12-20T08:00:00", "B", 1),
+        ("1996-12-20T09:00:00", "A", 2), ("1996-12-20T09:00:00", "B", 0),
+        ("1996-12-20T10:00:00", "A", 1), ("1996-12-20T10:00:00", "B", 1),
+        ("1996-12-20T11:00:00", "A", 2), ("1996-12-20T11:00:00", "B", 0),
+    ]
+
+
+def test_e2e_tick_since_minutely(spark):
+    out = fenl("{ n: Foo.n, minutely: count(Foo, window=since(minutely())) }",
+               {"Foo": _tick_minutes_tl(spark)})
+    got = _krows(out, "n", "minutely")
+    exp = [
+        ("1996-12-20T00:39:57", "A", 10.0, 1),
+        ("1996-12-20T00:39:58", "B", 3.9, 1),
+        ("1996-12-20T00:39:59", "A", 6.2, 2),
+        ("1996-12-20T00:40:00", "A", 9.25, 3),
+        ("1996-12-20T00:40:00", "A", None, 3),
+        ("1996-12-20T00:40:00", "B", None, 1),
+        ("1996-12-20T00:40:01", "A", 3.0, 1),
+        ("1996-12-20T00:40:02", "A", 8.0, 2),
+        ("1996-12-20T00:40:02", "B", 8.0, 1),
+        ("1996-12-20T00:40:03", "A", None, 3),
+        ("1996-12-20T00:40:04", "A", 10.0, 4),
+        ("1996-12-20T00:41:00", "A", None, 4),
+        ("1996-12-20T00:41:00", "B", None, 1),
+        ("1996-12-20T00:41:04", "A", 10.0, 1),
+    ]
+    assert got == exp
+
+
+def test_e2e_tick_if_hourly(spark):
+    # if(hourly()) is null everywhere: at event rows the tick condition
+    # is false; at tick rows the value (Foo.n) is null
+    out = fenl("{ n: Foo.n, n_if_hourly: Foo.n | if(hourly()) }",
+               {"Foo": _tick_hours_eoh_tl(spark)})
+    got = _krows(out, "n", "n_if_hourly")
+    assert len(got) == 17
+    assert all(v is None for *_, v in got)
+    # spot-check row order around the coincident 11:00 event+tick: the
+    # event row (subsort 8) sorts before the two tick rows
+    assert got[-3] == ("1996-12-20T11:00:00", "A", 10.0, None)
+    assert got[-2] == ("1996-12-20T11:00:00", "A", None, None)
+    assert got[-1] == ("1996-12-20T11:00:00", "B", None, None)
+
+
+def test_e2e_tick_daily_else(spark):
+    out = fenl("{ sum_since: sum(Foo.n, window=since(daily())) | else(0) }",
+               {"Foo": _tick_days_else_tl(spark)})
+    got = _krows(out, "sum_since")
+    exp = [
+        ("1996-12-19T20:39:57", "A", 10.0),
+        ("1996-12-19T20:39:58", "B", 0.0),
+        ("1996-12-20T00:00:00", "A", 10.0),
+        ("1996-12-20T00:00:00", "B", 0.0),
+        ("1996-12-21T00:00:00", "A", 0.0),
+        ("1996-12-21T00:00:00", "B", 0.0),
+        ("1996-12-21T00:32:59", "A", 6.2),
+        ("1996-12-21T00:44:00", "A", 15.45),
+        ("1996-12-21T00:45:01", "A", 18.45),
+        ("1996-12-21T08:00:00", "A", 26.45),
+        ("1996-12-22T00:00:00", "A", 26.45),
+        ("1996-12-22T00:00:00", "B", 0.0),
+        ("1996-12-22T00:30:03", "A", 0.0),
+        ("1996-12-23T00:00:00", "A", 0.0),
+        ("1996-12-23T00:00:00", "B", 0.0),
+        ("1996-12-23T00:40:04", "A", 10.0),
+    ]
+    _feq(got, exp)
+
+
+def test_e2e_tick_daily_else_to_last(spark):
+    # identical golden to test_daily_else — last() of an everywhere-
+    # defined continuous value is the value itself
+    out = fenl(
+        "{ sum_since: sum(Foo.n, window=since(daily())) | else(0) | last() }",
+        {"Foo": _tick_days_else_tl(spark)})
+    got = _krows(out, "sum_since")
+    assert [g[2] for g in got] == [
+        10.0, 0.0, 10.0, 0.0, 0.0, 0.0, 6.2, 15.45, 18.45, 26.45,
+        26.45, 0.0, 0.0, 0.0, 0.0, 10.0,
+    ]
+
+
+def test_e2e_tick_since_daily(spark):
+    # test_since_daily and test_since_daily_over_span_of_days (same
+    # query, same fixture, same golden)
+    out = fenl("{ n: Foo.n, sum_since: sum(Foo.n, window=since(daily())) }",
+               {"Foo": _tick_days_tl(spark)})
+    got = _krows(out, "n", "sum_since")
+    exp = [
+        ("1996-12-19T20:39:57", "A", 10.0, 10.0),
+        ("1996-12-19T20:39:58", "B", 3.9, 3.9),
+        ("1996-12-20T00:00:00", "A", None, 10.0),
+        ("1996-12-20T00:00:00", "B", None, 3.9),
+        ("1996-12-21T00:00:00", "A", None, None),
+        ("1996-12-21T00:00:00", "B", None, None),
+        ("1996-12-21T00:32:59", "A", 6.2, 6.2),
+        ("1996-12-21T00:44:00", "A", 9.25, 15.45),
+        ("1996-12-21T00:45:01", "A", 3.0, 18.45),
+        ("1996-12-21T08:00:00", "A", 8.0, 26.45),
+        ("1996-12-22T00:00:00", "A", None, 26.45),
+        ("1996-12-22T00:00:00", "B", None, None),
+        ("1996-12-22T00:25:02", "B", 23.9, 23.9),
+        ("1996-12-22T00:30:03", "A", None, None),
+        ("1996-12-23T00:00:00", "A", None, None),
+        ("1996-12-23T00:00:00", "B", None, 23.9),
+        ("1996-12-23T00:40:04", "A", 10.0, 10.0),
+    ]
+    _feq(got, exp)
+
+
+@pytest.mark.parametrize("fixture", ["hours", "hours_eoh"])
+def test_e2e_tick_since_hourly(spark, fixture):
+    tl = _tick_hours_tl(spark) if fixture == "hours" else _tick_hours_eoh_tl(spark)
+    out = fenl("{ n: Foo.n, sum_since: sum(Foo.n, window=since(hourly())) }",
+               {"Foo": tl})
+    got = _krows(out, "n", "sum_since")
+    head = [
+        ("1996-12-20T07:39:57", "A", 10.0, 10.0),
+        ("1996-12-20T07:39:58", "B", 3.9, 3.9),
+        ("1996-12-20T08:00:00", "A", 6.2, 16.2),
+        ("1996-12-20T08:00:00", "A", None, 16.2),
+        ("1996-12-20T08:00:00", "B", None, 3.9),
+        ("1996-12-20T08:44:00", "A", 9.25, 9.25),
+        ("1996-12-20T08:45:01", "A", 3.0, 12.25),
+        ("1996-12-20T09:00:00", "A", None, 12.25),
+        ("1996-12-20T09:00:00", "B", None, None),
+        ("1996-12-20T09:20:02", "A", 8.0, 8.0),
+        ("1996-12-20T09:25:02", "B", 23.9, 23.9),
+        ("1996-12-20T10:00:00", "A", None, 8.0),
+        ("1996-12-20T10:00:00", "B", None, 23.9),
+        ("1996-12-20T10:30:03", "A", None, None),
+    ]
+    if fixture == "hours":
+        exp = head + [
+            ("1996-12-20T11:00:00", "A", None, None),
+            ("1996-12-20T11:00:00", "B", None, None),
+            ("1996-12-20T11:40:04", "A", 10.0, 10.0),
+        ]
+    else:
+        exp = head + [
+            ("1996-12-20T11:00:00", "A", 10.0, 10.0),
+            ("1996-12-20T11:00:00", "A", None, 10.0),
+            ("1996-12-20T11:00:00", "B", None, None),
+        ]
+    _feq(got, exp)
+
+
+def test_e2e_tick_when_hourly_end_on_hour(spark):
+    out = fenl("{ sum_when_tick: sum(Foo.n) | when(hourly()) }",
+               {"Foo": _tick_hours_eoh_tl(spark)})
+    got = _krows(out, "sum_when_tick")
+    _feq(got, [
+        ("1996-12-20T08:00:00", "A", 16.2),
+        ("1996-12-20T08:00:00", "B", 3.9),
+        ("1996-12-20T09:00:00", "A", 28.45),
+        ("1996-12-20T09:00:00", "B", 3.9),
+        ("1996-12-20T10:00:00", "A", 36.45),
+        ("1996-12-20T10:00:00", "B", 27.799999999999997),
+        ("1996-12-20T11:00:00", "A", 46.45),
+        ("1996-12-20T11:00:00", "B", 27.799999999999997),
+    ])
+
+
+def test_e2e_tick_when_hourly_final_results(spark):
+    # with_final_results: the reference restamps to max-time+1ns; this
+    # engine keeps each entity's last firing row time (documented
+    # convention, see test_e2e_sliding_count_final_results)
+    out = fenl("{ sum_on_hour: sum(Foo.n) | when(hourly()) }",
+               {"Foo": _tick_hours_eoh_tl(spark)}, behavior="final")
+    rows = sorted((r["_key"], r["sum_on_hour"]) for r in out.collect())
+    _feq(rows, [("A", 46.45), ("B", 27.799999999999997)])
+
+
+def test_e2e_tick_since_monthly(spark):
+    out = fenl("{ n: Foo.n, sum_since: sum(Foo.n, window=since(monthly())) }",
+               {"Foo": _tick_months_tl(spark)})
+    got = _krows(out, "n", "sum_since")
+    _feq(got, [
+        ("1996-12-19T20:39:57", "A", 10.0, 10.0),
+        ("1996-12-19T20:39:58", "B", 3.9, 3.9),
+        ("1997-01-01T00:00:00", "A", None, 10.0),
+        ("1997-01-01T00:00:00", "B", None, 3.9),
+        ("1997-01-21T00:32:59", "A", 6.2, 6.2),
+        ("1997-01-21T00:44:00", "A", 9.25, 15.45),
+        ("1997-02-01T00:00:00", "A", None, 15.45),
+        ("1997-02-01T00:00:00", "B", None, None),
+        ("1997-02-21T00:45:01", "A", 3.0, 3.0),
+        ("1997-03-01T00:00:00", "A", None, 3.0),
+        ("1997-03-01T00:00:00", "B", None, None),
+        ("1997-04-01T00:00:00", "A", None, None),
+        ("1997-04-01T00:00:00", "B", None, None),
+        ("1997-04-22T00:20:02", "A", 8.0, 8.0),
+        ("1997-04-22T00:25:02", "B", 23.9, 23.9),
+        ("1997-04-22T00:30:03", "A", None, 8.0),
+        ("1997-05-01T00:00:00", "A", None, 8.0),
+        ("1997-05-01T00:00:00", "B", None, 23.9),
+        ("1997-05-23T00:40:04", "A", 10.0, 10.0),
+    ])
+
+
+def test_e2e_tick_since_yearly(spark):
+    out = fenl("{ n: Foo.n, sum_since: sum(Foo.n, window=since(yearly())) }",
+               {"Foo": _tick_years_tl(spark)})
+    got = _krows(out, "n", "sum_since")
+    _feq(got, [
+        ("1996-12-19T20:39:57", "A", 10.0, 10.0),
+        ("1996-12-19T20:39:58", "B", 3.9, 3.9),
+        ("1997-01-01T00:00:00", "A", None, 10.0),
+        ("1997-01-01T00:00:00", "B", None, 3.9),
+        ("1998-01-01T00:00:00", "A", None, None),
+        ("1998-01-01T00:00:00", "B", None, None),
+        ("1998-01-21T00:32:59", "A", 6.2, 6.2),
+        ("1998-01-21T00:44:00", "A", 9.25, 15.45),
+        ("1999-01-01T00:00:00", "A", None, 15.45),
+        ("1999-01-01T00:00:00", "B", None, None),
+        ("1999-02-21T00:45:01", "A", 3.0, 3.0),
+        ("1999-04-22T00:20:02", "A", 8.0, 11.0),
+        ("2000-01-01T00:00:00", "A", None, 11.0),
+        ("2000-01-01T00:00:00", "B", None, None),
+        ("2001-01-01T00:00:00", "A", None, None),
+        ("2001-01-01T00:00:00", "B", None, None),
+        ("2001-04-22T00:25:02", "B", 23.9, 23.9),
+        ("2001-04-22T00:30:03", "A", None, None),
+        ("2001-05-23T00:40:04", "A", 10.0, 10.0),
+    ])
+
+
+def test_e2e_tick_with_when_produces_values_on_window_bounds(spark):
+    out = fenl("{ sum_when_day: sum(Foo.n, window=since(daily())) | when(daily()) }",
+               {"Foo": _tick_days_tl(spark)})
+    got = _krows(out, "sum_when_day")
+    _feq(got, [
+        ("1996-12-20T00:00:00", "A", 10.0),
+        ("1996-12-20T00:00:00", "B", 3.9),
+        ("1996-12-21T00:00:00", "A", None),
+        ("1996-12-21T00:00:00", "B", None),
+        ("1996-12-22T00:00:00", "A", 26.45),
+        ("1996-12-22T00:00:00", "B", None),
+        ("1996-12-23T00:00:00", "A", None),
+        ("1996-12-23T00:00:00", "B", 23.9),
+    ])
+
+
+def test_e2e_tick_when_finished(spark):
+    # `... | last() | when(finished())` produces final values: the
+    # discrete Numbers.time is not new at the final tick, but last()
+    # latched the most recent new record. Final tick stamps at global
+    # max event time + 1µs (reference: +1ns).
+    out = fenl("{ time: Numbers.time, sum: sum(Numbers.m) } | last() | when(finished())",
+               {"Numbers": _numbers_tl(spark)})
+    got = {r["_key"]: (r["_time"], r["time"], r["sum"]) for r in out.collect()}
+    end = _ts("1996-12-20T00:40:02.000001")
+    assert got == {
+        "A": (end, _ts("1996-12-20T00:40:02"), 34),
+        "B": (end, _ts("1996-12-20T00:39:58"), 24),
+    }
+
+
+def test_e2e_tick_count_sliding_tick_daily(spark):
+    out = fenl(
+        "{ count: count(Foo), sliding_count: count(Foo, window=sliding(2, daily())) }",
+        {"Foo": _tick_days_tl(spark)})
+    got = _krows(out, "count", "sliding_count")
+    assert got == [
+        ("1996-12-19T20:39:57", "A", 1, 1),
+        ("1996-12-19T20:39:58", "B", 1, 1),
+        ("1996-12-20T00:00:00", "A", 1, 1),
+        ("1996-12-20T00:00:00", "B", 1, 1),
+        ("1996-12-21T00:00:00", "A", 1, 1),
+        ("1996-12-21T00:00:00", "B", 1, 1),
+        ("1996-12-21T00:32:59", "A", 2, 1),
+        ("1996-12-21T00:44:00", "A", 3, 2),
+        ("1996-12-21T00:45:01", "A", 4, 3),
+        ("1996-12-21T08:00:00", "A", 5, 4),
+        ("1996-12-22T00:00:00", "A", 5, 4),
+        ("1996-12-22T00:00:00", "B", 1, 0),
+        ("1996-12-22T00:25:02", "B", 2, 1),
+        ("1996-12-22T00:30:03", "A", 6, 5),
+        ("1996-12-23T00:00:00", "A", 6, 5),
+        ("1996-12-23T00:00:00", "B", 2, 1),
+        ("1996-12-23T00:40:04", "A", 7, 2),
+    ]
+
+
+def test_e2e_tick_count_daily_sliding_equivalent_to_since(spark):
+    out = fenl(
+        "{ since: count(Foo, window=since(daily())), "
+        "  sliding: count(Foo, window=sliding(1, daily())) }",
+        {"Foo": _tick_days_tl(spark)})
+    got = _krows(out, "since", "sliding")
+    assert all(s == sl for _, _, s, sl in got)
+    assert [g[2] for g in got] == [
+        1, 1, 1, 1, 0, 0, 1, 2, 3, 4, 4, 0, 1, 1, 1, 1, 1,
+    ]
+
+
+def test_e2e_tick_max_subsort_input_merges_correctly(spark):
+    # outer count counts every universe row (events AND ticks) where the
+    # inner windowed count is defined
+    out = fenl(
+        "{ field: count(Foo, window=since(daily())) | count(window=since(daily())) }",
+        {"Foo": _tick_days_tl(spark)})
+    got = _krows(out, "field")
+    assert [g[2] for g in got] == [
+        1, 1, 2, 2, 1, 1, 1, 2, 3, 4, 5, 1, 1, 1, 2, 2, 1,
+    ]
+
+
+def test_e2e_tick_let_bound_tick(spark):
+    # test_misused_ticks is #[ignore = "misused tick causes panic"] in
+    # the reference; here a let-bound tick compiles and matches the
+    # direct form
+    q1 = ("let agg_level = hourly() in "
+          "{ sum_n: sum(Foo.n, window=since(agg_level)) }")
+    q2 = "{ sum_n: sum(Foo.n, window=since(hourly())) }"
+    g1 = _krows(fenl(q1, {"Foo": _tick_hours_tl(spark)}), "sum_n")
+    g2 = _krows(fenl(q2, {"Foo": _tick_hours_tl(spark)}), "sum_n")
+    assert g1 == g2
