@@ -169,6 +169,52 @@ def _output_schema(
     return T.StructType(fields)
 
 
+#: to_json/from_json options that make the record↔string round-trip
+#: lossless: µs-precision timestamps (Spark's default JSON format keeps
+#: only millis); doubles already round-trip (Jackson emits the shortest
+#: exact representation).
+_REC_JSON_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+
+
+def _lower_record_specs(
+    tdf: DataFrame, specs: list[AggSpec]
+) -> tuple[DataFrame, list[AggSpec], dict[str, tuple[str, T.DataType]]]:
+    """Lower record-typed first/last latches onto the string-typed state.
+
+    The reference's accumulators are generic over the value type
+    (sparrow-instructions/src/evaluators/aggregation/generic/); Spark's
+    state schema is flat, so a struct value rides through state as its
+    JSON encoding instead: `to_json` BEFORE the state machine and
+    `from_json` after — both Catalyst-native, zero Python per row, and
+    atomic (the whole record latches from one row, never a mix of
+    fields from different rows — per-field lasts would tear records
+    whose fields are null on different rows)."""
+    restore: dict[str, tuple[str, T.DataType]] = {}
+    lowered: list[AggSpec] = []
+    for s in specs:
+        dt = tdf.schema[s.col].dataType if s.col in tdf.schema.names else None
+        if not isinstance(dt, T.StructType):
+            lowered.append(s)
+            continue
+        if s.op not in ("first", "last"):
+            raise ValueError(
+                f"streaming {s.op!r} over a record column is not supported "
+                "(records have no order; only first/last latch them)"
+            )
+        jcol = f"__{s.alias}_recjson_in"
+        jout = f"__{s.alias}_recjson"
+        tdf = tdf.withColumn(jcol, F.to_json(F.col(s.col), _REC_JSON_OPTS))
+        lowered.append(s._replace(col=jcol, alias=jout))
+        restore[s.alias] = (jout, dt)
+    if restore:
+        # the struct + carrier columns would otherwise flow through the
+        # state machine's output schema; drop the structs going in and
+        # rebuild them from the latched JSON coming out
+        tdf = tdf.drop(*[s.col for s in specs
+                         if s.alias in restore and s.col in tdf.columns])
+    return tdf, lowered, restore
+
+
 def running_agg_stream(
     tdf: DataFrame,
     specs: list[AggSpec],
@@ -184,13 +230,21 @@ def running_agg_stream(
     """
     if watermark:
         tdf = tdf.withWatermark(TIME, watermark)
+    tdf, specs, rec_restore = _lower_record_specs(tdf, specs)
     kinds = {s.alias: _value_kind(tdf.schema, s) for s in specs}
     out_schema = _output_schema(tdf.schema, specs, kinds)
     state_schema = _state_schema(specs, kinds)
     func = _make_update_fn(specs, [f.name for f in tdf.schema.fields], kinds)
-    return tdf.groupBy(KEY).applyInPandasWithState(
+    out = tdf.groupBy(KEY).applyInPandasWithState(
         func, out_schema, state_schema, output_mode, GroupStateTimeout.NoTimeout
     )
+    for alias, (jout, dt) in rec_restore.items():
+        out = out.withColumn(
+            alias, F.from_json(F.col(jout), dt, _REC_JSON_OPTS)
+        ).drop(jout)
+    if rec_restore:
+        out = out.drop(*[c for c in out.columns if c.endswith("_recjson_in")])
+    return out
 
 
 def _state_field_names(specs: list[AggSpec]) -> list[str]:

@@ -1241,6 +1241,54 @@ def test_stream_typed_timestamp_aggs_equal_batch(spark, events_tl, tmp_path):
     assert n_nonnull > 0, "fixture produced no non-null timestamp aggregates"
 
 
+def test_stream_record_latch_equals_batch(spark, events_tl, tmp_path):
+    """first/last over a RECORD (struct) column: the whole record must
+    latch atomically from one row — per-field lasts would tear records
+    whose fields are null on different rows. Lowered onto string-typed
+    state via Catalyst to_json/from_json (µs timestamps, exact doubles),
+    mirroring the reference's generic accumulators
+    (sparrow-instructions/src/evaluators/aggregation/generic/)."""
+    base = events_tl.df.withColumn(
+        "rec",
+        F.when(
+            F.col("value") > 50,
+            F.struct(
+                F.col("event_type").alias("ety"),
+                F.col("value").alias("v"),
+                (F.col("_time") + F.expr("INTERVAL 3 HOURS")).alias("at"),
+            ),
+        ),
+    )
+    specs = [
+        AggSpec("first", "rec", "first_rec"),
+        AggSpec("last", "rec", "last_rec"),
+    ]
+    in_dir = _write_time_split(base, ["_time", "_subsort"], str(tmp_path / "in"), 3)
+    sink = _run_stream(
+        spark, in_dir, base.schema, specs, str(tmp_path / "ck"), str(tmp_path / "out")
+    )
+    tl = Timeline(base).first("rec", alias="first_rec").last("rec", alias="last_rec")
+    cols = ("first_rec", "last_rec")
+    exp = {r["event_id"]: tuple(r[c] for c in cols) for r in tl.df.collect()}
+    got = {r["event_id"]: tuple(r[c] for c in cols) for r in sink.read_output(spark).collect()}
+    assert len(got) == len(exp)
+    n_nonnull = 0
+    for eid, e in exp.items():
+        assert got[eid] == e, f"at {eid}: {got[eid]} vs {e}"
+        n_nonnull += sum(v is not None for v in e)
+    assert n_nonnull > 0, "fixture produced no non-null record latches"
+    # the latch is atomic: every emitted record is an actual input row's
+    # (ety, v, at) triple, never a cross-row mix
+    rows = {
+        (r["event_type"], r["value"]): r["_time"]
+        for r in base.filter("value > 50").collect()
+    }
+    for eid, (f_rec, l_rec) in got.items():
+        for rec in (f_rec, l_rec):
+            if rec is not None:
+                assert (rec["ety"], rec["v"]) in rows
+
+
 def test_stream_watermark_boundary_straggler_dropped(spark, tmp_path):
     """A row whose event time equals the CURRENT watermark arriving in a
     LATER micro-batch (Spark only drops input strictly older than the
