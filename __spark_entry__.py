@@ -565,6 +565,44 @@ def q_fenl_lookup_rekey(spark, sf_dir):
     )
 
 
+def q_fenl_lookup_spread(spark, sf_dir):
+    """Lookup request/response SPREAD semantics (lookup_tests.rs
+    test_lookup_self_i64_with_merge_interpolation): requests fire only
+    where the key is NEW (the B table's rows in the merged A∪B
+    universe); between requests the latched response survives even
+    after the foreign value moves on. A = click events (running sum of
+    cents), B = view events carrying a foreign-user ref; cents are
+    floor(value*100) so the sum is integer-exact cross-engine."""
+    from kaskada_spark.fenl import fenl
+
+    ev = read_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    b = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id",
+        ((F.col("user_id") % 50) + 1).alias("ref"),
+    )
+    tables = {
+        "A": Timeline.from_events(a, "ts", "user_id", "event_id"),
+        "B": Timeline.from_events(b, "ts", "user_id", "event_id"),
+    }
+    out = fenl(
+        "let s = sum(A.cents) let k = last(B.ref) "
+        "let looked = lookup(k, s) in { s, k, looked }",
+        tables,
+    )
+    return out.select(
+        F.col(KEY).alias("user_id"),
+        F.col(TIME).alias("t"),
+        F.col(SUBSORT).alias("sub"),
+        F.col("s").alias("s_cents"),
+        F.col("k").alias("k_ref"),
+        F.col("looked").alias("looked"),
+    )
+
+
 def q_fenl_finished(spark, sf_dir):
     """`... | last() | when(finished())` — the reference's FinalTick
     final-value idiom (tick_tests.rs test_tick_when_finished,
@@ -942,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fenl_when": q_fenl_when,
         "fenl_since": q_fenl_since,
         "fenl_lookup_rekey": q_fenl_lookup_rekey,
+        "fenl_lookup_spread": q_fenl_lookup_spread,
         "fenl_finished": q_fenl_finished,
         "fenl_merge": q_fenl_merge,
         "lookup_asof": q_lookup_asof,
@@ -1338,6 +1377,60 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      AS BIGINT) AS s
             FROM events
+        """,
+        "fenl_lookup_spread": """
+            WITH a AS (
+              SELECT user_id AS k, ts AS t, event_id AS s,
+                     CAST(FLOOR(value*100) AS BIGINT) AS cents
+              FROM events WHERE event_type = 'click'
+            ), b AS (
+              SELECT user_id AS k, ts AS t, event_id AS s,
+                     (user_id % 50) + 1 AS ref
+              FROM events WHERE event_type = 'view'
+            ), u AS (
+              SELECT COALESCE(a.k, b.k) AS k, COALESCE(a.t, b.t) AS t,
+                     COALESCE(a.s, b.s) AS s, a.cents, b.ref,
+                     a.k IS NOT NULL AS is_a, b.k IS NOT NULL AS is_b
+              FROM a FULL OUTER JOIN b ON a.k = b.k AND a.t = b.t AND a.s = b.s
+            ), w AS (
+              SELECT *,
+                SUM(cents) OVER (PARTITION BY k ORDER BY t, s
+                                 ROWS UNBOUNDED PRECEDING) AS sum_c,
+                LAST_VALUE(ref IGNORE NULLS) OVER (
+                  PARTITION BY k ORDER BY t, s
+                  ROWS UNBOUNDED PRECEDING) AS last_ref
+              FROM u
+            ), stream AS (
+              -- the foreign value stream (responses emit at A rows) and
+              -- the requests (key-new = B rows), merged per foreign key
+              SELECT k AS fk, t, s, 0 AS pos, sum_c AS val,
+                     NULL::BIGINT AS rk, NULL::TIMESTAMP AS rt,
+                     NULL::BIGINT AS rs
+              FROM w WHERE is_a
+              UNION ALL
+              SELECT last_ref, t, s, 1, NULL, k, t, s
+              FROM w WHERE is_b AND last_ref IS NOT NULL
+            ), latched AS (
+              SELECT *, LAST_VALUE(val IGNORE NULLS) OVER (
+                PARTITION BY fk ORDER BY t, s, pos
+                ROWS UNBOUNDED PRECEDING) AS asof_val
+              FROM stream
+            ), resp AS (
+              -- encode so a genuinely-null response still latches
+              SELECT rk, rt, rs,
+                     COALESCE(CAST(asof_val AS VARCHAR), 'X') AS enc
+              FROM latched WHERE pos = 1
+            ), spreadin AS (
+              SELECT w.*, resp.enc FROM w LEFT JOIN resp
+                ON w.k = resp.rk AND w.t = resp.rt AND w.s = resp.rs
+            )
+            SELECT k AS user_id, t, s AS sub,
+                   CAST(sum_c AS BIGINT) AS s_cents,
+                   CAST(last_ref AS BIGINT) AS k_ref,
+                   CAST(NULLIF(LAST_VALUE(enc IGNORE NULLS) OVER (
+                     PARTITION BY k ORDER BY t, s
+                     ROWS UNBOUNDED PRECEDING), 'X') AS BIGINT) AS looked
+            FROM spreadin
         """,
         "fenl_finished": """
             SELECT user_id,

@@ -270,9 +270,11 @@ class Compiler:
         self.df = merged.withColumn(flag, F.coalesce(F.col(TICK_COL), F.lit(False))).drop(
             TICK_COL
         )
-        # rows added by this union have nulls for earlier flags
+        # rows added by this union have nulls for earlier flags (skip
+        # flags whose columns a re-rooting projection already dropped)
         for other in list(self.tick_flags.values()) + list(self.table_flags.values()):
-            self.df = self.df.withColumn(other, F.coalesce(F.col(other), F.lit(False)))
+            if other in self.df.columns:
+                self.df = self.df.withColumn(other, F.coalesce(F.col(other), F.lit(False)))
         self.tick_flags[unit] = flag
 
     def _inject_finished(self) -> None:
@@ -288,7 +290,8 @@ class Compiler:
             flag, F.coalesce(F.col(TICK_COL), F.lit(False))
         ).drop(TICK_COL)
         for other in list(self.tick_flags.values()) + list(self.table_flags.values()):
-            self.df = self.df.withColumn(other, F.coalesce(F.col(other), F.lit(False)))
+            if other in self.df.columns:
+                self.df = self.df.withColumn(other, F.coalesce(F.col(other), F.lit(False)))
         self.tick_flags["finished"] = flag
 
     def _event_row(self) -> Column | None:
@@ -695,13 +698,18 @@ class Compiler:
         self.cont_cols.append(alias)
         out = self._v(F.col(alias), continuous=True)
         ev = self._event_row()
-        if ev is not None:
-            # newness: the aggregate updates where its input is new, and
-            # — for a windowed aggregate — at every window-boundary row
-            # (evictions/resets are fresh values, see CVal.new)
-            base_new = v.new if v.new is not None else (
-                v.mask if v.mask is not None else ev
-            )
+        # newness: the aggregate updates where its input is new, and
+        # — for a windowed aggregate — at every window-boundary row
+        # (evictions/resets are fresh values, see CVal.new). Without
+        # injected ticks, an unmasked input's newness stays None
+        # (= every row); a MASKED input (multi-table universe) still
+        # updates only at its own table's rows — lookup_tests.rs
+        # test_lookup_self_i64_with_merge_interpolation latches the
+        # looked-up sum at the key's update rows, not every merged row.
+        base_new = v.new if v.new is not None else (
+            v.mask if v.mask is not None else ev
+        )
+        if base_new is not None:
             if window is not None:
                 base_new = base_new | F.coalesce(
                     window.condition, F.lit(False)
@@ -1022,15 +1030,75 @@ class Compiler:
                 "invalid types for call to 'with_key': expected 'key', "
                 "got a record", code="E0010",
             )
+        if self.tick_flags:
+            # tick rows belong to the OLD grouping: drop them from the
+            # re-keyed domain and re-inject fresh per-NEW-entity ticks
+            # below (the reference's tick operation applies to the
+            # re-keyed stream — lookup_tests.rs test_lookup_with_key
+            # counts since(daily()) per Code entity, not per account)
+            ev = self._event_row()
+            v = replace(v, mask=(v.mask & ev) if v.mask is not None else ev)
         tl, fields = self._domain_input(v, {"__fenl_newkey": k.col})
         rekeyed = Timeline(tl.with_key(F.col("__fenl_newkey")).df.drop("__fenl_newkey"))
-        return self._rebase(rekeyed, fields)
+        out = self._rebase(rekeyed, fields)
+        if self.tick_flags:
+            units = list(self.tick_flags)
+            self.tick_flags = {}
+            for unit in units:
+                if unit != "finished":
+                    self._inject_ticks(unit)
+            if "finished" in units:
+                self._inject_finished()
+        return out
+
+    def _newness(self, v: CVal) -> Column | None:
+        """Rows where ``v`` takes a NEW value (None = every row): CVal.new
+        when tracked, else event rows for continuous/unmasked values,
+        else the value's own mask (a discrete value in a merged universe
+        updates only at its table's rows)."""
+        if v.new is not None:
+            return v.new
+        if v.continuous or v.mask is None:
+            return self._event_row()
+        return v.mask
+
+    def _spread_responses(self, names: list[str], req: Column) -> None:
+        """Latch lookup responses between request rows: the reference
+        sends a LookupRequest only where the KEY is new and SPREADS the
+        response across later rows (lookup_tests.rs
+        test_lookup_self_i64_with_merge_interpolation: a stale latched
+        response survives even after the foreign value moved on). A
+        request row latches its response struct — including an all-null
+        response — so genuine null responses spread too."""
+        w = (
+            W.partitionBy(KEY)
+            .orderBy(TIME, SUBSORT)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        resp = F.last(
+            F.when(req, F.struct(*[F.col(n) for n in names])), ignorenulls=True
+        ).over(w)
+        for n in names:
+            self.df = self.df.withColumn(n, resp[n])
 
     def _fn_lookup(self, node: A.Call) -> CVal:
         """lookup(key, value): as-of value of a foreign-grouping
         expression at the primary timeline's rows (reference
-        functions/general.rs:33-88, LookupRequest/Response ops)."""
+        functions/general.rs:33-88, LookupRequest/Response ops).
+        Requests fire where the key is NEW; responses spread between
+        request rows."""
         k_node, v_node = self._positional(node, 2, ("key", "value"))
+        # lookup_tests.rs test_lookup_invalid_constant_{key,value}:
+        # literals carry no grouping, so they can't address a foreign
+        # entity or be addressed by one
+        if isinstance(k_node, A.Literal):
+            raise FenlCompileError(
+                "Invalid un-grouped foreign key for lookup.", code="E0008"
+            )
+        if isinstance(v_node, A.Literal):
+            raise FenlCompileError(
+                "Invalid un-grouped foreign value for lookup.", code="E0008"
+            )
         env = {**self.formulas, **self.ast_bindings}
         foreign_name = _foreign_table_of(
             v_node, set(self.tables) - {self.primary}, env
@@ -1090,6 +1158,12 @@ class Compiler:
             # test_lookup_with_key_entity_keys)
             foreign_name = self.primary
         k = self.compile(k_node)
+        if not isinstance(k, CVal):
+            # lookup_tests.rs test_lookup_invalid_key_expression_window
+            raise FenlCompileError(
+                "Invalid types for call to 'lookup': expected 'key', "
+                "got Type: window", code="E0010",
+            )
         # ticks used inside the lookup value belong to the FOREIGN
         # universe: scan the value subtree (chasing env bindings) and
         # inject them in the sub-compiler, not the primary one
@@ -1100,31 +1174,101 @@ class Compiler:
         fv = sub.compile(v_node)
         if not isinstance(fv, CVal):
             raise FenlCompileError("lookup value is not a value")
+        # lookup_tests.rs test_lookup_invalid_key_type: the key must be
+        # the foreign grouping's key type ("Grouping 'code' expects key
+        # type i64") — integral widths are interchangeable
+        from pyspark.sql import types as T
+
+        ktype = self._spark_type(k.col)
+        gtype = sub.df.schema[KEY].dataType
+        _INTS = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        if ktype != gtype and not (
+            isinstance(ktype, _INTS) and isinstance(gtype, _INTS)
+        ):
+            raise FenlCompileError(
+                f"Invalid argument type(s): grouping of {foreign_name!r} "
+                f"expects key type {gtype.simpleString()}, actual key "
+                f"type {ktype.simpleString()}", code="E0010",
+            )
         if fv.fields is not None:
             # record-valued lookup keeps its fields so the result can be
             # extended/field-accessed (documentation_code_tests.rs
             # `extend(lookup($input.entity, target))`)
             aliases = {n: self._fresh(f"lkp_{n}") for n in fv.fields}
+            femit = sub._newness(fv) if fv.continuous else fv.mask
             fdf = sub.df
             for n, f in fv.fields.items():
-                fdf = fdf.withColumn(aliases[n], _masked(f.col, fv.mask))
+                fdf = fdf.withColumn(aliases[n], _masked(f.col, femit))
             names = list(aliases.values())
-            foreign_tl = Timeline(fdf.select(*META, *names))
-            out = self._tl().lookup(foreign_tl, key=k.col, values=names)
-            self.df = out.df
-            self.cont_cols.extend(names)
+            if not fv.continuous:
+                self._lookup_discrete(_masked(k.col, self._newness(k)), fdf, names)
+            else:
+                foreign_tl = Timeline(fdf.select(*META, *names))
+                req = self._newness(k)
+                out = self._tl().lookup(
+                    foreign_tl, key=_masked(k.col, req), values=names
+                )
+                self.df = out.df
+                if req is not None:
+                    self._spread_responses(names, req)
+                self.cont_cols.extend(names)
             fields = {
-                n: self._v(F.col(a), continuous=True) for n, a in aliases.items()
+                n: self._v(F.col(a), continuous=fv.continuous)
+                for n, a in aliases.items()
             }
             col = F.struct(*[f.col.alias(n) for n, f in fields.items()])
-            return self._v(col, continuous=True, fields=fields)
-        fdf = sub.df.withColumn("__fenl_lv", _masked(fv.col, fv.mask))
-        foreign_tl = Timeline(fdf.select(*META, "__fenl_lv"))
+            return self._v(col, continuous=fv.continuous, fields=fields)
+        # a continuous value only RESPONDS at rows where it updates
+        # (sub._newness): an aggregate over a when()-restricted domain
+        # never emits for an entity with no domain rows — the response
+        # is null, not the aggregate's empty-state value
+        # (lookup_tests.rs test_lookup_with_key: code 6 has no food
+        # rows, so its count is null, not 0)
+        femit = sub._newness(fv) if fv.continuous else fv.mask
+        fdf = sub.df.withColumn("__fenl_lv", _masked(fv.col, femit))
         alias = self._fresh("lookup")
-        out = self._tl().lookup(foreign_tl, key=k.col, values=["__fenl_lv"])
+        if not fv.continuous:
+            fdf = fdf.withColumnRenamed("__fenl_lv", alias)
+            self._lookup_discrete(_masked(k.col, self._newness(k)), fdf, [alias])
+            return self._v(F.col(alias), continuous=False)
+        foreign_tl = Timeline(fdf.select(*META, "__fenl_lv"))
+        req = self._newness(k)
+        out = self._tl().lookup(
+            foreign_tl, key=_masked(k.col, req), values=["__fenl_lv"]
+        )
         self.df = out.df.withColumnRenamed("__fenl_lv", alias)
+        if req is not None:
+            self._spread_responses([alias], req)
         self.cont_cols.append(alias)
         return self._v(F.col(alias), continuous=True)
+
+    def _lookup_discrete(self, kcol: Column, fdf: DataFrame, names: list[str]) -> None:
+        """lookup of a DISCRETE foreign value: the response carries the
+        value only when a foreign row is exactly coincident with the
+        request's (time, subsort) — discrete values don't latch across
+        the request/response merge (lookup_tests.rs
+        test_lookup_self_record: last_sender_sent is null everywhere the
+        foreign Sent row isn't the same instant). A broadcast-eligible
+        equi-join on (key, time, subsort); no window, no spread."""
+        resp = fdf.select(
+            F.col(KEY).alias("__fenl_rk"),
+            F.col(TIME).alias("__fenl_rt"),
+            F.col(SUBSORT).alias("__fenl_rs"),
+            *names,
+        )
+        self.df = (
+            self.df.withColumn("__fenl_req_k", kcol)
+            .join(
+                resp,
+                on=[
+                    F.col("__fenl_req_k") == F.col("__fenl_rk"),
+                    F.col(TIME) == F.col("__fenl_rt"),
+                    F.col(SUBSORT) == F.col("__fenl_rs"),
+                ],
+                how="left",
+            )
+            .drop("__fenl_req_k", "__fenl_rk", "__fenl_rt", "__fenl_rs")
+        )
 
     # record ops -------------------------------------------------------
     def _fn_extend(self, node: A.Call) -> CVal:
@@ -1225,12 +1369,7 @@ class Compiler:
         # event rows, never at an injected tick row; a windowed one
         # carries its boundary rows in CVal.new; an unmasked discrete
         # input's new rows are likewise the event rows.
-        if v.new is not None:
-            mask = v.new
-        elif v.continuous or v.mask is None:
-            mask = self._event_row()
-        else:
-            mask = v.mask
+        mask = self._newness(v)
         return self._v(_masked(F.col(TIME), mask), mask, continuous=False)
 
     def _fn_json(self, node: A.Call) -> CVal:
@@ -1385,14 +1524,19 @@ def _is_eventless(node: A.Node) -> bool:
 
 
 def _depends_on_input(node: A.Node, env: dict[str, A.Node] | None = None) -> bool:
-    """True when the expression reads the pipe's $input, chasing
-    let-binding / formula references."""
+    """True when the expression reads the OUTER pipe's $input, chasing
+    let-binding / formula references. $input under a Pipe's RHS is bound
+    by THAT pipe (``Sent | when($input.x)`` inside a lookup value is
+    self-contained — lookup_tests.rs test_lookup_with_key), so only the
+    pipe's LHS is walked."""
     seen: set[str] = set()
     env = env or {}
 
     def walk(n: A.Node) -> bool:
         if isinstance(n, Exception):
             return False
+        if isinstance(n, A.Pipe):
+            return walk(n.lhs)
         if isinstance(n, A.Ref):
             if n.name == "$input":
                 return True
@@ -1596,7 +1740,8 @@ def _tick_units(node: A.Node, formulas: dict[str, A.Node]) -> tuple[str, ...]:
 
 
 def _referenced_tables(
-    node: A.Node, formulas: dict[str, A.Node], tables: dict[str, Timeline]
+    node: A.Node, formulas: dict[str, A.Node], tables: dict[str, Timeline],
+    include_lookup_values: bool = False,
 ) -> list[str]:
     """Tables referenced outside lookup values, in first-use order. The
     first is the primary grouping (plan.proto:20-27); the rest merge
@@ -1608,7 +1753,7 @@ def _referenced_tables(
     def walk(n: A.Node, env: dict[str, A.Node]) -> None:
         if isinstance(n, Exception):  # deferred formula parse failure
             return
-        if isinstance(n, A.Call) and n.func == "lookup":
+        if isinstance(n, A.Call) and n.func == "lookup" and not include_lookup_values:
             # only the key side contributes to the primary grouping
             if n.args:
                 walk(n.args[0], env)
@@ -1642,6 +1787,12 @@ def _primary_table(
         return found[0]
     if len(tables) == 1:
         return next(iter(tables))
+    # no table outside lookup values (e.g. a literal lookup key —
+    # lookup_tests.rs test_lookup_invalid_constant_key): root at a
+    # lookup value's table so compilation reaches the E0008 diagnostic
+    found = _referenced_tables(node, formulas, tables, include_lookup_values=True)
+    if found:
+        return found[0]
     raise FenlCompileError("query references no table")
 
 

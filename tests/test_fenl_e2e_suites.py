@@ -1948,3 +1948,252 @@ def test_e2e_tick_let_bound_tick(spark):
     g1 = _krows(fenl(q1, {"Foo": _tick_hours_tl(spark)}), "sum_n")
     g2 = _krows(fenl(q2, {"Foo": _tick_hours_tl(spark)}), "sum_n")
     assert g1 == g2
+
+
+# ----------------------------------------------------------------------
+# lookup_tests.rs — the account/code fixture: the SAME transactions CSV
+# loaded twice under different key columns (Sent keyed by `from`,
+# Received keyed by `to`, both grouping "account"), plus a CodeName
+# table in its own "code" grouping. Times shifted -08:00 → UTC.
+# ----------------------------------------------------------------------
+def _lookup_account_tables(spark):
+    tx = [
+        # from, to, time,                 sub, amount, description, code
+        (0, 2, "1996-12-20T00:39:57", 0, 50, "food", 5),
+        (0, 0, "1997-12-20T00:39:57", 1, 11, "gas", 6),
+        (2, 0, "1997-12-20T00:39:58", 2, 25, "food", 5),
+        (0, 1, "1998-12-20T00:39:57", 3, 25, "gas", 6),
+        (0, 1, "1999-12-20T00:39:58", 4, 12, "MOVIe", 7),
+        (0, 1, "1999-12-20T00:39:58", 5, None, "null_amount", None),
+    ]
+    schema = ("frm long, to long, time timestamp, sub long, amount long, "
+              "description string, code long")
+    rows = [(f, t, _ts(tm), s, a, d, c) for f, t, tm, s, a, d, c in tx]
+    df = spark.createDataFrame(rows, schema)
+    sent = Timeline.from_events(df, time_col="time", key_col="frm", subsort_col="sub")
+    received = Timeline.from_events(df, time_col="time", key_col="to", subsort_col="sub")
+    cn = [
+        (5, "1996-12-19T00:39:57", 0, "FiveA"),
+        (6, "1997-12-19T00:39:57", 0, "Six"),
+        (5, "1997-12-20T00:39:58", 0, "FiveB"),
+        (7, "2000-12-20T00:39:57", 0, "Seven"),
+    ]
+    cdf = spark.createDataFrame(
+        [(c, _ts(t), s, n) for c, t, s, n in cn],
+        "code long, time timestamp, sub long, name string",
+    )
+    code_name = Timeline.from_events(cdf, time_col="time", key_col="code", subsort_col="sub")
+    return {"Sent": sent, "Received": received, "CodeName": code_name}
+
+
+def test_e2e_lookup_self_i64(spark):
+    # lookup_tests.rs::test_lookup_self_i64 — self-grouping lookup: the
+    # value (sum over Sent) is keyed by the SAME grouping; domain stays
+    # the Received rows
+    out = fenl(
+        "let sum_sent = sum(Sent.amount) "
+        "let last_sender = last(Received.frm) "
+        "let last_sender_sum_sent = lookup(last(Received.frm), sum_sent) "
+        "in { last_sender, last_sender_sum_sent }",
+        _lookup_account_tables(spark),
+    )
+    assert _krows(out, "last_sender", "last_sender_sum_sent") == [
+        ("1996-12-20T00:39:57", 2, 0, 50),
+        ("1997-12-20T00:39:57", 0, 0, 61),
+        ("1997-12-20T00:39:58", 0, 2, 25),
+        ("1998-12-20T00:39:57", 1, 0, 86),
+        ("1999-12-20T00:39:58", 1, 0, 98),
+        ("1999-12-20T00:39:58", 1, 0, 98),
+    ]
+
+
+def test_e2e_lookup_self_i64_with_merge_interpolation(spark):
+    # lookup_tests.rs::test_lookup_self_i64_with_merge_interpolation —
+    # naming sum_sent in the record pulls Sent into the primary universe:
+    # 11 merged rows (the 0→0 event coincides with itself), continuous
+    # values spread as-of
+    out = fenl(
+        "let sum_sent = sum(Sent.amount) "
+        "let last_sender = last(Received.frm) "
+        "let last_sender_sum_sent = lookup(last(Received.frm), sum_sent) "
+        "in { sum_sent, last_sender, last_sender_sum_sent }",
+        _lookup_account_tables(spark),
+    )
+    assert _krows(out, "sum_sent", "last_sender", "last_sender_sum_sent") == [
+        ("1996-12-20T00:39:57", 0, 50, None, None),
+        ("1996-12-20T00:39:57", 2, None, 0, 50),
+        ("1997-12-20T00:39:57", 0, 61, 0, 61),
+        ("1997-12-20T00:39:58", 0, 61, 2, 25),
+        ("1997-12-20T00:39:58", 2, 25, 0, 50),
+        ("1998-12-20T00:39:57", 0, 86, 2, 25),
+        ("1998-12-20T00:39:57", 1, None, 0, 86),
+        ("1999-12-20T00:39:58", 0, 98, 2, 25),
+        ("1999-12-20T00:39:58", 1, None, 0, 98),
+        ("1999-12-20T00:39:58", 0, 98, 2, 25),
+        ("1999-12-20T00:39:58", 1, None, 0, 98),
+    ]
+
+
+def test_e2e_lookup_self_string(spark):
+    # lookup_tests.rs::test_lookup_self_string
+    out = fenl(
+        "let last_sender = last(Received.frm) "
+        "let last_sender_description = lookup(last_sender, last(Sent.description)) "
+        "in { description: Received.description, last_sender, last_sender_description }",
+        _lookup_account_tables(spark),
+    )
+    assert _krows(out, "description", "last_sender", "last_sender_description") == [
+        ("1996-12-20T00:39:57", 2, "food", 0, "food"),
+        ("1997-12-20T00:39:57", 0, "gas", 0, "gas"),
+        ("1997-12-20T00:39:58", 0, "food", 2, "food"),
+        ("1998-12-20T00:39:57", 1, "gas", 0, "gas"),
+        ("1999-12-20T00:39:58", 1, "MOVIe", 0, "MOVIe"),
+        ("1999-12-20T00:39:58", 1, "null_amount", 0, "null_amount"),
+    ]
+
+
+def test_e2e_lookup_code_name(spark):
+    # lookup_tests.rs::{test_lookup_code_name, test_lookup_code_name_wacky_unused}
+    # — cross-grouping lookup into the "code" grouping; a foreign update
+    # COINCIDENT with the request (FiveB at 1997-12-20T00:39:58) is seen
+    for q in (
+        '{ code: Sent.code, code_name: lookup(Sent.code, CodeName.name | last()) }',
+        'let foo = Sent.code | if(false) in '
+        '{ code: Sent.code, code_name: lookup(Sent.code, CodeName.name | last()) }',
+    ):
+        out = fenl(q, _lookup_account_tables(spark))
+        assert _krows(out, "code", "code_name") == [
+            ("1996-12-20T00:39:57", 0, 5, "FiveA"),
+            ("1997-12-20T00:39:57", 0, 6, "Six"),
+            ("1997-12-20T00:39:58", 2, 5, "FiveB"),
+            ("1998-12-20T00:39:57", 0, 6, "Six"),
+            ("1999-12-20T00:39:58", 0, 7, None),
+            ("1999-12-20T00:39:58", 0, None, None),
+        ]
+
+
+def test_e2e_lookup_only_includes_primary_entities(spark):
+    # lookup_tests.rs::test_lookup_only_includes_primary_entites — a
+    # self-lookup must not expand the entity set: only senders (0, 2)
+    # appear, never entity 1
+    out = fenl(
+        "{ description: lookup(last(Sent.to), Received.description) }",
+        _lookup_account_tables(spark),
+    )
+    got = _krows(out, "description")
+    assert got == [
+        ("1996-12-20T00:39:57", 0, "food"),
+        ("1997-12-20T00:39:57", 0, "gas"),
+        ("1997-12-20T00:39:58", 2, "food"),
+        ("1998-12-20T00:39:57", 0, "gas"),
+        ("1999-12-20T00:39:58", 0, "MOVIe"),
+        ("1999-12-20T00:39:58", 0, "null_amount"),
+    ]
+    assert all(k in (0, 2) for _, k, _ in got)
+
+
+def test_e2e_lookup_only_includes_primary_entities_final(spark):
+    # lookup_tests.rs::test_lookup_only_includes_primary_entites_final_results
+    # — FINAL rows restamped to max input time + 1µs
+    out = fenl(
+        "{ description: lookup(last(Sent.to), Received.description) }",
+        _lookup_account_tables(spark),
+        behavior="final",
+    )
+    got = sorted((r["_time"].isoformat(), r["_key"], r["description"])
+                 for r in out.collect())
+    assert got == [
+        ("1999-12-20T00:39:58.000001", 0, "null_amount"),
+        ("1999-12-20T00:39:58.000001", 2, "food"),
+    ]
+
+
+def test_e2e_lookup_self_record(spark):
+    # lookup_tests.rs::test_lookup_self_record — extend a table record
+    # over the merged Sent∪Received domain; the looked-up DISCRETE value
+    # (Sent.description keyed by last(Received.to)) is only fresh at
+    # request rows
+    out = fenl(
+        "let last_sender = last(Received.frm) "
+        "let last_sender_sent = lookup(last(Received.to), Sent.description) "
+        "in Sent | extend({ received_description: Received.description, "
+        "last_sender, last_sender_sent })",
+        _lookup_account_tables(spark),
+    )
+    got = _krows(out, "received_description", "last_sender", "last_sender_sent",
+                 "frm", "to", "amount", "description", "code")
+    assert got == [
+        ("1996-12-20T00:39:57", 0, None, None, None, 0, 2, 50, "food", 5),
+        ("1996-12-20T00:39:57", 2, "food", 0, None, None, None, None, None, None),
+        ("1997-12-20T00:39:57", 0, "gas", 0, "gas", 0, 0, 11, "gas", 6),
+        ("1997-12-20T00:39:58", 0, "food", 2, None, None, None, None, None, None),
+        ("1997-12-20T00:39:58", 2, None, 0, None, 2, 0, 25, "food", 5),
+        ("1998-12-20T00:39:57", 0, None, 2, None, 0, 1, 25, "gas", 6),
+        ("1998-12-20T00:39:57", 1, "gas", 0, None, None, None, None, None, None),
+        ("1999-12-20T00:39:58", 0, None, 2, None, 0, 1, 12, "MOVIe", 7),
+        ("1999-12-20T00:39:58", 1, "MOVIe", 0, None, None, None, None, None, None),
+        ("1999-12-20T00:39:58", 0, None, 2, None, 0, 1, None, "null_amount", None),
+        ("1999-12-20T00:39:58", 1, "null_amount", 0, None, None, None, None, None, None),
+    ]
+
+
+def test_e2e_lookup_with_key(spark):
+    # lookup_tests.rs::test_lookup_with_key — the value re-keys Sent into
+    # a "Code" grouping, filters to food purchases, and counts in a
+    # since(daily()) window; looked up by the latched code
+    out = fenl(
+        "{ code_name: lookup(lookup_key, lookup_value) }",
+        _lookup_account_tables(spark),
+        formulas={
+            "lookup_key": "Sent.code | last()",
+            "lookup_value": (
+                'Sent | with_key(Sent.code, grouping="Code") '
+                '| when($input.description == "food") '
+                "| count(window=since(daily()))"
+            ),
+        },
+    )
+    assert _krows(out, "code_name") == [
+        ("1996-12-20T00:39:57", 0, 1),
+        ("1997-12-20T00:39:57", 0, None),
+        ("1997-12-20T00:39:58", 2, 1),
+        ("1998-12-20T00:39:57", 0, None),
+        ("1999-12-20T00:39:58", 0, None),
+        ("1999-12-20T00:39:58", 0, None),
+    ]
+
+
+def test_e2e_lookup_errors(spark):
+    # lookup_tests.rs error goldens: key type mismatch vs the foreign
+    # grouping (E0010), illegal field ref with nearest-field hints
+    # (E0001), window as key (E0010), unbound foreign table with
+    # nearest-match hints (E0006), un-grouped literal key/value (E0008)
+    tables = _lookup_account_tables(spark)
+
+    with pytest.raises(FenlCompileError) as ei:
+        fenl("{ code_name: lookup(Sent.description, CodeName.name | last()) }", tables)
+    assert "E0010" in str(ei.value)
+
+    with pytest.raises(FenlCompileError) as ei:
+        fenl("{ code_name: lookup(Sent.desciption, CodeName.name | last()) }", tables)
+    assert "E0001" in str(ei.value) and "description" in str(ei.value)
+
+    with pytest.raises(FenlCompileError) as ei:
+        fenl(
+            "{ code_name: lookup(since(is_valid(Sent.description)), "
+            "CodeName.name | last()) }",
+            tables,
+        )
+    assert "E0010" in str(ei.value)
+
+    with pytest.raises(FenlCompileError) as ei:
+        fenl("{ code_name: lookup(Sent.description, CodeNme.name | last()) }", tables)
+    assert "E0006" in str(ei.value) and "CodeName" in str(ei.value)
+
+    with pytest.raises(FenlCompileError) as ei:
+        fenl("{ code_name: lookup(Sent.description, 50) }", tables)
+    assert "E0008" in str(ei.value)
+
+    with pytest.raises(FenlCompileError) as ei:
+        fenl("{ code_name: lookup(50, CodeName.name | last()) }", tables)
+    assert "E0008" in str(ei.value)
