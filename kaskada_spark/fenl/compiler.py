@@ -154,6 +154,15 @@ class CVal:
     #: tick_tests.rs test_time_of_produces_discrete_values shows
     #: time_of(last(n)) null there). None = default rule (event rows).
     new: Column | None = None
+    #: STICKY select restriction (the reference's Select operation,
+    #: operation/select.rs): a when()-restricted value's domain follows
+    #: every derived expression by INTERSECTION — unlike ``mask``, which
+    #: models merge domains and unions away against literals
+    #: (_or_masks). A literal inside a when'd pipe must not resurrect
+    #: unselected rows (event_data_tests.rs PAGE_EVENTS: coalesce(...,
+    #: 0) over page events is 0 only at page rows). Aggregates consume
+    #: it (they re-merge the select'd value into the universe).
+    sel: Column | None = None
 
     @property
     def discrete(self) -> bool:
@@ -191,6 +200,37 @@ def _masked(col: Column, mask: Column | None) -> Column:
     return col if mask is None else F.when(mask, col)
 
 
+def _and_sels(*vals) -> Column | None:
+    """Sticky select restriction of a derived expression: the
+    INTERSECTION of its inputs' restrictions (a select'd value keeps its
+    domain through every scalar op; literals contribute none)."""
+    sels = [v.sel for v in vals if isinstance(v, CVal) and v.sel is not None]
+    if not sels:
+        return None
+    out = sels[0]
+    for s in sels[1:]:
+        out = out & s
+    return out
+
+
+def _eff(v: CVal) -> Column | None:
+    """The rows where ``v`` is actually defined: merge domain (mask)
+    intersected with the sticky select restriction (sel)."""
+    if v.mask is None:
+        return v.sel
+    if v.sel is None:
+        return v.mask
+    return v.mask & v.sel
+
+
+def _combine(a: Column | None, b: Column | None) -> Column | None:
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a & b
+
+
 class Compiler:
     def __init__(self, tables: dict[str, Timeline], primary: str,
                  formulas: dict[str, A.Node] | None = None,
@@ -210,6 +250,7 @@ class Compiler:
         # previously merged re-rooted universes, and materialized
         # CONTINUOUS column aliases that must re-latch across new rows
         self.reroot_flags: list[str] = []
+        self.reroot_snap: tuple | None = None
         self.cont_cols: list[str] = []
         # True when the latest re-root produced a NEW row domain that
         # can union-merge back (shift_*/with_key); False for re-roots
@@ -340,16 +381,19 @@ class Compiler:
         carries natively (sparrow-compiler typechecking)."""
         return self.df.select(col.alias("__t")).schema[0].dataType
 
-    def _map_record(self, v: CVal, fn, mask: Column | None) -> CVal:
+    def _map_record(self, v: CVal, fn, mask: Column | None,
+                    sel: Column | None = None) -> CVal:
         """Apply a column transform to every field of a record, keeping
         the record structure (reference record pushdown semantics:
         if/null_if/else over a record transform each field, and the row
         stays in the output — logical_tests.rs test_if_record)."""
         new_fields = {
-            n: replace(f, col=fn(f.col), mask=mask) for n, f in v.fields.items()
+            n: replace(f, col=fn(f.col), mask=mask, sel=sel)
+            for n, f in v.fields.items()
         }
         col = F.struct(*[f.col.alias(n) for n, f in new_fields.items()])
-        return self._v(col, mask, continuous=v.continuous, fields=new_fields)
+        return self._v(col, mask, continuous=v.continuous, fields=new_fields,
+                       sel=sel)
 
     def _tl(self) -> Timeline:
         return Timeline(self.df)
@@ -485,7 +529,8 @@ class Compiler:
             raise FenlCompileError("field access on a non-value")
         self._chk(base)
         if base.is_json:
-            return CVal(S.json_field(base.col, node.field), base.mask)
+            return CVal(S.json_field(base.col, node.field), base.mask,
+                        sel=base.sel)
         if base.fields is not None:
             if node.field not in base.fields:
                 raise FenlCompileError(
@@ -496,7 +541,8 @@ class Compiler:
             v = base.fields[node.field]
             mask = _or_masks(base) if base.discrete else None
             return replace(v, mask=mask if mask is not None else v.mask)
-        return CVal(base.col.getField(node.field), base.mask, base.continuous)
+        return CVal(base.col.getField(node.field), base.mask, base.continuous,
+                    sel=base.sel)
 
     def _c_index(self, node: A.Index) -> CVal:
         base = self.compile(node.base)
@@ -505,6 +551,7 @@ class Compiler:
         return self._v(
             F.element_at(base.col, idx.col + F.lit(1)),
             _or_masks(base, idx),
+            sel=_and_sels(base, idx),
         )
 
     def _c_record(self, node: A.Record) -> CVal:
@@ -522,10 +569,23 @@ class Compiler:
                 raise FenlCompileError(f"record field {name!r} is not a value")
             fields[name] = v
         self._chk(*fields.values())
-        mask = _or_masks(*[v for v in fields.values() if v.discrete]) if any(
-            v.discrete for v in fields.values()
-        ) else None
-        col = F.struct(*[v.col.alias(n) for n, v in fields.items()])
+        # the record's row domain: union of the discrete fields'
+        # EFFECTIVE domains (mask ∧ sel); a select'd field contributes
+        # only its selected rows
+        discrete = [v for v in fields.values() if v.discrete]
+        mask = None
+        if discrete:
+            effs = [_eff(v) for v in discrete]
+            if all(e is not None for e in effs):
+                mask = effs[0]
+                for e in effs[1:]:
+                    mask = mask | e
+        # field VALUES materialize through their select restriction —
+        # a select'd field is null outside it even when its raw column
+        # carries a leftover value (a coalesce default, …)
+        col = F.struct(
+            *[_masked(v.col, v.sel).alias(n) for n, v in fields.items()]
+        )
         # The record VALUE is new where any field is new: the field's
         # explicit mask, else the event rows (unmasked discrete fields
         # and continuous aggregates update at event rows, never at an
@@ -538,7 +598,7 @@ class Compiler:
         if ev is not None:
             news = [
                 v.new if v.new is not None
-                else (v.mask if v.mask is not None else ev)
+                else (_eff(v) if _eff(v) is not None else ev)
                 for v in fields.values()
             ]
             new_mask = news[0]
@@ -624,7 +684,7 @@ class Compiler:
             vals = [self._boolify(self.compile(a)) for a in args]
             self._chk(*vals)
             cols = [v.col for v in vals]
-            return self._v(fn(*cols), _or_masks(*vals))
+            return self._v(fn(*cols), _or_masks(*vals), sel=_and_sels(*vals))
         fns = (
             set(_SCALARS)
             | set(_AGGREGATIONS)
@@ -693,7 +753,7 @@ class Compiler:
             window = w.spec
         self._chk(v)
         alias = self._fresh(op)
-        tl = self._tl().aggregate(op, _masked(v.col, v.mask), window=window, alias=alias)
+        tl = self._tl().aggregate(op, _masked(v.col, _eff(v)), window=window, alias=alias)
         self.df = tl.df
         self.cont_cols.append(alias)
         out = self._v(F.col(alias), continuous=True)
@@ -706,8 +766,9 @@ class Compiler:
         # updates only at its own table's rows — lookup_tests.rs
         # test_lookup_self_i64_with_merge_interpolation latches the
         # looked-up sum at the key's update rows, not every merged row.
+        veff = _eff(v)
         base_new = v.new if v.new is not None else (
-            v.mask if v.mask is not None else ev
+            veff if veff is not None else ev
         )
         if base_new is not None:
             if window is not None:
@@ -740,7 +801,7 @@ class Compiler:
         v = self.compile(v_node)
         self._chk(v)
         alias = self._fresh("lag")
-        tl = self._tl().lag(_masked(v.col, v.mask), n, alias=alias)
+        tl = self._tl().lag(_masked(v.col, _eff(v)), n, alias=alias)
         self.df = tl.df
         # lag keeps discreteness (functions/time.rs:133-137): null at rows
         # where the input is null, but those rows stay in the domain
@@ -766,7 +827,7 @@ class Compiler:
         operation/tick.rs:33-60)."""
         if isinstance(cond, TickVal):
             return F.col(cond.flag)
-        return _masked(cond.col, cond.mask)
+        return _masked(cond.col, _eff(cond))
 
     def _fn_since(self, node: A.Call) -> WindowVal:
         (cond_node,) = self._positional(node, 1, ("condition",))
@@ -824,12 +885,17 @@ class Compiler:
         # null rather than dropping the row (tick_tests.rs
         # test_time_of_produces_discrete_values: every tick row emits,
         # with null t).
-        vmask = fire if v.mask is None or v.continuous else (v.mask & fire)
+        veff = _eff(v)
+        vmask = fire if veff is None or v.continuous else (veff & fire)
+        # the restriction is STICKY (CVal.sel): derived expressions stay
+        # confined to the selected rows even through literals
+        sel = _combine(fire, v.sel)
         if v.fields is not None:
-            out = self._map_record(v, lambda col: _masked(col, vmask), fire)
+            out = self._map_record(v, lambda col: _masked(col, vmask), fire,
+                                   sel=sel)
             return replace(out, continuous=False, new=None)
         return replace(v, col=_masked(v.col, vmask), mask=fire, continuous=False,
-                       new=None)
+                       new=None, sel=sel)
 
     def _merge_reroot(
         self,
@@ -942,6 +1008,16 @@ class Compiler:
         was a record, the bare scalar otherwise (with_key_tests.rs
         test_with_key_aggregate_select re-keys a running sum and the
         result stays a scalar column)."""
+        # snapshot the pre-reroot universe so a downstream piped
+        # lookup (`.. | with_key(k) | lookup(key)`) can restore it as
+        # the result domain, keeping every column computed so far
+        # (event_data_tests.rs churn queries combine a re-keyed lookup
+        # with same-record aggregates over the original universe)
+        self.reroot_snap = (
+            self.df, self.universe_gen, dict(self.scope),
+            dict(self.ast_bindings), dict(self.tick_flags),
+            dict(self.table_flags), list(self.cont_cols),
+        )
         self.df = tl.df
         self.universe_gen += 1
         self.reroot_mergeable = True
@@ -959,7 +1035,7 @@ class Compiler:
         ``extra`` carries operator operand expressions (shift delta/
         target, with_key key) INTO the frame before projection — they
         may reference source columns that the projection drops."""
-        df = self.df if v.mask is None else self.df.filter(v.mask)
+        df = self.df if _eff(v) is None else self.df.filter(_eff(v))
         extra = extra or {}
         for n, c in extra.items():
             df = df.withColumn(n, c)
@@ -995,7 +1071,7 @@ class Compiler:
         p_node, v_node = self._positional(node, 2, ("predicate", "value"))
         p = self.compile(p_node)
         v = self.compile(v_node)
-        base = self.df if v.mask is None else self.df.filter(v.mask)
+        base = self.df if _eff(v) is None else self.df.filter(_eff(v))
         if v.fields is not None:
             names = list(v.fields)
             for n in names:
@@ -1054,13 +1130,15 @@ class Compiler:
     def _newness(self, v: CVal) -> Column | None:
         """Rows where ``v`` takes a NEW value (None = every row): CVal.new
         when tracked, else event rows for continuous/unmasked values,
-        else the value's own mask (a discrete value in a merged universe
-        updates only at its table's rows)."""
+        else the value's own domain (a discrete value in a merged
+        universe updates only at its table's rows; a select'd value only
+        at its selected rows)."""
         if v.new is not None:
             return v.new
-        if v.continuous or v.mask is None:
+        e = _eff(v)
+        if v.continuous or e is None:
             return self._event_row()
-        return v.mask
+        return e
 
     def _spread_responses(self, names: list[str], req: Column) -> None:
         """Latch lookup responses between request rows: the reference
@@ -1105,14 +1183,18 @@ class Compiler:
         )
         if foreign_name is None and _depends_on_input(v_node, env):
             # Piped value (Table | with_key(..) | .. | lookup(key)): the
-            # CURRENT (re-keyed) universe is the foreign side; the key
-            # evaluates over a fresh copy of the primary universe, which
-            # becomes the result universe (with_key_tests.rs
-            # test_with_key_lookup_select).
+            # CURRENT (re-keyed) universe is the foreign side; the
+            # universe snapshotted at the re-root becomes the result
+            # universe again — restoring (not rebuilding) it keeps every
+            # column computed before the re-key, so the lookup result
+            # combines with same-record values (with_key_tests.rs
+            # test_with_key_lookup_select; event_data_tests.rs churn
+            # queries).
             from pyspark.sql import types as T
 
             v = self.compile(v_node)
             self._chk(v)
+            femit = self._newness(v) if v.continuous else _eff(v)
             field_cols: dict[str, Column] | None = None
             if v.fields is not None:
                 field_cols = {n: f.col for n, f in v.fields.items()}
@@ -1129,18 +1211,31 @@ class Compiler:
                 aliases = {n: self._fresh(f"lkp_{n}") for n in field_cols}
                 fdf = self.df
                 for n, c in field_cols.items():
-                    fdf = fdf.withColumn(aliases[n], _masked(c, v.mask))
+                    fdf = fdf.withColumn(aliases[n], _masked(c, femit))
                 names = list(aliases.values())
             else:
                 names = ["__fenl_lv"]
-                fdf = self.df.withColumn("__fenl_lv", _masked(v.col, v.mask))
+                fdf = self.df.withColumn("__fenl_lv", _masked(v.col, femit))
             foreign_tl = Timeline(fdf.select(*META, *names))
-            key_comp = Compiler(self.tables, self.primary, env)
-            kv = key_comp.compile(k_node)
-            out = Timeline(key_comp.df).lookup(foreign_tl, key=kv.col, values=names)
+            if self.reroot_snap is not None:
+                (self.df, self.universe_gen, self.scope, self.ast_bindings,
+                 self.tick_flags, self.table_flags, self.cont_cols,
+                 ) = self.reroot_snap
+                self.reroot_snap = None
+            kv = self.compile(k_node)
+            if not isinstance(kv, CVal):
+                raise FenlCompileError(
+                    "Invalid types for call to 'lookup': expected 'key', "
+                    "got Type: window", code="E0010",
+                )
+            req = self._newness(kv)
+            out = self._tl().lookup(
+                foreign_tl, key=_masked(kv.col, req), values=names
+            )
             self.df = out.df
-            self.universe_gen += 1
-            self.reroot_mergeable = False  # same row domain, rebuilt frame
+            if req is not None:
+                self._spread_responses(names, req)
+            self.cont_cols = list(self.cont_cols) + names
             if field_cols is not None:
                 fields = {
                     n: self._v(F.col(a), continuous=True)
@@ -1150,6 +1245,7 @@ class Compiler:
                 return self._v(col, continuous=True, fields=fields)
             alias = self._fresh("lookup")
             self.df = self.df.withColumnRenamed("__fenl_lv", alias)
+            self.cont_cols[self.cont_cols.index("__fenl_lv")] = alias
             return self._v(F.col(alias), continuous=True)
         if foreign_name is None:
             # Self-grouping value (e.g. lookup(k, with_key(k2, agg))):
@@ -1195,7 +1291,7 @@ class Compiler:
             # extended/field-accessed (documentation_code_tests.rs
             # `extend(lookup($input.entity, target))`)
             aliases = {n: self._fresh(f"lkp_{n}") for n in fv.fields}
-            femit = sub._newness(fv) if fv.continuous else fv.mask
+            femit = sub._newness(fv) if fv.continuous else _eff(fv)
             fdf = sub.df
             for n, f in fv.fields.items():
                 fdf = fdf.withColumn(aliases[n], _masked(f.col, femit))
@@ -1224,7 +1320,7 @@ class Compiler:
         # is null, not the aggregate's empty-state value
         # (lookup_tests.rs test_lookup_with_key: code 6 has no food
         # rows, so its count is null, not 0)
-        femit = sub._newness(fv) if fv.continuous else fv.mask
+        femit = sub._newness(fv) if fv.continuous else _eff(fv)
         fdf = sub.df.withColumn("__fenl_lv", _masked(fv.col, femit))
         alias = self._fresh("lookup")
         if not fv.continuous:
@@ -1382,22 +1478,25 @@ class Compiler:
         c = self._boolify(self.compile(c_node))
         v = self.compile(v_node)
         self._chk(c, v)
-        cond = _masked(c.col, c.mask)
+        cond = _masked(c.col, _eff(c))
+        sel = _and_sels(c, v)
         if v.fields is not None:
-            return self._map_record(v, lambda col: S.if_(cond, col), _or_masks(c, v))
-        return self._v(S.if_(cond, v.col), _or_masks(c, v))
+            return self._map_record(v, lambda col: S.if_(cond, col),
+                                    _or_masks(c, v), sel=sel)
+        return self._v(S.if_(cond, v.col), _or_masks(c, v), sel=sel)
 
     def _fn_null_if(self, node: A.Call) -> CVal:
         c_node, v_node = self._positional(node, 2, ("condition", "value"))
         c = self._boolify(self.compile(c_node))
         v = self.compile(v_node)
         self._chk(c, v)
-        cond = _masked(c.col, c.mask)
+        cond = _masked(c.col, _eff(c))
+        sel = _and_sels(c, v)
         if v.fields is not None:
             return self._map_record(
-                v, lambda col: S.null_if(cond, col), _or_masks(c, v)
+                v, lambda col: S.null_if(cond, col), _or_masks(c, v), sel=sel
             )
-        return self._v(S.null_if(cond, v.col), _or_masks(c, v))
+        return self._v(S.null_if(cond, v.col), _or_masks(c, v), sel=sel)
 
     def _fn_else_(self, node: A.Call) -> CVal:
         d_node, v_node = self._positional(node, 2, ("default", "value"))
@@ -1407,18 +1506,50 @@ class Compiler:
         if v.fields is not None and d.fields is not None:
             # fieldwise else over matching record fields
             # (logical_tests.rs test_else_record)
-            dcols = {n: f.col for n, f in d.fields.items()}
+            dcols = {n: _masked(f.col, _eff(d)) for n, f in d.fields.items()}
             mask = _or_masks(d, v)
+            sel = _and_sels(d, v)
             new_fields = {
-                n: replace(f, col=F.coalesce(f.col, dcols[n]) if n in dcols else f.col,
-                           mask=mask)
+                n: replace(
+                    f,
+                    col=F.coalesce(_masked(f.col, _eff(v)), dcols[n])
+                    if n in dcols else _masked(f.col, _eff(v)),
+                    mask=mask,
+                    sel=sel,
+                )
                 for n, f in v.fields.items()
             }
             col = F.struct(*[f.col.alias(n) for n, f in new_fields.items()])
-            return self._v(col, mask, fields=new_fields)
-        return self._v(F.coalesce(v.col, d.col), _or_masks(d, v))
+            return self._v(col, mask, fields=new_fields, sel=sel)
+        res_mask = _or_masks(d, v)
+        sel = _and_sels(d, v)
+        dom = _combine(res_mask, sel)
+        ve, de = _eff(v), _eff(d)
+        return self._v(
+            F.coalesce(
+                _masked(v.col, ve if ve is not None else dom),
+                _masked(d.col, de if de is not None else dom),
+            ),
+            res_mask,
+            sel=sel,
+        )
 
     _fn_else = _fn_else_
+
+    def _fn_is_valid(self, node: A.Call) -> CVal:
+        (v_node,) = self._positional(node, 1, ("input",))
+        v = self.compile(v_node)
+        self._chk(v)
+        # null-OBSERVING: a value outside its when()-restricted domain is
+        # invalid even when its raw column is non-null (a coalesce
+        # default, a latched spread, …)
+        e = _eff(v)
+        col = (
+            S.is_valid(_masked(v.col, e))
+            if v.fields is None
+            else (F.coalesce(e, F.lit(False)) if e is not None else F.lit(True))
+        )
+        return self._v(col, v.mask, continuous=v.continuous, sel=v.sel)
 
     def _fn_coalesce(self, node: A.Call) -> CVal:
         if not node.args and not self.input_stack:
@@ -1444,13 +1575,27 @@ class Compiler:
                     + ", ".join(sorted(fams)),
                     code="E0010",
                 )
-        return self._v(F.coalesce(*[v.col for v in vals]), _or_masks(*vals))
+        # null-OBSERVING: arguments must be read through their effective
+        # domains — a when()-restricted value is undefined (not its raw
+        # column value) outside them, and a domain-FREE argument (a
+        # literal default) adopts the call's domain so it can't
+        # resurrect rows outside it (event_data_tests.rs PAGE_EVENTS:
+        # the score of a non-page row must not coalesce to the literal 0)
+        res_mask = _or_masks(*vals)
+        sel = _and_sels(*vals)
+        dom = _combine(res_mask, sel)
+        cols = [
+            _masked(v.col, _eff(v) if _eff(v) is not None else dom)
+            for v in vals
+        ]
+        return self._v(F.coalesce(*cols), res_mask, sel=sel)
 
     def _fn_hash(self, node: A.Call) -> CVal:
         (v_node,) = self._positional(node, 1, ("input",))
         v = self.compile(v_node)
         self._chk(v)
-        return self._v(S.hash_(v.col), v.mask, continuous=v.continuous)
+        return self._v(S.hash_(v.col), v.mask, continuous=v.continuous,
+                       sel=v.sel)
 
     def _fn_substring(self, node: A.Call) -> CVal:
         args = list(node.args)
@@ -1466,6 +1611,7 @@ class Compiler:
         return self._v(
             S.substring(s.col, start.col if start else None, end.col if end else None),
             _or_masks(s, *(x for x in (start, end) if x)),
+            sel=_and_sels(s, *(x for x in (start, end) if x)),
         )
 
     def _fn_clamp(self, node: A.Call) -> CVal:
@@ -1648,9 +1794,11 @@ def compile_fenl(
         raise FenlCompileError("query does not produce a value")
     df = comp.df
     if result.fields is not None:
-        out_cols = [v.col.alias(n) for n, v in result.fields.items()]
+        out_cols = [
+            _masked(v.col, v.sel).alias(n) for n, v in result.fields.items()
+        ]
     else:
-        out_cols = [result.col.alias("result")]
+        out_cols = [_masked(result.col, result.sel).alias("result")]
     out = df.select(*META, *out_cols)
     if result.mask is not None:
         out = df.withColumn("__fenl_mask", result.mask)

@@ -2197,3 +2197,144 @@ def test_e2e_lookup_errors(spark):
     with pytest.raises(FenlCompileError) as ei:
         fenl("{ code_name: lookup(50, CodeName.name | last()) }", tables)
     assert "E0008" in str(ei.value)
+
+
+# ----------------------------------------------------------------------
+# notebooks/sample_tests.rs — continuous vs discrete fields observed at
+# hourly tick rows (`when(hourly())`): count_hourly carries the closing
+# window value, latched time_of/last stay continuous, raw table fields
+# are null at tick rows
+# ----------------------------------------------------------------------
+def _sample_events_tl(spark):
+    rows = [
+        ("2022-01-01T12:00:00", "ada", "wrote_code", 1),
+        ("2022-01-01T13:10:00", "ada", "wrote_code", 1),
+        ("2022-01-01T13:20:00", "ada", "wrote_code", 1),
+        ("2022-01-01T14:00:00", "ada", "wrote_code", 3),
+        ("2022-01-01T12:00:00", "brian", "data_scienced", 1),
+        ("2022-01-01T13:20:00", "brian", "data_scienced", 2),
+        ("2022-01-01T13:40:00", "brian", "data_scienced", 1),
+        ("2022-01-01T15:00:00", "brian", "data_scienced", 1),
+    ]
+    df = spark.createDataFrame(
+        [(_ts(t), i, k, e, c) for i, (t, k, e, c) in enumerate(rows)],
+        "event_at timestamp, sub long, entity_id string, event_name string, "
+        "commit_count long",
+    )
+    return Timeline.from_events(df, time_col="event_at", key_col="entity_id",
+                                subsort_col="sub")
+
+
+def test_e2e_sample_events_hourly(spark):
+    # notebooks/sample_tests.rs::test_sample_events_to_csv — note the
+    # 12:00 tick closes a window CONTAINING the coincident 12:00 events
+    # (ticks order after coincident rows), and every entity ticks
+    # through the global max time even past its own last event
+    out = fenl(
+        "let event_count_total = SampleEvents | count() "
+        "let count_hourly = SampleEvents | count(window=since(hourly())) "
+        "let timestamp_continuous = event_count_total | time_of() | last() "
+        "let username_continuous = SampleEvents.entity_id | last() "
+        "in { timestamp_continuous, username_continuous, count_hourly, "
+        "event_count_total, "
+        "event_time_not_continuous: SampleEvents.event_at, "
+        "event_username_not_continuous: SampleEvents.entity_id } "
+        "| when(hourly())",
+        {"SampleEvents": _sample_events_tl(spark)},
+    )
+    got = _krows(out, "timestamp_continuous", "username_continuous",
+                 "count_hourly", "event_count_total",
+                 "event_time_not_continuous", "event_username_not_continuous")
+    t12, t13, t14, t15 = (_ts(f"2022-01-01T{h}:00:00") for h in
+                          ("12", "13", "14", "15"))
+    assert got == [
+        ("2022-01-01T12:00:00", "ada", t12, "ada", 1, 1, None, None),
+        ("2022-01-01T12:00:00", "brian", t12, "brian", 1, 1, None, None),
+        ("2022-01-01T13:00:00", "ada", t12, "ada", 0, 1, None, None),
+        ("2022-01-01T13:00:00", "brian", t12, "brian", 0, 1, None, None),
+        ("2022-01-01T14:00:00", "ada", t14, "ada", 3, 4, None, None),
+        ("2022-01-01T14:00:00", "brian", _ts("2022-01-01T13:40:00"), "brian", 2, 3, None, None),
+        ("2022-01-01T15:00:00", "ada", t14, "ada", 0, 4, None, None),
+        ("2022-01-01T15:00:00", "brian", t15, "brian", 1, 4, None, None),
+    ]
+
+
+# ----------------------------------------------------------------------
+# notebooks/event_data_tests.rs — the churn-notebook query shapes over
+# an inline fixture: running counts re-keyed by the entity's latched
+# locale and looked back up, daily windows, and a sliding mean pushed
+# through the re-key+lookup round-trip
+# ----------------------------------------------------------------------
+def _churn_events_tl(spark):
+    rows = [
+        # time,            user, type,      event,                 locale
+        ("2020-10-27T10:00:00", "u1", "page", "Feature Run Clicked", "en-US"),
+        ("2020-10-27T10:05:00", "u2", "page", "Feature Selected", "fr-FR"),
+        ("2020-10-27T10:10:00", "u1", "identify", None, "en-US"),
+        ("2020-10-27T10:15:00", "u2", "page", "Feature Run Clicked", "fr-FR"),
+        ("2020-10-27T10:20:00", "u1", "page", "Other", "en-US"),
+        ("2020-10-28T09:00:00", "u1", "page", "Feature Selected", "en-US"),
+        ("2020-10-28T09:30:00", "u2", "identify", None, "fr-FR"),
+    ]
+    df = spark.createDataFrame(
+        [(_ts(t), i, k, ty, e, lo) for i, (t, k, ty, e, lo) in enumerate(rows)],
+        "timestamp timestamp, sub long, anonymousId string, type string, "
+        "event string, context_locale string",
+    )
+    return Timeline.from_events(df, time_col="timestamp", key_col="anonymousId",
+                                subsort_col="sub")
+
+
+def test_e2e_event_data_count_rekey_lookup(spark):
+    # event_data_tests.rs EVENTS query: per-user running count re-keyed
+    # to the latched locale and looked back up — since each locale has
+    # one user here, the lookup returns that user's own count at its
+    # rows (spread between)
+    out = fenl(
+        "let last_locale = Events.context_locale | last() "
+        "in { id: Events.anonymousId, "
+        "count_today: Events | count(window=since(daily())), "
+        "locale_score: Events | count() "
+        "| with_key(last_locale, grouping=\"Locale\") | lookup(last_locale) }",
+        {"Events": _churn_events_tl(spark)},
+    )
+    ev_rows = [g for g in _krows(out, "id", "count_today", "locale_score")
+               if g[2] is not None]
+    assert ev_rows == [
+        ("2020-10-27T10:00:00", "u1", "u1", 1, 1),
+        ("2020-10-27T10:05:00", "u2", "u2", 1, 1),
+        ("2020-10-27T10:10:00", "u1", "u1", 2, 2),
+        ("2020-10-27T10:15:00", "u2", "u2", 2, 2),
+        ("2020-10-27T10:20:00", "u1", "u1", 3, 3),
+        ("2020-10-28T09:00:00", "u1", "u1", 1, 4),
+        ("2020-10-28T09:30:00", "u2", "u2", 1, 3),
+    ]
+
+
+def test_e2e_event_data_sliding_mean_rekey_lookup(spark):
+    # event_data_tests.rs PAGE_EVENTS query: score page events, sliding
+    # mean of the last 2 valid scores, re-key to locale, look back up,
+    # keep page-event rows
+    out = fenl(
+        'let PageEvents = Events | when($input.type == "page") '
+        "| extend({ score: coalesce("
+        'if($input.event == "Feature Run Clicked", 2), '
+        'if($input.event == "Feature Selected", 1), 0) }) '
+        "let last_locale = Events.context_locale | last() "
+        "in { id: PageEvents.anonymousId, "
+        "locale_score_sliding: PageEvents.score "
+        "| mean(window=sliding(2, $input | is_valid())) "
+        '| with_key(last_locale, grouping="Locale") | lookup(last_locale) } '
+        "| when(is_valid(PageEvents.anonymousId))",
+        {"Events": _churn_events_tl(spark)},
+    )
+    got = _krows(out, "id", "locale_score_sliding")
+    # u1 page scores: 2, 0, 1 → sliding-2 means 2.0, 1.0, 0.5
+    # u2 page scores: 1, 2    → sliding-2 means 1.0, 1.5
+    assert got == [
+        ("2020-10-27T10:00:00", "u1", "u1", 2.0),
+        ("2020-10-27T10:05:00", "u2", "u2", 1.0),
+        ("2020-10-27T10:15:00", "u2", "u2", 1.5),
+        ("2020-10-27T10:20:00", "u1", "u1", 1.0),
+        ("2020-10-28T09:00:00", "u1", "u1", 0.5),
+    ]
