@@ -57,8 +57,9 @@ class Timeline:
         time_col: str | Column,
         key_col: str | Column,
         subsort_col: str | Column | None = None,
+        subsort_mode: str = "hash",
     ) -> "Timeline":
-        return cls(prepare(df, time_col, key_col, subsort_col))
+        return cls(prepare(df, time_col, key_col, subsort_col, subsort_mode))
 
     @property
     def df(self) -> DataFrame:
