@@ -1707,3 +1707,159 @@ def test_materialize_fenl_when_tick_sampling_equals_batch(spark, tmp_path):
         fence = pd.Timestamp(2024, 3, 3)
         missing = {k for k in exp if k[1] <= fence and k not in got}
         assert not missing, f"{q!r} missing: {sorted(missing)[:4]}"
+
+
+def _split_resume_dirs(full_dir, in_dir):
+    """Phase-1 inputs: first two files of full_dir copied into in_dir.
+    Returns the sorted file list for the phase-2 swap."""
+    os.makedirs(in_dir)
+    files = sorted(os.listdir(full_dir))
+    for f in files[:2]:
+        shutil.copy2(os.path.join(full_dir, f), os.path.join(in_dir, f))
+    return files
+
+
+def _advance_resume_dirs(full_dir, in_dir, files):
+    """Phase-2: DELETE the earliest input (state must be sufficient,
+    resumeable_tests.rs:8-18) and add the remaining file."""
+    os.remove(os.path.join(in_dir, files[0]))
+    shutil.copy2(os.path.join(full_dir, files[2]), os.path.join(in_dir, files[2]))
+
+
+def test_stream_resume_shift_by(spark, tmp_path):
+    """Kill/resume with the shift buffer state (rows waiting for the
+    watermark to pass their shifted target): run files 1-2, stop,
+    delete file 1, add file 3, resume — combined output equals batch
+    shift_by within the final watermark (the reference's
+    resumeable_tests.rs::test_resumeable_shift_to_literal /
+    _shift_to_column scenarios, on the shift-buffer machine)."""
+    import pandas as pd
+    from kaskada_spark.streaming.shift import shift_by_stream
+
+    t0 = pd.Timestamp(2024, 5, 1, 12, 0)
+    rows = [
+        (ent, t0 + pd.Timedelta(minutes=m), ent * 1000 + m, float(m))
+        for ent in (1, 2, 3)
+        for m in range(0, 60, 7)
+    ]
+    pdf = pd.DataFrame(rows, columns=["k", "time", "seq", "v"])
+    tl = Timeline.from_events(spark.createDataFrame(pdf), "time", "k", "seq")
+    wm_final = t0 + pd.Timedelta(minutes=56)
+    exp = {
+        (r["_key"], r["_subsort"]): (r["_time"], r["v"])
+        for r in tl.shift_by(F.expr("interval 5 minutes")).df.collect()
+        if r["_time"] <= wm_final
+    }
+
+    full = _write_time_split(tl.df, ["_time", "_subsort"], str(tmp_path / "full"), 3)
+    in_dir = str(tmp_path / "in")
+    files = _split_resume_dirs(full, in_dir)
+
+    def run():
+        stream = (
+            spark.readStream.schema(tl.df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out = shift_by_stream(stream, F.expr("interval 5 minutes"))
+        sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="_time")
+        q = (
+            out.writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sink
+
+    run()
+    _advance_resume_dirs(full, in_dir, files)
+    sink = run()
+
+    got = {
+        (r["_key"], r["_subsort"]): (r["_time"], r["v"])
+        for r in sink.read_output(spark).collect()
+    }
+    for kk, ev in exp.items():
+        assert kk in got, f"missing shifted row {kk}"
+        assert got[kk] == ev, f"{kk}: want {ev}, got {got[kk]}"
+    for kk, (t, _) in got.items():
+        assert t <= wm_final
+
+
+def test_stream_resume_merge_align(spark, tmp_path):
+    """Kill/resume with the merge-align buffers (both sides' unsettled
+    rows + as-of latches live in state): run the first two files of
+    EACH side, stop, delete each side's earliest file, add the third,
+    resume — combined output equals the batch merge within the final
+    combined watermark (resumeable_tests.rs partial-overlap pattern on
+    the merge machine)."""
+    import pandas as pd
+    from kaskada_spark.operators.merge import merge as batch_merge
+    from kaskada_spark.streaming.merge import merge_align_stream
+
+    t0 = pd.Timestamp(2024, 5, 1, 12, 0)
+    l_rows, r_rows = [], []
+    for ent in (1, 2):
+        for j, m in enumerate(range(0, 50, 5)):
+            l_rows.append((ent, t0 + pd.Timedelta(minutes=m), j, float(ent * 100 + m)))
+        for j, m in enumerate(range(0, 50, 10)):
+            sub = j * 2 if m % 20 == 0 else 1000 + j
+            r_rows.append((ent, t0 + pd.Timedelta(minutes=m), sub, ent * 1000 + m))
+    ldf = spark.createDataFrame(pd.DataFrame(l_rows, columns=["k", "time", "seq", "price"]))
+    rdf = spark.createDataFrame(pd.DataFrame(r_rows, columns=["k", "time", "seq", "qty"]))
+    l_tl = Timeline.from_events(ldf, "time", "k", "seq")
+    r_tl = Timeline.from_events(rdf, "time", "k", "seq")
+
+    wm_final = t0 + pd.Timedelta(minutes=40)
+    exp = {
+        (r["_key"], r["_time"], r["_subsort"]): (r["price"], r["qty"])
+        for r in batch_merge(l_tl, r_tl, as_of=["qty"]).df.collect()
+        if r["_time"] <= wm_final
+    }
+
+    l_full = _write_time_split(l_tl.df, ["_time", "_subsort"], str(tmp_path / "l_full"), 3)
+    r_full = _write_time_split(r_tl.df, ["_time", "_subsort"], str(tmp_path / "r_full"), 3)
+    l_dir, r_dir = str(tmp_path / "l"), str(tmp_path / "r")
+    l_files = _split_resume_dirs(l_full, l_dir)
+    r_files = _split_resume_dirs(r_full, r_dir)
+
+    def run():
+        ls = (
+            spark.readStream.schema(l_tl.df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(l_dir)
+        )
+        rs = (
+            spark.readStream.schema(r_tl.df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(r_dir)
+        )
+        out = merge_align_stream(ls, rs, as_of=["qty"])
+        sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="_time")
+        q = (
+            out.writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sink
+
+    run()
+    _advance_resume_dirs(l_full, l_dir, l_files)
+    _advance_resume_dirs(r_full, r_dir, r_files)
+    sink = run()
+
+    got = {
+        (r["_key"], r["_time"], r["_subsort"]): (r["price"], r["qty"])
+        for r in sink.read_output(spark).collect()
+    }
+    missing = {kk for kk in exp if kk not in got}
+    assert not missing, f"missing {len(missing)}: {sorted(missing)[:4]}"
+    for kk, ev in exp.items():
+        assert got[kk] == ev, f"{kk}: want {ev}, got {got[kk]}"
+    for kk in {kk for kk in got if kk not in exp}:
+        assert kk[1] > wm_final, f"unexpected settled row {kk}"
