@@ -821,6 +821,71 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_decontam(spark, sf_dir):
+    """Benchmark decontamination (operators/training.py): every 20th
+    document plays the eval set; the rest are the corpus. The probe
+    shingle-hash set is broadcast, so the corpus side is map-only +
+    one per-doc count shuffle — the 100 TB shape."""
+    from kaskada_spark.operators.training import decontaminate
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    probes = docs.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate(corpus, "doc_id", "text", probes)
+
+
+def q_scrub_pii(spark, sf_dir):
+    """PII scrub (operators/text.py scrub_pii): emails / NANP phones /
+    IPv4 detected and redacted, counts over the original text. PII is
+    planted deterministically on every 7th doc (the synthetic corpus
+    has none) so the check is non-vacuous; patterns stay in the
+    Java-regex/RE2 common subset so DuckDB matches byte-for-byte."""
+    from kaskada_spark.operators.text import scrub_pii
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    enriched = F.when(
+        d % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), d.cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((d % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."), (d % 256).cast("string"), F.lit(".1"),
+        ),
+    ).otherwise(F.col("text"))
+    cols = scrub_pii(enriched)
+    return docs.select(
+        d.alias("doc"),
+        cols["n_emails"].alias("n_emails"),
+        cols["n_phones"].alias("n_phones"),
+        cols["n_ips"].alias("n_ips"),
+        cols["clean_text"].alias("clean_text"),
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Fixed-budget sequence packing over the pre-tokenized table
+    (north-rule input shape): concatenate per source in event order,
+    cut every 512 tokens (operators/training.py pack_sequences,
+    segmented prefix-sum scale shape with small segments so the
+    3-stage path is actually exercised at sf)."""
+    from kaskada_spark.operators.training import pack_sequences
+
+    toks = tokenize_documents(spark, sf_dir)
+    packed = pack_sequences(toks, budget=512, segmented=True, segment_rows=256)
+    return packed.select(
+        "doc_id",
+        "source",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "tokens_before",
+        "pack_id",
+        "pack_offset",
+    )
+
+
 # ----------------------------------------------------------------------
 # oracle SQL builders (shared DuckDB fragments)
 # ----------------------------------------------------------------------
@@ -1003,6 +1068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "media_features": q_media_features,
+        "decontam": q_decontam,
+        "scrub_pii": q_scrub_pii,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1818,5 +1886,75 @@ def _pipeline_oracles() -> dict[str, str]:
                    CAST(CAST((x8 >> 11) / 9007199254740992.0 AS REAL) AS DOUBLE) AS f7,
                    CAST(CAST((x16 >> 11) / 9007199254740992.0 AS REAL) AS DOUBLE) AS f15
             FROM l
+        """,
+        # Mirror of operators/training.py decontaminate: distinct
+        # 3-gram shingles (word arrays as in _SHINGLES_CTE), 28-bit md5
+        # hash per shingle, probe set = docs with doc_id % 20 = 0.
+        "decontam": f"""
+            WITH {_SHINGLES_CTE.strip()}, probe AS (
+              SELECT DISTINCT {_sql_hash28('s')} AS h
+              FROM (SELECT unnest(sh) AS s FROM sh WHERE doc_id % 20 = 0)
+            ), corpus AS (
+              SELECT doc_id, {_sql_hash28('s')} AS h
+              FROM (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 20 <> 0)
+            ), hits AS (
+              SELECT doc_id, COUNT(*) AS n
+              FROM corpus WHERE h IN (SELECT h FROM probe)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id AS doc,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+                   coalesce(h.n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 20 <> 0
+        """,
+        # Mirror of operators/text.py scrub_pii over the same planted
+        # enrichment. Patterns are RE2/Java-regex common subset;
+        # single-quoted SQL strings keep backslashes literal.
+        "scrub_pii": """
+            WITH e AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or 555-'
+                            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                            || '-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                     ELSE text END AS t
+              FROM documents
+            )
+            SELECT doc_id AS doc,
+                   CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(t, '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS BIGINT) AS n_phones,
+                   CAST(len(regexp_extract_all(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ips,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+                     '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS clean_text
+            FROM e
+        """,
+        # Mirror of operators/training.py pack_sequences(budget=512):
+        # running per-source token count in (_time, _subsort) order,
+        # cut every 512 tokens. SUM(BIGINT) is HUGEINT in DuckDB ->
+        # cast back; // is integer division (Spark side uses floor).
+        "pack_sequences": f"""
+            WITH {TOKENS_ORACLE_CTE.strip()}, base AS (
+              SELECT doc_id, source, CAST(len(tokens) AS BIGINT) AS n_tok,
+                     _time, _subsort
+              FROM tokens_tbl
+            ), c AS (
+              SELECT doc_id, source, n_tok,
+                     CAST(SUM(n_tok) OVER (
+                       PARTITION BY source ORDER BY _time, _subsort
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) - n_tok AS BIGINT) AS tokens_before
+              FROM base
+            )
+            SELECT doc_id, source, n_tok, tokens_before,
+                   tokens_before // 512 AS pack_id,
+                   tokens_before % 512 AS pack_offset
+            FROM c
         """,
     }

@@ -1,0 +1,149 @@
+"""Training-data assembly operators over the pre-tokenized sequence table.
+
+These cover the two pipeline steps between "clean corpus" and "batches
+on the trainer": benchmark decontamination and fixed-budget sequence
+packing. Both are pure Catalyst (no Python in the row path) and are
+shaped for the 100 TB corpus:
+
+- ``decontaminate``: the probe side (benchmark/eval sets) is orders of
+  magnitude smaller than the corpus — its distinct shingle-hash set is
+  broadcast, so the corpus side is a map-only explode + broadcast hash
+  semi-join; the only corpus-keyed shuffle is the final per-doc count.
+- ``pack_sequences``: the classic concatenate-and-split-every-B-tokens
+  layout (GPT-style stream packing). The per-source running token count
+  is a single keyed window at small scale, or the segmented parallel
+  prefix-sum (operators/skew.py pattern) when one source exceeds a
+  task's worth of rows — at 10^12 sequences over ~20 sources every
+  source does, so the segmented form is the default scale shape.
+
+Reference parity note: the reference engine stops at feature
+computation (its outputs feed a feature store, docs/docs-src); these
+operators extend the same timeline frame into the LLM-training domain
+per the driver's north rule, they do not mirror a reference operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from kaskada_spark.operators.dedup import _md5_hash28, shingles
+
+
+def decontaminate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    probes: DataFrame,
+    probe_text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Flag corpus documents sharing word ``shingle_n``-gram shingles
+    with a probe (benchmark / eval) corpus.
+
+    Returns one row per corpus document: ``(doc, n_hits,
+    contaminated)`` where ``n_hits`` counts the document's DISTINCT
+    shingles that appear anywhere in the probe corpus.
+
+    Scale shape: ``probes`` is collected to a distinct 28-bit
+    shingle-hash relation and broadcast — eval sets are ~10^5 rows vs
+    ~10^9+ corpus docs, so the big side never shuffles for the join;
+    the per-doc hit count is one map-side-combinable groupBy on the
+    (already exploded) doc id, and zero-hit docs are restored with a
+    broadcast-friendly left join against the (small) hit counts.
+    """
+    probe_hashes = (
+        probes.select(F.explode(shingles(F.col(probe_text_col), shingle_n)).alias("s"))
+        .select(_md5_hash28(F.col("s")).alias("h"))
+        .distinct()
+    )
+    doc_shingles = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.explode_outer(shingles(F.col(text_col), shingle_n)).alias("s"),
+    ).withColumn("h", _md5_hash28(F.col("s")))
+    hits = (
+        doc_shingles.join(F.broadcast(probe_hashes), "h", "left_semi")
+        .groupBy("__doc")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("__doc"))
+        .join(hits, "__doc", "left")
+        .select(
+            F.col("__doc").cast("long").alias("doc"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def pack_sequences(
+    toks: DataFrame,
+    budget: int = 2048,
+    group_col: str = "source",
+    order_cols: tuple[str, ...] = ("_time", "_subsort"),
+    n_tok_col: str = "n_tok",
+    segmented: bool = True,
+    segment_rows: int = 4096,
+) -> DataFrame:
+    """Assign every pre-tokenized sequence its slot in the packed
+    training stream: sequences are concatenated per ``group_col`` in
+    event order and the stream is cut every ``budget`` tokens.
+
+    Output adds ``tokens_before`` (tokens ahead of this sequence in its
+    group's stream), ``pack_id = tokens_before // budget`` and
+    ``pack_offset = tokens_before % budget``.
+
+    ``segmented=False`` computes the running count with one window per
+    group — fine while a group fits a task. With ``segmented=True``
+    (default) the prefix sum is parallelized with the 3-stage segmented
+    pattern (operators/skew.py): rows are bucketed into fixed-size rank
+    segments, summed within segments in parallel, and offset by the
+    (tiny) per-segment totals — a group with 10^11 rows packs without
+    any single task seeing more than ``segment_rows`` of them. Results
+    are identical (integer math, no reordering).
+    """
+    order = [F.col(c) for c in order_cols]
+    n_tok = F.col(n_tok_col).cast("long")
+    if not segmented:
+        w = (
+            W.partitionBy(group_col)
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        before = F.sum(n_tok).over(w) - n_tok
+        df = toks.withColumn("tokens_before", before)
+    else:
+        # stage 0: global rank within group -> fixed-size segments.
+        # (row_number is itself a per-group window, but it carries no
+        # payload state; at true scale swap it for a zipWithIndex-style
+        # two-pass rank or a pre-bucketed layout. The SUM stages below
+        # are the memory/skew hazard and THEY are segmented.)
+        rank_w = W.partitionBy(group_col).orderBy(*order)
+        df = toks.withColumn("__rk", F.row_number().over(rank_w) - 1)
+        df = df.withColumn("__seg", (F.col("__rk") / segment_rows).cast("long"))
+        inner = (
+            W.partitionBy(group_col, "__seg")
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        df = df.withColumn("__run_in_seg", F.sum(n_tok).over(inner))
+        seg_totals = df.groupBy(group_col, "__seg").agg(
+            F.sum(n_tok).alias("__seg_total")
+        )
+        prior = (
+            W.partitionBy(group_col)
+            .orderBy("__seg")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        seg_offsets = seg_totals.withColumn(
+            "__seg_offset", F.coalesce(F.sum("__seg_total").over(prior), F.lit(0))
+        ).drop("__seg_total")
+        df = df.join(seg_offsets, [group_col, "__seg"]).withColumn(
+            "tokens_before", F.col("__seg_offset") + F.col("__run_in_seg") - n_tok
+        )
+        df = df.drop("__rk", "__seg", "__run_in_seg", "__seg_offset")
+    return df.withColumn(
+        "pack_id", F.floor(F.col("tokens_before") / budget).cast("long")
+    ).withColumn("pack_offset", F.col("tokens_before") % budget)

@@ -417,3 +417,108 @@ def test_ivf_knn_exhaustive_equals_brute_force(spark):
     for r in pruned.collect():
         cnt[r["query_id"]] += 1
     assert all(v == 4 for v in cnt.values())
+
+
+# ---------------------------------------------------------------------
+# training-data assembly: decontamination, PII scrub, sequence packing
+# ---------------------------------------------------------------------
+def test_decontaminate_planted_overlap(spark):
+    """A corpus doc sharing a 3-gram run with the probe set is flagged;
+    an unrelated doc is not; hit counts = distinct shared shingles."""
+    from kaskada_spark.operators.training import decontaminate
+
+    probes = spark.createDataFrame(
+        [(100, "what is the capital of france paris is correct")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "quiz time what is the capital of france answer below"),
+            (2, TEXT_C),
+            (3, "short text"),  # fewer than 3 words of overlap
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate(corpus, "doc_id", "text", probes).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    # doc 1 shares the run "what is the capital of france" ->
+    # shingles {what is the, is the capital, the capital of, capital of france}
+    assert got[1] == (4, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from kaskada_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+spam@mail.example.org thanks"),
+            (2, "call 555-867-5309 or 555-123-4567 now"),
+            (3, "server at 192.168.0.1 and 10.0.0.254"),
+            (4, "clean document with no identifiers"),
+        ],
+        "doc_id long, text string",
+    )
+    cols = scrub_pii(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            cols["n_emails"].alias("e"),
+            cols["n_phones"].alias("p"),
+            cols["n_ips"].alias("i"),
+            cols["clean_text"].alias("c"),
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["p"], out[1]["i"]) == (1, 0, 0)
+    assert out[1]["c"] == "reach me at <EMAIL> thanks"
+    assert (out[2]["e"], out[2]["p"], out[2]["i"]) == (0, 2, 0)
+    assert out[2]["c"] == "call <PHONE> or <PHONE> now"
+    assert (out[3]["e"], out[3]["p"], out[3]["i"]) == (0, 0, 2)
+    assert out[3]["c"] == "server at <IP> and <IP>"
+    assert out[4]["c"] == "clean document with no identifiers"
+
+
+def test_pack_sequences_boundaries_and_segmented_equality(spark):
+    """Packing semantics: contiguous stream cut every `budget` tokens —
+    pack_id = floor(tokens_before / budget) — and the segmented
+    3-stage prefix sum returns EXACTLY the plain-window result even
+    with segments much smaller than a group."""
+    import pandas as pd
+    from kaskada_spark.operators.training import pack_sequences
+
+    rows = []
+    for src in ("a", "b"):
+        for i in range(50):
+            rows.append(
+                (f"{src}{i}", src, 10 + (i * 7) % 23,
+                 pd.Timestamp(2024, 1, 1) + pd.Timedelta(seconds=i), i)
+            )
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "n_tok", "_time", "_subsort"])
+    )
+    plain = pack_sequences(df, budget=64, segmented=False)
+    seg = pack_sequences(df, budget=64, segmented=True, segment_rows=8)
+    key = lambda r: r["doc_id"]
+    p = sorted(plain.collect(), key=key)
+    g = sorted(seg.collect(), key=key)
+    assert [
+        (r["doc_id"], r["tokens_before"], r["pack_id"], r["pack_offset"]) for r in p
+    ] == [
+        (r["doc_id"], r["tokens_before"], r["pack_id"], r["pack_offset"]) for r in g
+    ]
+    # semantics: per source, tokens_before is the running cumsum minus
+    # self; offsets stay under budget; pack ids are non-decreasing
+    for src in ("a", "b"):
+        seqs = [r for r in p if r["source"] == src]
+        seqs.sort(key=lambda r: r["_subsort"])
+        cum = 0
+        for r in seqs:
+            assert r["tokens_before"] == cum
+            assert r["pack_id"] == cum // 64
+            assert r["pack_offset"] == cum % 64
+            cum += r["n_tok"]
