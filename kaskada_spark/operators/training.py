@@ -147,3 +147,35 @@ def pack_sequences(
     return df.withColumn(
         "pack_id", F.floor(F.col("tokens_before") / budget).cast("long")
     ).withColumn("pack_offset", F.col("tokens_before") % budget)
+
+
+def pack_sequences_stream(
+    stream: DataFrame,
+    budget: int = 2048,
+    group_col: str = "source",
+    n_tok_col: str = "n_tok",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Streaming pack assignment: each arriving sequence gets its
+    ``tokens_before`` / ``pack_id`` / ``pack_offset`` the moment it is
+    settled, via the per-key running-sum state machine re-keyed to
+    ``group_col`` (the packed stream is per-source, so the source IS
+    the entity here). One long per group in state — resumable from
+    checkpoint like every other machine. Identical assignments to the
+    batch ``pack_sequences`` on the same ordered input.
+    """
+    from kaskada_spark.streaming.state_machines import AggSpec, running_agg_stream
+
+    tdf = stream.withColumn("_key", F.col(group_col))
+    out = running_agg_stream(
+        tdf, [AggSpec("sum", n_tok_col, "__cum_tok")], watermark=watermark
+    )
+    before = (
+        F.col("__cum_tok").cast("long") - F.col(n_tok_col).cast("long")
+    ).alias("tokens_before")
+    return (
+        out.withColumn("tokens_before", before)
+        .withColumn("pack_id", F.floor(F.col("tokens_before") / budget).cast("long"))
+        .withColumn("pack_offset", F.col("tokens_before") % budget)
+        .drop("__cum_tok", "_key")
+    )

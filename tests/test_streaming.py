@@ -1863,3 +1863,44 @@ def test_stream_resume_merge_align(spark, tmp_path):
         assert got[kk] == ev, f"{kk}: want {ev}, got {got[kk]}"
     for kk in {kk for kk in got if kk not in exp}:
         assert kk[1] > wm_final, f"unexpected settled row {kk}"
+
+
+def test_stream_pack_sequences_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming pack assignment (training.pack_sequences_stream) gives
+    every sequence the same tokens_before/pack_id/pack_offset as the
+    batch pack_sequences on the same ordered pre-tokenized input (the
+    north-rule training-stream assembly, live)."""
+    from kaskada_spark.operators.training import pack_sequences, pack_sequences_stream
+    from kaskada_spark.sources.tokens import tokenize_documents
+
+    toks = tokenize_documents(spark, sf_dir).select(
+        "doc_id", "source", "n_tok", "_time", "_subsort"
+    )
+    exp = {
+        r["doc_id"]: (r["tokens_before"], r["pack_id"], r["pack_offset"])
+        for r in pack_sequences(toks, budget=512, segmented=False).collect()
+    }
+
+    in_dir = _write_time_split(toks, ["_time", "_subsort"], str(tmp_path / "in"), 3)
+    stream = (
+        spark.readStream.schema(toks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = pack_sequences_stream(stream, budget=512)
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="_time")
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["doc_id"]: (r["tokens_before"], r["pack_id"], r["pack_offset"])
+        for r in sink.read_output(spark).collect()
+    }
+    assert len(got) == len(exp)
+    for did, e in exp.items():
+        assert got[did] == e, f"doc {did}: want {e}, got {got[did]}"
