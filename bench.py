@@ -142,7 +142,15 @@ def worker(master: str, input_dir: str, n_rows: int) -> None:
     # sensitive to one slow sample on either level, and this VM's
     # run-to-run spread is real (BENCH.md); best-of over 5 converges on
     # the sustained steady state the metric is defined over
-    n_runs = 5 if master.startswith("local-cluster") else 3
+    n_runs = int(os.environ.get(
+        "SPARK_GRAFT_BENCH_RUNS",
+        "5" if master.startswith("local-cluster") else "3",
+    ))
+    # wall budget per level: keep well under _spawn_worker's subprocess
+    # timeout so a noisy machine degrades to fewer samples, never to a
+    # killed worker (round 2's parsed-null failure mode)
+    budget = float(os.environ.get("SPARK_GRAFT_LEVEL_BUDGET", "1200"))
+    level_t0 = time.time()
     for _ in range(n_runs):
         work = tempfile.mkdtemp(prefix="bench_worker_")
         try:
@@ -159,6 +167,8 @@ def worker(master: str, input_dir: str, n_rows: int) -> None:
             runs.append(time.time() - t0)
         finally:
             shutil.rmtree(work, ignore_errors=True)
+        if len(runs) >= 2 and time.time() - level_t0 > budget:
+            break  # enough samples; don't risk the subprocess timeout
     best = min(runs)
     print(json.dumps({"master": master, "sec": round(best, 3),
                       "runs": [round(r, 3) for r in runs],
@@ -166,14 +176,23 @@ def worker(master: str, input_dir: str, n_rows: int) -> None:
 
 
 def _spawn_worker(master: str, input_dir: str, n_rows: int) -> dict:
-    env = dict(os.environ)
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--worker", master, input_dir, str(n_rows)],
-        capture_output=True, text=True, env=env, timeout=1800,
-    )
-    if out.returncode != 0:
-        raise RuntimeError(f"bench worker {master} failed:\n{out.stderr[-4000:]}")
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    def attempt(extra_env: dict) -> dict:
+        env = {**os.environ, **extra_env}
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", master, input_dir, str(n_rows)],
+            capture_output=True, text=True, env=env, timeout=1800,
+        )
+        if out.returncode != 0:
+            raise RuntimeError(f"bench worker {master} failed:\n{out.stderr[-4000:]}")
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    try:
+        return attempt({})
+    except (subprocess.TimeoutExpired, RuntimeError, json.JSONDecodeError):
+        # one degraded retry (2 samples, tight budget) — a partial
+        # measurement beats a crashed sweep and a parsed-null round
+        return attempt({"SPARK_GRAFT_BENCH_RUNS": "2",
+                        "SPARK_GRAFT_LEVEL_BUDGET": "400"})
 
 
 def scaling_sweep(spark, n_rows: int) -> dict:
@@ -296,12 +315,18 @@ def main() -> None:
         "sf": _sf_of(SF_DIR),
     }
     if not quick:
-        full_sweep = scaling_sweep(spark, BENCH_ROWS)
-        detail = dict(result)
-        detail["throughput"] = full_sweep
-        with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
-            json.dump(detail, f, indent=2)
-        result["throughput"] = _compact_throughput(full_sweep)
+        # the stdout contract survives a failed sweep: emit the query
+        # suite plus an error marker rather than crashing with no JSON
+        try:
+            full_sweep = scaling_sweep(spark, BENCH_ROWS)
+        except Exception as e:  # noqa: BLE001 — any sweep failure
+            result["throughput"] = {"error": str(e)[:160]}
+        else:
+            detail = dict(result)
+            detail["throughput"] = full_sweep
+            with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+                json.dump(detail, f, indent=2)
+            result["throughput"] = _compact_throughput(full_sweep)
     # Contract: the FINAL stdout line is ONE compact JSON object small
     # enough for the driver's tail capture (run arrays + prose notes live
     # in BENCH_DETAIL.json, written above).
