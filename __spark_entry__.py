@@ -768,17 +768,39 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_quality(spark, sf_dir):
-    from kaskada_spark.operators.text import quality_features, quality_score
+    """Quality features + composite score in a staged plan: the words()
+    regexp extraction is projected ONCE, every feature derives from that
+    shared array, and the score is arithmetic over the projected feature
+    columns (HOF lambdas are not CSE'd, so without the staging the
+    regexp would run ~6x per row)."""
+    from kaskada_spark.operators.text import (
+        quality_features,
+        quality_score,
+        words,
+    )
 
     docs = read_table(spark, sf_dir, "documents")
-    feats = quality_features(F.col("text"))
-    return docs.select(
+    staged = docs.select("doc_id", "text", words(F.col("text")).alias("__w"))
+    feats = quality_features(F.col("text"), w=F.col("__w"))
+    proj = staged.select(
         "doc_id",
         feats["word_cnt"].alias("word_cnt"),
         feats["mean_word_len"].alias("mean_word_len"),
         feats["punct_ratio"].alias("punct_ratio"),
         feats["stopword_ratio"].alias("stopword_ratio"),
-        quality_score(F.col("text")).alias("quality"),
+        feats["digit_ratio"].alias("digit_ratio"),
+    )
+    shared = {
+        k: F.col(k)
+        for k in ("stopword_ratio", "mean_word_len", "punct_ratio", "digit_ratio")
+    }
+    return proj.select(
+        "doc_id",
+        "word_cnt",
+        "mean_word_len",
+        "punct_ratio",
+        "stopword_ratio",
+        quality_score(F.col("doc_id"), feats=shared).alias("quality"),
     )
 
 

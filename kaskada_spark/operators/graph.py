@@ -95,11 +95,60 @@ def _checksum(edges: DataFrame):
     return row["n"], row["h"]
 
 
+def _finish_single_task(edges: DataFrame) -> DataFrame:
+    """Label a SMALL edge set (everything in one task) with vectorized
+    min-label propagation + pointer jumping — O(E) numpy work per pass,
+    O(log n) passes, ONE Spark job.
+
+    This is the standard two-phase trick for iterative graph algorithms
+    (GraphFrames/Pregel do the same): the distributed star rounds shrink
+    the graph, and once the remainder fits a task the tail rounds —
+    each a multi-job round trip — collapse into one executor-side
+    kernel. No driver collect; the data never leaves the executors.
+    """
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        us, vs = [], []
+        for pdf in batches:
+            us.append(pdf["u"].to_numpy(dtype="int64"))
+            vs.append(pdf["v"].to_numpy(dtype="int64"))
+        if not us:
+            return
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        iu, iv = inv[: len(u)], inv[len(u):]
+        label = np.arange(len(nodes), dtype="int64")
+        while True:
+            before = label.copy()
+            m = np.minimum(label[iu], label[iv])
+            np.minimum.at(label, iu, m)
+            np.minimum.at(label, iv, m)
+            label = np.minimum(label, label[label])  # pointer jumping
+            if np.array_equal(label, before):
+                break
+        yield pd.DataFrame({"node": nodes, "cluster_id": nodes[label]})
+
+    return edges.coalesce(1).mapInPandas(kernel, "node long, cluster_id long")
+
+
+#: Below this many edges the remaining graph goes through the one-job
+#: single-task kernel instead of more star rounds. 2M edges ≈ 32 MB of
+#: int64 pairs — comfortably one task; LSH candidate graphs are sparse,
+#: so even web-scale corpora usually drop under this after 1-2 rounds.
+LOCAL_FINISH_EDGES = 2_000_000
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 25,
+    local_finish_edges: int = LOCAL_FINISH_EDGES,
 ) -> DataFrame:
     """Connected components of an undirected pair graph.
 
@@ -118,16 +167,25 @@ def connected_components(
     edges = pairs.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     ).filter(F.col("u").isNotNull() & F.col("v").isNotNull())
-    if not edges.head(1):
-        spark = pairs.sparkSession
-        return spark.createDataFrame([], "node long, cluster_id long")
-
+    # checkpoint FIRST: the upstream pair plan (LSH band join etc.) is
+    # expensive, and a separate head(1)/count probe would evaluate it a
+    # second time — the checksum on the checkpointed blocks answers the
+    # emptiness question for free
     edges = edges.localCheckpoint(eager=True)
     prev = _checksum(edges)
+    if prev[0] == 0:
+        spark = pairs.sparkSession
+        return spark.createDataFrame([], "node long, cluster_id long")
+    if prev[0] <= local_finish_edges:
+        return _finish_single_task(edges)
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         cur = _checksum(nxt)
         edges = nxt
+        if cur[0] <= local_finish_edges:
+            # graph shrank under the single-task bar: the remaining
+            # rounds (multi-job each) collapse into one kernel job
+            return _finish_single_task(edges)
         if cur == prev:
             break
         prev = cur

@@ -84,19 +84,28 @@ def bpe_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0))
 
 
-def quality_features(text: Column) -> dict[str, Column]:
+def quality_features(text: Column, w: Column | None = None) -> dict[str, Column]:
     """Quality-scoring feature set. All ratios are double divisions of
-    integer counts — bitwise reproducible in any engine."""
+    integer counts — bitwise reproducible in any engine.
+
+    ``w`` (optional): a pre-projected ``words(text)`` array column.
+    The words() regexp extraction is the expensive part and lambda
+    bodies are NOT common-subexpression-eliminated, so callers that
+    also compute ``quality_score`` should project the array once and
+    pass it here (Catalyst keeps the intermediate projection: it only
+    collapses projects whose producer expressions are cheap or used
+    once)."""
+    if w is None:
+        w = words(text)
     n_chars = F.length(text).cast("double")
-    wc = word_count(text)
+    wc = F.size(w)
     alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("double")
     digits = F.length(F.regexp_replace(text, "[^0-9]", "")).cast("double")
     punct = F.length(F.regexp_replace(text, "[A-Za-z0-9 \\t\\n]", "")).cast("double")
     upper = F.length(F.regexp_replace(text, "[^A-Z]", "")).cast("double")
-    sw = stopword_hits(text, "en")
-    total_word_chars = F.aggregate(
-        words(text), F.lit(0), lambda acc, w: acc + F.length(w)
-    )
+    vocab = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    sw = F.size(F.filter(w, lambda x: F.array_contains(vocab, x)))
+    total_word_chars = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
     return {
         "n_chars": n_chars.cast("long"),
         "word_cnt": wc.cast("long"),
@@ -111,10 +120,16 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(
+    text: Column, feats: dict[str, Column] | None = None
+) -> Column:
     """Composite [0,1] quality heuristic: reward stopword presence and
-    sane word lengths, penalize punctuation/digit-heavy content."""
-    f = quality_features(text)
+    sane word lengths, penalize punctuation/digit-heavy content.
+
+    Pass ``feats`` (a ``quality_features`` result) to reuse already-
+    projected feature expressions instead of re-deriving the whole set
+    — the score is then pure arithmetic over the shared columns."""
+    f = feats if feats is not None else quality_features(text)
     sw = F.coalesce(f["stopword_ratio"], F.lit(0.0))
     mwl = F.coalesce(f["mean_word_len"], F.lit(0.0))
     punct = F.coalesce(f["punct_ratio"], F.lit(0.0))

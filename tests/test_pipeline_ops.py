@@ -336,6 +336,33 @@ def test_connected_components_chain_and_empty(spark):
     assert connected_components(empty).count() == 0
 
 
+def test_connected_components_star_rounds_path(spark):
+    """Force the distributed large-star/small-star path (the >2M-edge
+    regime) by disabling the single-task finish, and the hybrid
+    switch-over mid-loop with a tiny threshold — all three code paths
+    must agree with the union-find oracle."""
+    import random
+
+    from kaskada_spark.operators.graph import connected_components
+
+    rng = random.Random(13)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(50)]
+    # chain appended: guarantees multi-round star convergence
+    edges += [(100 + i, 101 + i) for i in range(10)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = _uf_components(200, edges)
+    for thresh in (0, 30):  # 0 = pure stars; 30 = hybrid switch mid-loop
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(df, local_finish_edges=thresh).collect()
+        }
+        touched = {a for a, b in edges if a != b} | {b for a, b in edges if a != b}
+        assert set(got) == touched, f"thresh {thresh}: node set"
+        for v in touched:
+            assert got[v] == want[v], f"thresh {thresh}: node {v}"
+
+
 def test_near_dup_clusters(docs):
     from kaskada_spark.operators.dedup import near_dup_clusters
 
