@@ -1034,6 +1034,34 @@ def q_tokens_windowed(spark, sf_dir):
     return out
 
 
+def q_token_histogram(spark, sf_dir):
+    """Top-50 token ids by corpus frequency: explode -> map-side partial
+    count -> per-partition top-k heap merge (TakeOrderedAndProject) —
+    shuffle volume bounded by |vocab| x partitions at any corpus size."""
+    from kaskada_spark.operators.training import token_histogram
+
+    return token_histogram(tokenize_documents(spark, sf_dir), k=50)
+
+
+def q_seq_len_stats(spark, sf_dir):
+    """Per-source sequence-length distribution with an EXACT median
+    derived from grouped length counts (no per-group value buffer —
+    Spark's exact percentile agg would OOM at 10^12 sequences)."""
+    from kaskada_spark.operators.training import seq_length_stats
+
+    return seq_length_stats(tokenize_documents(spark, sf_dir))
+
+
+def q_source_mix(spark, sf_dir):
+    """Alpha-0.7 training-mix sampling weights per source (share^alpha
+    renormalized — upsamples small sources): one per-source aggregate +
+    broadcast corpus total; round(6) keeps the transcendental pow
+    cross-engine stable."""
+    from kaskada_spark.operators.training import source_mixture_weights
+
+    return source_mixture_weights(tokenize_documents(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "running_sum": q_running_sum,
@@ -1074,6 +1102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_align": q_merge_align,
         "tokens_table": q_tokens_table,
         "tokens_windowed": q_tokens_windowed,
+        "token_histogram": q_token_histogram,
+        "seq_len_stats": q_seq_len_stats,
+        "source_mix": q_source_mix,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
@@ -1590,6 +1621,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(list_aggregate(list_transform(tokens, t -> CAST(t AS BIGINT)), 'sum')) AS BIGINT) AS tok_checksum
             FROM tokens_tbl
             GROUP BY 1, 2
+        """,
+        "token_histogram": f"""
+            WITH {TOKENS_ORACLE_CTE.strip()}
+            SELECT token, COUNT(*) AS cnt
+            FROM (SELECT unnest(tokens) AS token FROM tokens_tbl)
+            GROUP BY token
+            ORDER BY cnt DESC, token ASC
+            LIMIT 50
+        """,
+        "seq_len_stats": f"""
+            WITH {TOKENS_ORACLE_CTE.strip()}
+            SELECT source,
+                   COUNT(*) AS n_seq,
+                   CAST(SUM(len(tokens)) AS BIGINT) AS total_tokens,
+                   MIN(len(tokens)) AS min_len,
+                   MAX(len(tokens)) AS max_len,
+                   CAST(SUM(len(tokens)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_len,
+                   CAST(median(len(tokens)) AS DOUBLE) AS median_len
+            FROM tokens_tbl
+            GROUP BY source
+        """,
+        "source_mix": f"""
+            WITH {TOKENS_ORACLE_CTE.strip()},
+            per AS (
+              SELECT source, CAST(SUM(len(tokens)) AS BIGINT) AS src_tokens
+              FROM tokens_tbl GROUP BY source
+            ),
+            tot AS (SELECT CAST(SUM(src_tokens) AS DOUBLE) AS all_tok FROM per)
+            SELECT source, src_tokens,
+                   ROUND(CAST(src_tokens AS DOUBLE) / all_tok, 6) AS natural_share,
+                   ROUND(POW(CAST(src_tokens AS DOUBLE) / all_tok, 0.7)
+                         / SUM(POW(CAST(src_tokens AS DOUBLE) / all_tok, 0.7)) OVER (),
+                         6) AS sample_weight
+            FROM per, tot
         """,
         **_pipeline_oracles(),
     }

@@ -179,3 +179,117 @@ def pack_sequences_stream(
         .withColumn("pack_offset", F.col("tokens_before") % budget)
         .drop("__cum_tok", "_key")
     )
+
+
+def token_histogram(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    k: int = 50,
+) -> DataFrame:
+    """Top-k most frequent token ids across the corpus.
+
+    explode → hash-agg count → TakeOrderedAndProject. The explode is a
+    generator (no materialized blow-up) and the count's partial
+    aggregation runs map-side, so the shuffle carries at most
+    |vocab| rows per partition regardless of corpus size; the top-k is
+    Spark's per-partition heap + driver merge of k rows, never a full
+    sort. Deterministic tie-break: count desc, token asc.
+    """
+    return (
+        df.select(F.explode(tokens_col).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def seq_length_stats(
+    df: DataFrame,
+    group_col: str = "source",
+    n_tok_col: str = "n_tok",
+) -> DataFrame:
+    """Per-source sequence-length distribution: count, token total,
+    min/max/mean, and the EXACT median — computed from grouped length
+    counts, not a per-group value buffer.
+
+    Spark's exact `percentile` aggregate buffers every value of a group
+    in memory — a non-starter at 10^12 sequences. Lengths, however,
+    live in a tiny integer domain, so the median comes from the
+    (source, n_tok) count table: cumulative counts locate the two
+    middle ranks, decomposable end to end. Two keyed shuffles total,
+    both on small per-(source, length) frames.
+    """
+    cnts = df.groupBy(group_col, n_tok_col).agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.sum(F.col(n_tok_col).cast("long")).alias("__tok"),
+    )
+    w_cum = W.partitionBy(group_col).orderBy(n_tok_col).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy(group_col).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = (
+        cnts.withColumn("__cum", F.sum("__c").over(w_cum))
+        .withColumn("__n", F.sum("__c").over(w_all))
+    )
+    # middle ranks: x_{(n+1)/2} for odd n, avg of x_{n/2}, x_{n/2+1} for even
+    lo_rank = F.floor((F.col("__n") + 1) / 2)
+    hi_rank = F.ceil((F.col("__n") + 1) / 2)
+    val = F.col(n_tok_col).cast("double")
+    return cum.groupBy(group_col).agg(
+        F.max("__n").alias("n_seq"),
+        F.sum("__tok").alias("total_tokens"),
+        F.min(n_tok_col).alias("min_len"),
+        F.max(n_tok_col).alias("max_len"),
+        (F.sum("__tok").cast("double") / F.max("__n").cast("double")).alias(
+            "mean_len"
+        ),
+        (
+            (
+                F.min(F.when(F.col("__cum") >= lo_rank, val))
+                + F.min(F.when(F.col("__cum") >= hi_rank, val))
+            )
+            / F.lit(2.0)
+        ).alias("median_len"),
+    )
+
+
+def source_mixture_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    n_tok_col: str = "n_tok",
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Exponential-smoothing sampling weights for the training mix.
+
+    Natural share = source tokens / corpus tokens; the sampling weight
+    re-normalizes share^alpha with alpha in (0, 1] — the standard
+    multi-source LM mixing rule (alpha < 1 upsamples small sources;
+    alpha = 1 is natural sampling). One per-source aggregate plus a
+    broadcast single-row join for the corpus totals — no full-data
+    second pass. The final normalizing window runs over the per-source
+    frame (at most a few thousand rows at any corpus size), so its
+    single partition is fine.
+    """
+    per = df.groupBy(group_col).agg(
+        F.sum(F.col(n_tok_col).cast("long")).alias("src_tokens")
+    )
+    total = per.agg(F.sum("src_tokens").alias("__all"))
+    share = F.col("src_tokens").cast("double") / F.col("__all").cast("double")
+    powed = F.pow(share, F.lit(alpha))
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        per.crossJoin(F.broadcast(total))
+        .withColumn("__share", share)
+        .withColumn("__pow", powed)
+        .select(
+            group_col,
+            "src_tokens",
+            F.round("__share", 6).alias("natural_share"),
+            F.round(F.col("__pow") / F.sum("__pow").over(w_all), 6).alias(
+                "sample_weight"
+            ),
+        )
+    )

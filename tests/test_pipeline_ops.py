@@ -549,3 +549,62 @@ def test_pack_sequences_boundaries_and_segmented_equality(spark):
             assert r["pack_id"] == cum // 64
             assert r["pack_offset"] == cum % 64
             cum += r["n_tok"]
+
+
+def test_token_histogram(spark):
+    from kaskada_spark.operators.training import token_histogram
+
+    df = spark.createDataFrame(
+        [([1, 2, 2, 3],), ([2, 3, 3],), ([9],)], "tokens array<int>"
+    )
+    got = [(r["token"], r["cnt"]) for r in token_histogram(df, k=3).collect()]
+    # counts: 2->3, 3->3, 1->1, 9->1; ties break token-ascending
+    assert got == [(2, 3), (3, 3), (1, 1)]
+
+
+def test_seq_length_stats_median_odd_even(spark):
+    from kaskada_spark.operators.training import seq_length_stats
+
+    rows = [("a", n) for n in (1, 3, 7)] + [("b", n) for n in (2, 4, 10, 100)]
+    df = spark.createDataFrame(rows, "source string, n_tok int")
+    got = {r["source"]: r.asDict() for r in seq_length_stats(df).collect()}
+    assert got["a"]["median_len"] == 3.0            # odd count: middle value
+    assert got["b"]["median_len"] == 7.0            # even: (4+10)/2
+    assert got["a"]["n_seq"] == 3 and got["b"]["n_seq"] == 4
+    assert got["b"]["total_tokens"] == 116
+    assert got["b"]["min_len"] == 2 and got["b"]["max_len"] == 100
+    assert got["a"]["mean_len"] == (1 + 3 + 7) / 3.0
+
+
+def test_seq_length_stats_duplicate_lengths(spark):
+    from kaskada_spark.operators.training import seq_length_stats
+
+    # duplicated length values: the grouped-count median must still
+    # locate the correct middle ranks within a single length bucket
+    df = spark.createDataFrame(
+        [("s", n) for n in (5, 5, 5, 9)], "source string, n_tok int"
+    )
+    (row,) = seq_length_stats(df).collect()
+    assert row["median_len"] == 5.0                 # ranks 2,3 both in the 5-bucket
+
+
+def test_source_mixture_weights(spark):
+    import math
+
+    from kaskada_spark.operators.training import source_mixture_weights
+
+    df = spark.createDataFrame(
+        [("big", 900), ("small", 100)], "source string, n_tok int"
+    )
+    got = {r["source"]: r.asDict() for r in source_mixture_weights(df).collect()}
+    assert got["big"]["natural_share"] == 0.9
+    assert got["small"]["natural_share"] == 0.1
+    pb, ps = 0.9 ** 0.7, 0.1 ** 0.7
+    assert got["big"]["sample_weight"] == round(pb / (pb + ps), 6)
+    assert got["small"]["sample_weight"] == round(ps / (pb + ps), 6)
+    # alpha < 1 upsamples the small source above its natural share
+    assert got["small"]["sample_weight"] > 0.1
+    assert math.isclose(
+        got["big"]["sample_weight"] + got["small"]["sample_weight"], 1.0,
+        abs_tol=2e-6,
+    )
