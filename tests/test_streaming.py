@@ -1904,3 +1904,85 @@ def test_stream_pack_sequences_equals_batch(spark, sf_dir, tmp_path):
     assert len(got) == len(exp)
     for did, e in exp.items():
         assert got[did] == e, f"doc {did}: want {e}, got {got[did]}"
+
+
+def test_streaming_exact_dedup_equivalence(spark, tmp_path):
+    """First-arrival streaming dedup keeps exactly the min-time row of
+    every content group that batch exact_dedup reports, including a
+    duplicate whose copy arrives in a LATER micro-batch."""
+    import datetime as dt
+
+    from kaskada_spark.operators.dedup import exact_dedup
+    from kaskada_spark.streaming.dedup import exact_dedup_stream
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, "alpha content", t0),
+        (2, "beta content", t0 + dt.timedelta(minutes=1)),
+        (3, "alpha content", t0 + dt.timedelta(minutes=2)),   # dup of 1
+        (4, "gamma content", t0 + dt.timedelta(minutes=3)),
+        (5, "beta content", t0 + dt.timedelta(minutes=90)),   # dup, later file
+        (6, "delta content", t0 + dt.timedelta(minutes=91)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, _time timestamp")
+
+    reps = {
+        r["rep_id"] for r in exact_dedup(df, "doc_id", "text").collect()
+    }  # batch representatives = min doc_id = min time here
+
+    in_dir = _write_time_split(df, ["_time"], str(tmp_path / "in"), 3)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = exact_dedup_stream(stream, text_col="text", watermark="3 hours")
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="_time")
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sink.read_output(spark)
+    # all input columns survive + the hash; the sink adds batch lineage
+    assert {"doc_id", "text", "_time", "content_hash"} <= set(got.columns)
+    assert {r["doc_id"] for r in got.collect()} == reps == {1, 2, 4, 6}
+
+
+def test_streaming_exact_dedup_horizon_expiry(spark, tmp_path):
+    """State expires with the watermark: a copy arriving AFTER the
+    dedup horizon is treated as new content (bounded state is the
+    point — an unbounded horizon would hold every hash ever seen)."""
+    import datetime as dt
+
+    from kaskada_spark.streaming.dedup import exact_dedup_stream
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, "alpha", t0),
+        (2, "filler-a", t0 + dt.timedelta(minutes=30)),
+        (3, "filler-b", t0 + dt.timedelta(minutes=70)),
+        (4, "alpha", t0 + dt.timedelta(minutes=75)),  # beyond 10-min horizon
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, _time timestamp")
+    in_dir = _write_time_split(df, ["_time"], str(tmp_path / "in"), 4)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = exact_dedup_stream(stream, text_col="text", watermark="10 minutes")
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="_time")
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ids = {r["doc_id"] for r in sink.read_output(spark).collect()}
+    assert ids == {1, 2, 3, 4}  # the late alpha copy re-emits after expiry
