@@ -178,8 +178,12 @@ def q_sliding_cond(spark, sf_dir):
 
 def q_sliding_minmax(spark, sf_dir):
     tl = _events(spark, sf_dir)
-    tl = tl.min("value", window=Sliding(2, F.col("event_type") == "purchase"), alias="min_win2")
-    tl = tl.max("value", window=Sliding(2, F.col("event_type") == "purchase"), alias="max_win2")
+    # fused lowering: both aggregates share one window-id pass, closed
+    # groupBy, combine, and join — two shuffles total, not per-agg
+    tl = tl.sliding_aggs(
+        [("min", "value", "min_win2"), ("max", "value", "max_win2")],
+        Sliding(2, F.col("event_type") == "purchase"),
+    )
     return tl.df.select("event_id", "user_id", "min_win2", "max_win2")
 
 
@@ -214,11 +218,13 @@ def q_sliding_daily_tick(spark, sf_dir):
     # exchanges observed); at warehouse scale the prepared+ticked table
     # is materialized once, persist() is the local stand-in
     tl = Timeline(tl.df.persist())
-    tl = tl.count("value", window=Sliding(2, F.col(TICK_COL)), alias="cnt2")
-    tl = tl.sum(
-        F.floor(F.col("value")).cast("long"),
-        window=Sliding(2, F.col(TICK_COL)),
-        alias="__s2",
+    # fused: count + sum share the two-shuffle sliding lowering
+    tl = tl.sliding_aggs(
+        [
+            ("count", "value", "cnt2"),
+            ("sum", F.floor(F.col("value")).cast("long"), "__s2"),
+        ],
+        Sliding(2, F.col(TICK_COL)),
     )
     return tl.df.filter(F.col(TICK_COL)).select(
         F.col(KEY).alias("user_id"),

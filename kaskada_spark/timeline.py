@@ -318,7 +318,14 @@ class Timeline:
         return Timeline(out)
 
     def _sliding_agg(self, op: str, col: Column, window: Sliding, alias: str) -> "Timeline":
-        """sliding(n, cond): last n condition-demarcated windows.
+        """sliding(n, cond): last n condition-demarcated windows — the
+        single-aggregate form of :meth:`_sliding_agg_multi`."""
+        return self._sliding_agg_multi([(op, col, alias)], window)
+
+    def _sliding_agg_multi(
+        self, specs: list[tuple[str, Column, str]], window: Sliding
+    ) -> "Timeline":
+        """sliding(n, cond) for one OR MANY aggregates in one pass.
 
         The reference uses the two-stacks amortized algorithm inside its
         accumulator (two_stacks.rs). The scalable batch lowering here
@@ -327,7 +334,10 @@ class Timeline:
         n-1 closed windows + the running value inside the current
         (partial) window, joined back co-partitioned on the entity key.
         All aggregations used are decomposable, so this holds at any
-        scale with exactly two shuffles (both on _key).
+        scale with exactly two shuffles (both on _key) — and every
+        aggregate sharing the window condition rides the SAME window-id
+        pass, closed groupBy, combine frame, and join, so adding an
+        aggregate adds columns, never exchanges.
         """
         n = window.n
         df, _, _ = self._window_id(window.condition)
@@ -336,15 +346,21 @@ class Timeline:
             .orderBy(F.col(TIME), F.col(SUBSORT))
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
-        comps = _components(op)
+        per_spec = [(op, col, alias, _components(op)) for op, col, alias in specs]
         # running components within the current window
-        for name, (cop, cexpr) in comps.items():
-            df = df.withColumn(f"__cur_{name}", _agg_over(cop, cexpr(col), cur_frame))
+        for op, col, alias, comps in per_spec:
+            for name, (cop, cexpr) in comps.items():
+                df = df.withColumn(
+                    f"__cur_{alias}_{name}", _agg_over(cop, cexpr(col), cur_frame)
+                )
         order = F.struct(F.col(TIME), F.col(SUBSORT))
         # closed value per window = running value at the window's last row
         closed = df.groupBy(KEY, _WID).agg(
             *[
-                F.max_by(F.col(f"__cur_{name}"), order).alias(f"__win_{name}")
+                F.max_by(F.col(f"__cur_{alias}_{name}"), order).alias(
+                    f"__win_{alias}_{name}"
+                )
+                for _, _, alias, comps in per_spec
                 for name in comps
             ],
             F.max(F.col(_BUCKET_IDX)).alias(_BUCKET_IDX),
@@ -352,27 +368,50 @@ class Timeline:
         combine_frame = (
             W.partitionBy(KEY).orderBy(F.col(_BUCKET_IDX)).rangeBetween(-(n - 1), -1)
         )
-        for name, (cop, _) in comps.items():
-            closed = closed.withColumn(
-                f"__prev_{name}",
-                _combine_over(cop, F.col(f"__win_{name}"), combine_frame),
-            )
+        for op, col, alias, comps in per_spec:
+            for name, (cop, _) in comps.items():
+                closed = closed.withColumn(
+                    f"__prev_{alias}_{name}",
+                    _combine_over(cop, F.col(f"__win_{alias}_{name}"), combine_frame),
+                )
         closed = closed.select(
-            KEY, _WID, *[F.col(f"__prev_{name}") for name in comps]
+            KEY,
+            _WID,
+            *[
+                F.col(f"__prev_{alias}_{name}")
+                for _, _, alias, comps in per_spec
+                for name in comps
+            ],
         )
         joined = df.join(closed, on=[KEY, _WID], how="left")
-        out_col = _merge_components(
-            op,
-            {name: F.col(f"__prev_{name}") for name in comps},
-            {name: F.col(f"__cur_{name}") for name in comps},
-        )
-        out = joined.withColumn(alias, out_col)
-        drop = (
-            [_WID, _BUCKET_IDX]
-            + [f"__cur_{name}" for name in comps]
-            + [f"__prev_{name}" for name in comps]
-        )
-        return Timeline(out.drop(*drop))
+        for op, col, alias, comps in per_spec:
+            out_col = _merge_components(
+                op,
+                {name: F.col(f"__prev_{alias}_{name}") for name in comps},
+                {name: F.col(f"__cur_{alias}_{name}") for name in comps},
+            )
+            joined = joined.withColumn(alias, out_col)
+        drop = [_WID, _BUCKET_IDX] + [
+            f"__{kind}_{alias}_{name}"
+            for _, _, alias, comps in per_spec
+            for name in comps
+            for kind in ("cur", "prev")
+        ]
+        return Timeline(joined.drop(*drop))
+
+    def sliding_aggs(
+        self,
+        specs: Sequence[tuple[str, "str | Column", str]],
+        window: Sliding,
+    ) -> "Timeline":
+        """Fused multi-aggregate sliding window: ``specs`` is a list of
+        (op, col, alias). All aggregates share one lowering — two
+        shuffles total regardless of how many aggregates ride along."""
+        norm = [
+            (op, F.col(c) if isinstance(c, str) else c, alias)
+            for op, c, alias in specs
+        ]
+        return self._sliding_agg_multi(norm, window)
 
     # ------------------------------------------------------------------
     # temporal operators delegated to operators/ modules

@@ -121,3 +121,29 @@ def test_sliding_sum_matches_bruteforce(rows, n):
             assert g is None, (seq, g)
         else:
             assert g == pytest.approx(e_val), seq
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(ROW, min_size=1, max_size=20), st.integers(1, 3))
+def test_sliding_aggs_fused_equals_sequential(rows, n):
+    """The fused multi-aggregate sliding lowering returns exactly what
+    sequential single-agg calls return for every op, on the same data."""
+    pdf = _frame(rows)
+    tl = Timeline.from_events(
+        _SPARK.createDataFrame(pdf), time_col="t", key_col="e", subsort_col="seq"
+    )
+    win = Sliding(n, F.col("fire"))
+    fused = tl.sliding_aggs(
+        [("sum", "v", "s"), ("count", "v", "c"), ("min", "v", "lo"),
+         ("mean", "v", "m")],
+        win,
+    ).df.collect()
+    seq_tl = (
+        tl.sum("v", window=win, alias="s")
+        .count("v", window=win, alias="c")
+        .min("v", window=win, alias="lo")
+        .mean("v", window=win, alias="m")
+    ).df.collect()
+    got = {r["seq"]: (r["s"], r["c"], r["lo"], r["m"]) for r in fused}
+    exp = {r["seq"]: (r["s"], r["c"], r["lo"], r["m"]) for r in seq_tl}
+    assert got == exp
