@@ -105,6 +105,61 @@ def _mentions_finished(n: A.Node) -> bool:
     return False
 
 
+def _contains_input_ref(n: A.Node) -> bool:
+    """True when the node reads $input — a nested Pipe's RHS binds its
+    own $input, so only its LHS is walked (compiler _depends_on_input
+    convention)."""
+    from kaskada_spark.fenl.compiler import _child_nodes
+
+    if isinstance(n, A.Ref):
+        return n.name == "$input"
+    if isinstance(n, A.Pipe):
+        return _contains_input_ref(n.lhs)
+    return any(_contains_input_ref(c) for c in _child_nodes(n))
+
+
+def _pipe_to_calls(n: A.Node) -> A.Node:
+    """Desugar `x | f(...)` into call form for the materialize agg
+    surface: an explicit $input in the rhs is substituted with the
+    piped lhs, otherwise the lhs fills the call's first (input)
+    argument — the Fenl implicit-$input rule. Recurses through the
+    whole expression so chained pipes (`Input.v | sum() | mean()`)
+    become nested aggregation calls."""
+    import dataclasses
+
+    if isinstance(n, A.Pipe):
+        lhs = _pipe_to_calls(n.lhs)
+        if isinstance(n.rhs, A.Pipe):
+            # the parser nests pipes right-associatively:
+            # x | (f | g) ≡ (x | f) | g — reassociate left, then desugar
+            return _pipe_to_calls(A.Pipe(A.Pipe(lhs, n.rhs.lhs), n.rhs.rhs))
+        rhs = _pipe_to_calls(n.rhs)
+        if not isinstance(rhs, A.Call):
+            return A.Pipe(lhs, rhs)
+        if _contains_input_ref(rhs):
+            return _subst_input(rhs, lhs)
+        return A.Call(rhs.func, (lhs,) + tuple(rhs.args), rhs.kwargs)
+    if not dataclasses.is_dataclass(n):
+        return n
+    changes = {}
+    for f in n.__dataclass_fields__:
+        v = getattr(n, f)
+        if isinstance(v, A.Node):
+            nv = _pipe_to_calls(v)
+        elif isinstance(v, tuple):
+            nv = tuple(
+                (e[0], _pipe_to_calls(e[1]))
+                if isinstance(e, tuple) and len(e) == 2 and isinstance(e[1], A.Node)
+                else (_pipe_to_calls(e) if isinstance(e, A.Node) else e)
+                for e in v
+            )
+        else:
+            nv = v
+        if nv is not v:
+            changes[f] = nv
+    return dataclasses.replace(n, **changes) if changes else n
+
+
 def _subst_input(n: A.Node, repl: A.Node) -> A.Node:
     """Replace ``$input`` references with ``repl`` throughout the AST."""
     import dataclasses
@@ -270,7 +325,44 @@ def _single_stage(
         v = scalar_value(sub, what)
         return _masked(v.col, v.mask)
 
+    def lower_input_col(input_node: A.Node, name: str, fname: str, depth: int = 0) -> str:
+        """Project the aggregation input as a column — and when the
+        input is ITSELF an aggregation call (the reference's chained
+        aggregations, `Input.v | sum() | mean()`), lower it to a hidden
+        spec first: the state machine consumes an earlier spec's
+        per-row output by alias (chained AggSpec)."""
+        nonlocal df
+        if isinstance(input_node, A.Call) and input_node.func in _AGGREGATIONS:
+            iargs = list(input_node.args)
+            ikw = dict(input_node.kwargs)
+            inner_in = iargs[0] if iargs else ikw.pop("input", A.Ref(table_name))
+            inner_win = iargs[1] if len(iargs) > 1 else ikw.pop("window", None)
+            if inner_win is not None and not (
+                isinstance(inner_win, A.Literal) and inner_win.value is None
+            ):
+                raise FenlCompileError(
+                    "a windowed INNER aggregation in a chained aggregation "
+                    "is not supported in materialize_fenl (window the "
+                    "outermost aggregation instead)"
+                )
+            src = lower_input_col(inner_in, name, input_node.func, depth + 1)
+            alias = f"__mat_nest_{name}_{depth}"
+            specs.append(AggSpec(input_node.func, src, alias))
+            return alias
+        in_col = f"__mat_in_{name}" if depth == 0 else f"__mat_in_{name}_{depth}"
+        cv = scalar_value(input_node, f"{fname}() input")
+        col = _masked(cv.col, cv.mask)
+        if cv.fields is not None:
+            # whole-record input (e.g. count(Input)): the aggregation sees
+            # a presence marker, matching the batch non-null-record rule
+            from pyspark.sql import functions as F
+
+            col = F.when(col.isNotNull(), F.lit(1.0))
+        df = df.withColumn(in_col, col)
+        return in_col
+
     for name, sub in fields:
+        sub = _pipe_to_calls(sub)
         if not (isinstance(sub, A.Call) and sub.func in _AGGREGATIONS):
             raise FenlCompileError(
                 f"materialize_fenl field {name!r} must be an aggregation call "
@@ -281,16 +373,7 @@ def _single_stage(
         input_node = args[0] if args else kw.pop("input", A.Ref(table_name))
         window_node = args[1] if len(args) > 1 else kw.pop("window", None)
 
-        in_col = f"__mat_in_{name}"
-        cv = scalar_value(input_node, f"{sub.func}() input")
-        col = _masked(cv.col, cv.mask)
-        if cv.fields is not None:
-            # whole-record input (e.g. count(Input)): the aggregation sees
-            # a presence marker, matching the batch non-null-record rule
-            from pyspark.sql import functions as F
-
-            col = F.when(col.isNotNull(), F.lit(1.0))
-        df = df.withColumn(in_col, col)
+        in_col = lower_input_col(input_node, name, sub.func)
 
         since = None
         n = None
@@ -334,6 +417,14 @@ def _single_stage(
         # tick boundaries demanded by an outer when(<tick>()) condition
         # even though no field is tick-windowed
         tick_unit = force_tick_unit
+    alias_set = {s.alias for s in specs}
+    if tick_unit is not None and any(s.col in alias_set for s in specs):
+        raise FenlCompileError(
+            "chained aggregations combined with calendar-tick windows are "
+            "not supported in materialize_fenl (the tick machine does not "
+            "consume chained specs yet) — stage them with "
+            "materialize_fenl_pipeline"
+        )
     if tick_unit is not None:
         from kaskada_spark.streaming.ticks import tick_running_agg_stream
         from kaskada_spark.windows import Tick

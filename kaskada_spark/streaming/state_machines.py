@@ -120,6 +120,34 @@ def _value_kind(input_schema: T.StructType, spec: AggSpec) -> str:
     return kind
 
 
+def _resolve_kinds(
+    input_schema: T.StructType, specs: list[AggSpec]
+) -> dict[str, str]:
+    """Per-spec value kinds, chain-aware: a spec whose ``col`` names an
+    EARLIER spec's alias consumes that aggregate's per-row output (the
+    reference allows aggregation chains like `Input.v | sum() | mean()`;
+    its accumulators are value-generic). count/count_if over any chain
+    stay numeric; typed latch ops inherit the inner kind."""
+    kinds: dict[str, str] = {}
+    by_alias: dict[str, AggSpec] = {}
+    for s in specs:
+        if s.col in by_alias:
+            ik = kinds[by_alias[s.col].alias]
+            if s.op in ("count", "count_if") or ik == "num":
+                kinds[s.alias] = "num"
+            elif s.op in _TYPED_OPS and not s.is_sliding:
+                kinds[s.alias] = ik
+            else:
+                raise ValueError(
+                    f"chained streaming {s.op!r} over a {ik}-typed "
+                    f"aggregate output is not supported"
+                )
+        else:
+            kinds[s.alias] = _value_kind(input_schema, s)
+        by_alias[s.alias] = s
+    return kinds
+
+
 def _typed_dt(kind: str) -> T.DataType:
     return {
         "num": T.DoubleType(),
@@ -231,7 +259,7 @@ def running_agg_stream(
     if watermark:
         tdf = tdf.withWatermark(TIME, watermark)
     tdf, specs, rec_restore = _lower_record_specs(tdf, specs)
-    kinds = {s.alias: _value_kind(tdf.schema, s) for s in specs}
+    kinds = _resolve_kinds(tdf.schema, specs)
     out_schema = _output_schema(tdf.schema, specs, kinds)
     state_schema = _state_schema(specs, kinds)
     func = _make_update_fn(specs, [f.name for f in tdf.schema.fields], kinds)
@@ -303,16 +331,29 @@ def _make_update_fn(specs: list[AggSpec], input_cols: list[str], kinds: dict[str
             st["max_subsort"] = int(pdf[SUBSORT].iloc[-1])
 
             out = pdf.copy()
+            newness: dict[str, pd.Series] = {}
             for s in specs:
+                if s.col in newness:
+                    # chained aggregation: consume the EARLIER spec's
+                    # per-row output, only at rows where it UPDATED
+                    # (batch newness semantics — a latched repeat is
+                    # not a new input to the outer aggregate)
+                    base = out[s.col].where(newness[s.col])
+                else:
+                    base = pdf[s.col]
+                # the outer aggregate updates where a non-null new
+                # input arrived (null agg outputs — e.g. variance at
+                # n=1 — are skipped, matching NaN-skipping batch aggs)
+                newness[s.alias] = base.notna()
                 if s.op == "count":
                     # count only needs null-ness — a 1.0/NaN indicator
                     # works for ANY input type (strings would otherwise
                     # coerce to NaN and undercount)
-                    vals = pd.Series(1.0, index=pdf.index).where(pdf[s.col].notna())
+                    vals = pd.Series(1.0, index=pdf.index).where(base.notna())
                 elif kinds[s.alias] == "num":
-                    vals = pd.to_numeric(pdf[s.col], errors="coerce")
+                    vals = pd.to_numeric(base, errors="coerce")
                 else:
-                    vals = pdf[s.col].astype(object).where(pdf[s.col].notna(), None)
+                    vals = base.astype(object).where(base.notna(), None)
                 if s.op == "count_if":
                     # count_if = count over true-only values: mask falsy
                     # rows to null so the shared count path counts trues

@@ -1986,3 +1986,58 @@ def test_streaming_exact_dedup_horizon_expiry(spark, tmp_path):
     q.awaitTermination()
     ids = {r["doc_id"] for r in sink.read_output(spark).collect()}
     assert ids == {1, 2, 3, 4}  # the late alpha copy re-emits after expiry
+
+
+def test_materialize_fenl_chained_aggs_equal_batch(spark, events_tl, tmp_path):
+    """Chained aggregations (the reference's aggregation-of-aggregation,
+    e.g. `Input.v | sum() | mean()`) lower onto chained AggSpecs — the
+    outer spec consumes the inner spec's per-row output where it
+    updates — and match batch compile_fenl row-for-row, including an
+    outer since() window over an inner running aggregate."""
+    from kaskada_spark.fenl import fenl
+    from kaskada_spark.fenl.materialize import materialize_fenl
+
+    q = """
+    {
+      m_of_sum: Input.value | sum() | mean(),
+      last_of_mean: last(mean(Input.value)),
+      n_of_sum: count(sum(Input.value),
+                      window = since(Input.event_type == 'purchase'))
+    }
+    """
+    in_dir = _write_time_split(
+        events_tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 3
+    )
+    stream = (
+        spark.readStream.schema(events_tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = materialize_fenl(q, stream)
+    assert not any(c.startswith("__mat_") for c in out.columns)
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="_time")
+    sq = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+
+    batch = fenl(q, {"Input": events_tl})
+    cols = ("m_of_sum", "last_of_mean", "n_of_sum")
+    exp = {r["_subsort"]: tuple(r[c] for c in cols) for r in batch.collect()}
+    got = {
+        r["_subsort"]: tuple(r[c] for c in cols)
+        for r in sink.read_output(spark).collect()
+    }
+    assert len(got) == len(exp)
+    for sid, e in exp.items():
+        g = got[sid]
+        assert g[2] == e[2], f"n_of_sum at {sid}: want {e[2]}, got {g[2]}"
+        for i in (0, 1):
+            if e[i] is None:
+                assert g[i] is None or g[i] != g[i], f"col {i} at {sid}"
+            else:
+                assert g[i] == pytest.approx(e[i], rel=1e-12), f"col {i} at {sid}"
