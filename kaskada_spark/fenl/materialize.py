@@ -417,14 +417,6 @@ def _single_stage(
         # tick boundaries demanded by an outer when(<tick>()) condition
         # even though no field is tick-windowed
         tick_unit = force_tick_unit
-    alias_set = {s.alias for s in specs}
-    if tick_unit is not None and any(s.col in alias_set for s in specs):
-        raise FenlCompileError(
-            "chained aggregations combined with calendar-tick windows are "
-            "not supported in materialize_fenl (the tick machine does not "
-            "consume chained specs yet) — stage them with "
-            "materialize_fenl_pipeline"
-        )
     if tick_unit is not None:
         from kaskada_spark.streaming.ticks import tick_running_agg_stream
         from kaskada_spark.windows import Tick

@@ -331,20 +331,21 @@ def _make_update_fn(specs: list[AggSpec], input_cols: list[str], kinds: dict[str
             st["max_subsort"] = int(pdf[SUBSORT].iloc[-1])
 
             out = pdf.copy()
-            newness: dict[str, pd.Series] = {}
+            done_aliases: set[str] = set()
             for s in specs:
-                if s.col in newness:
+                if s.col in done_aliases:
                     # chained aggregation: consume the EARLIER spec's
-                    # per-row output, only at rows where it UPDATED
-                    # (batch newness semantics — a latched repeat is
-                    # not a new input to the outer aggregate)
-                    base = out[s.col].where(newness[s.col])
+                    # per-row LATCHED output at every row — the
+                    # reference re-consumes the held value even where
+                    # the inner input was null (aggregation_tests.rs
+                    # test_nested_sum_i64: running sums 5,22,22,34,34
+                    # nest to 5,27,49,83,117 — the latched 22/34 count
+                    # again), matching the batch compiler's
+                    # domain-masked (not newness-masked) agg input
+                    base = out[s.col]
                 else:
                     base = pdf[s.col]
-                # the outer aggregate updates where a non-null new
-                # input arrived (null agg outputs — e.g. variance at
-                # n=1 — are skipped, matching NaN-skipping batch aggs)
-                newness[s.alias] = base.notna()
+                done_aliases.add(s.alias)
                 if s.op == "count":
                     # count only needs null-ness — a 1.0/NaN indicator
                     # works for ANY input type (strings would otherwise

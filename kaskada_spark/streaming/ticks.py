@@ -385,8 +385,8 @@ def tick_running_agg_stream(
         _apply_lag,
         _apply_sliding,
         _output_schema,
+        _resolve_kinds,
         _state_schema,
-        _value_kind,
     )
 
     tick_aliases = set(tick_aliases if tick_aliases is not None else
@@ -399,7 +399,7 @@ def tick_running_agg_stream(
             )
     cal = _Cal(tick.unit)
     tdf = tdf.withWatermark(TIME, watermark)
-    kinds = {s.alias: _value_kind(tdf.schema, s) for s in specs}
+    kinds = _resolve_kinds(tdf.schema, specs)
     out_schema = _output_schema(tdf.schema, specs, kinds)
     base_state = _state_schema(specs, kinds)  # max_time, max_subsort, comps…
     state_schema = T.StructType(
@@ -512,13 +512,24 @@ def _make_tick_running_fn(specs, cal, kinds, payload, tick_aliases, comp_names):
             tick_wid = is_tick.cumsum().shift(1, fill_value=0)
             tick_fired_end = bool(is_tick.iloc[-1])
             out = comb.drop(columns="__tick")
+            done_aliases = set()
             for s in specs:
-                if s.op == "count":
-                    vals = pd.Series(1.0, index=comb.index).where(comb[s.col].notna())
-                elif kinds[s.alias] == "num":
-                    vals = pd.to_numeric(comb[s.col], errors="coerce")
+                if s.col in done_aliases:
+                    # chained aggregation: the earlier spec's LATCHED
+                    # per-row output at every row — incl. boundary tick
+                    # rows, which are in the universe (batch with_ticks
+                    # rule; reference test_nested_sum_i64 re-consumes
+                    # the latched value at null-input rows)
+                    base = out[s.col]
                 else:
-                    vals = comb[s.col].astype(object).where(comb[s.col].notna(), None)
+                    base = comb[s.col]
+                done_aliases.add(s.alias)
+                if s.op == "count":
+                    vals = pd.Series(1.0, index=comb.index).where(base.notna())
+                elif kinds[s.alias] == "num":
+                    vals = pd.to_numeric(base, errors="coerce")
+                else:
+                    vals = base.astype(object).where(base.notna(), None)
                 if s.op == "count_if":
                     vals = vals.where(vals == 1.0)
                 if s.op == "lag":

@@ -2041,3 +2041,80 @@ def test_materialize_fenl_chained_aggs_equal_batch(spark, events_tl, tmp_path):
                 assert g[i] is None or g[i] != g[i], f"col {i} at {sid}"
             else:
                 assert g[i] == pytest.approx(e[i], rel=1e-12), f"col {i} at {sid}"
+
+
+def test_materialize_chained_latched_reconsumption(spark, tmp_path):
+    """Reference chained-agg semantics (aggregation_tests.rs
+    test_nested_sum_i64): the outer aggregate consumes the inner's
+    LATCHED value at every domain row — a null inner input re-consumes
+    the held value (running sums 5,22,22,34 nest to 5,27,49,83). Also
+    covers a tick-windowed outer over a chained inner (boundary rows
+    are domain rows and consume the latch too) — both row-identical to
+    batch compile_fenl."""
+    import datetime as dt
+
+    from kaskada_spark.fenl import fenl
+    from kaskada_spark.fenl.materialize import materialize_fenl
+
+    t0 = dt.datetime(2024, 1, 1, 6, 0, 0)
+    rows = [
+        (t0, 1, "A", 5.0),
+        (t0 + dt.timedelta(hours=1), 2, "A", 17.0),
+        (t0 + dt.timedelta(hours=2), 3, "A", None),    # latched re-consume
+        (t0 + dt.timedelta(days=1), 4, "A", 12.0),     # crosses a daily tick
+        (t0 + dt.timedelta(days=1, hours=1), 5, "A", None),
+        (t0 + dt.timedelta(days=1, hours=2), 6, "B", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, event_id long, user_id string, value double"
+    )
+    tl = Timeline.from_events(df, "ts", "user_id", "event_id")
+
+    q = """
+    {
+      nested: sum(sum(Input.value)),
+      daily_mean_of_sum: mean(sum(Input.value), window = since(daily()))
+    }
+    """
+    batch = fenl(q, {"Input": tl})
+    cols = ("nested", "daily_mean_of_sum")
+    exp = {
+        (r["_time"], r["_subsort"]): tuple(r[c] for c in cols)
+        for r in batch.collect()
+    }
+    # the null-input rows re-consume the latch: A runs 5,22,22 -> 5,27,49
+    a_rows = sorted(
+        (k, v) for k, v in exp.items() if v[0] is not None and k[1] in (1, 2, 3)
+    )
+    assert [v[0] for _, v in a_rows] == [5.0, 27.0, 49.0]
+
+    in_dir = _write_time_split(tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 3)
+    stream = (
+        spark.readStream.schema(tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = materialize_fenl(q, stream)
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="_time")
+    sq = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    got = {
+        (r["_time"], r["_subsort"]): tuple(r[c] for c in cols)
+        for r in sink.read_output(spark).collect()
+    }
+    assert len(got) == len(exp), (sorted(exp), sorted(got))
+    for kk, e in exp.items():
+        g = got[kk]
+        for i in range(2):
+            if e[i] is None:
+                assert g[i] is None or g[i] != g[i], f"{kk} col {i}"
+            else:
+                assert g[i] == pytest.approx(e[i], rel=1e-12), (
+                    f"{kk} col {i}: want {e[i]}, got {g[i]}"
+                )
