@@ -513,6 +513,22 @@ def q_fenl_running(spark, sf_dir):
     )
 
 
+def q_fenl_nested(spark, sf_dir):
+    """Chained aggregation (reference aggregation_tests.rs
+    test_nested_sum_i64): the outer sum re-consumes the inner's LATCHED
+    running value at every domain row — integer inputs keep both
+    engines exact."""
+    from kaskada_spark.fenl import fenl
+
+    q = "{ nested: sum(sum(floor(Events.value) as i64)) }"
+    out = fenl(q, {"Events": _events(spark, sf_dir)})
+    return out.select(
+        F.col(SUBSORT).alias("event_id"),
+        F.col(KEY).alias("user_id"),
+        "nested",
+    )
+
+
 def q_fenl_when(spark, sf_dir):
     from kaskada_spark.fenl import fenl
 
@@ -1098,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_sweep_hash": q_scalar_sweep_hash,
         "entity_slice": q_entity_slice,
         "fenl_running": q_fenl_running,
+        "fenl_nested": q_fenl_nested,
         "fenl_when": q_fenl_when,
         "fenl_since": q_fenl_since,
         "fenl_lookup_rekey": q_fenl_lookup_rekey,
@@ -1480,6 +1497,15 @@ def oracle_sql() -> dict[str, str]:
                    MAX(value) {_RUN} AS hi,
                    CAST(SUM(CAST(FLOOR(value) AS BIGINT)) {_RUN} AS BIGINT) AS total_f
             FROM events
+        """,
+        "fenl_nested": f"""
+            SELECT event_id, user_id,
+                   CAST(SUM(s) {_RUN} AS BIGINT) AS nested
+            FROM (
+              SELECT event_id, user_id, ts,
+                     SUM(CAST(FLOOR(value) AS BIGINT)) {_RUN} AS s
+              FROM events
+            )
         """,
         "fenl_when": """
             SELECT event_id, user_id, value FROM events
