@@ -105,6 +105,59 @@ def _mentions_finished(n: A.Node) -> bool:
     return False
 
 
+def _extract_cond_aggs(
+    cond: A.Node, inner: A.Node, table_name: str
+) -> tuple[A.Node, list[str], A.Node]:
+    """Pull aggregation calls out of a when() condition: each becomes a
+    hidden field appended to the materialized record (computed by the
+    same state-machine pass) and the condition keeps a reference to the
+    hidden output column. Returns (rewritten condition, hidden column
+    names, rewritten inner record)."""
+    import dataclasses
+
+    hidden: list[tuple[str, A.Node]] = []
+
+    def walk(n: A.Node) -> A.Node:
+        if isinstance(n, A.Call) and n.func in _AGGREGATIONS:
+            alias = f"__cond_{len(hidden)}"
+            hidden.append((alias, n))
+            return A.FieldRef(A.Ref(table_name), alias)
+        if not dataclasses.is_dataclass(n):
+            return n
+        changes = {}
+        for f in n.__dataclass_fields__:
+            v = getattr(n, f)
+            if isinstance(v, A.Node):
+                nv = walk(v)
+            elif isinstance(v, tuple):
+                nv = tuple(
+                    (e[0], walk(e[1]))
+                    if isinstance(e, tuple) and len(e) == 2 and isinstance(e[1], A.Node)
+                    else (walk(e) if isinstance(e, A.Node) else e)
+                    for e in v
+                )
+            else:
+                nv = v
+            if nv is not v:
+                changes[f] = nv
+        return dataclasses.replace(n, **changes) if changes else n
+
+    new_cond = walk(cond)
+    if not hidden:
+        return cond, [], inner
+    if isinstance(inner, A.Record):
+        new_inner: A.Node = A.Record(tuple(inner.fields) + tuple(hidden))
+    elif isinstance(inner, A.Ref):
+        raise FenlCompileError(
+            "a stateful when() condition over the bare table is not "
+            "supported — materialize a record of aggregations instead "
+            "({ field: agg(...) } | when(agg(...) ...))"
+        )
+    else:
+        new_inner = A.Record((("result", inner), *hidden))
+    return new_cond, [a for a, _ in hidden], new_inner
+
+
 def _contains_input_ref(n: A.Node) -> bool:
     """True when the node reads $input — a nested Pipe's RHS binds its
     own $input, so only its LHS is walked (compiler _depends_on_input
@@ -243,6 +296,15 @@ def _single_stage(
         is_tick_cond = (
             isinstance(cond_node, A.Call) and cond_node.func in TICK_UNITS
         )
+        # STATEFUL when(): aggregations inside the condition become
+        # hidden record fields computed by the SAME state-machine pass,
+        # and the residual condition compiles statelessly over the
+        # machine's output columns (`sum(Input.v) > 100` filters live)
+        hidden: list[str] = []
+        if not is_tick_cond:
+            cond_node, hidden, inner = _extract_cond_aggs(
+                _pipe_to_calls(cond_node), inner, table_name
+            )
         out = _single_stage(
             inner, stream, table_name, watermark,
             force_tick_unit=cond_node.func if is_tick_cond else None,
@@ -257,7 +319,8 @@ def _single_stage(
         cv = comp.compile(_subst_input(cond_node, A.Ref(table_name)))
         if comp.df is not base:
             raise FenlCompileError("when() condition must be stateless here")
-        return out.filter(F.coalesce(_masked(cv.col, cv.mask), F.lit(False)))
+        out = out.filter(F.coalesce(_masked(cv.col, cv.mask), F.lit(False)))
+        return out.drop(*hidden) if hidden else out
 
     # `<table> | with_key(k) | <agg record>`: with_key is STATELESS in
     # Spark terms (a new grouping column — the shuffle happens at the

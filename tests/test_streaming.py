@@ -2118,3 +2118,42 @@ def test_materialize_chained_latched_reconsumption(spark, tmp_path):
                 assert g[i] == pytest.approx(e[i], rel=1e-12), (
                     f"{kk} col {i}: want {e[i]}, got {g[i]}"
                 )
+
+
+def test_materialize_fenl_stateful_when(spark, events_tl, tmp_path):
+    """when() conditions CONTAINING aggregations materialize live: the
+    condition's aggs become hidden fields of the same state-machine pass
+    and the residual predicate filters the output — row-identical to
+    batch compile_fenl."""
+    from kaskada_spark.fenl import fenl
+    from kaskada_spark.fenl.materialize import materialize_fenl
+
+    q = """
+    { total: count(Input.value) }
+      | when(count(Input.value) > 3 and Input.event_type == 'purchase')
+    """
+    in_dir = _write_time_split(
+        events_tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 3
+    )
+    stream = (
+        spark.readStream.schema(events_tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = materialize_fenl(q, stream)
+    assert not any(c.startswith("__cond_") for c in out.columns)
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="_time")
+    sq = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+
+    batch = fenl(q, {"Input": events_tl})
+    exp = {r["_subsort"]: r["total"] for r in batch.collect()}
+    got = {r["_subsort"]: r["total"] for r in sink.read_output(spark).collect()}
+    assert len(exp) > 0                      # the filter keeps real rows
+    assert got == exp
