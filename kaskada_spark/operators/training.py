@@ -276,20 +276,18 @@ def source_mixture_weights(
     per = df.groupBy(group_col).agg(
         F.sum(F.col(n_tok_col).cast("long")).alias("src_tokens")
     )
-    total = per.agg(F.sum("src_tokens").alias("__all"))
-    share = F.col("src_tokens").cast("double") / F.col("__all").cast("double")
-    powed = F.pow(share, F.lit(alpha))
+    # corpus total + pow normalizer as windows over the per-source frame
+    # (a separate .agg() would re-evaluate `per` and scan the corpus
+    # twice); the single-partition exchange carries only one row per
+    # source, and both windows share one Window node
     w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    return (
-        per.crossJoin(F.broadcast(total))
-        .withColumn("__share", share)
-        .withColumn("__pow", powed)
-        .select(
-            group_col,
-            "src_tokens",
-            F.round("__share", 6).alias("natural_share"),
-            F.round(F.col("__pow") / F.sum("__pow").over(w_all), 6).alias(
-                "sample_weight"
-            ),
-        )
+    share = F.col("src_tokens").cast("double") / F.sum(
+        F.col("src_tokens")
+    ).over(w_all).cast("double")
+    powed = F.pow(share, F.lit(alpha))
+    return per.select(
+        group_col,
+        "src_tokens",
+        F.round(share, 6).alias("natural_share"),
+        F.round(powed / F.sum(powed).over(w_all), 6).alias("sample_weight"),
     )
