@@ -253,15 +253,22 @@ def _compact_throughput(full: dict) -> dict:
     """Shrink the sweep result for the single stdout line: per-level
     throughput only (no run arrays, no wall times, short level keys).
     Full detail goes to BENCH_DETAIL.json."""
+    def short(master: str) -> str:
+        # "local-cluster[4,2,3072]" -> "4x2c"; "local[8]" -> "8t"
+        if master.startswith("local-cluster["):
+            n, c, _ = master[len("local-cluster["):-1].split(",")
+            return f"{n}x{c}c"
+        return master[len("local["):-1] + "t"
+
     return {
         "n_rows": full["n_rows"],
         "scaling_efficiency": full["scaling_efficiency"],
         "scaling_pair": "1->4 executors (2c each, local-cluster)",
         "executor_seq_per_sec": {
-            m: v["seq_per_sec"] for m, v in full["executor_levels"].items()
+            short(m): v["seq_per_sec"] for m, v in full["executor_levels"].items()
         },
         "thread_seq_per_sec": {
-            m: v["seq_per_sec"] for m, v in full["levels"].items()
+            short(m): v["seq_per_sec"] for m, v in full["levels"].items()
         },
         "thread_scaling_efficiency": full["thread_scaling_efficiency"],
         "max_throughput_seq_per_sec": full["executor_max_throughput_seq_per_sec"],
@@ -286,7 +293,13 @@ def _emit(result: dict) -> None:
         result["queries"] = {k: round(v, 2) for k, v in result["queries"].items()}
     thr = result.get("throughput")
     if thr:
-        for victim in ("thread_seq_per_sec", "executor_seq_per_sec"):
+        # executor levels are the north-rule evidence — shed them LAST
+        for victim in (
+            "thread_seq_per_sec",
+            "scaling_pair",
+            "thread_scaling_efficiency",
+            "executor_seq_per_sec",
+        ):
             if len(line()) > _MAX_LINE:
                 thr.pop(victim, None)
     if len(line()) > _MAX_LINE:
