@@ -496,3 +496,69 @@ def test_tick_running_machine_split_invariance(events, cuts, op, mode):
             assert gb is None or pd.isna(gb), (i, ga, gb)
         else:
             assert gb == pytest.approx(ga, rel=1e-9, abs=1e-9), (i, ga, gb)
+
+
+def _brute_chained(rows, inner_op, outer_op):
+    """Reference chained-agg model (latched reconsumption,
+    test_nested_sum_i64): the inner aggregate's running value is
+    consumed by the outer at EVERY row — including rows where the inner
+    input was null, where the held value counts again; rows before the
+    first non-null input contribute nothing (inner is null)."""
+    inner_vals = []
+    inner_run = []
+    for v, _ in rows:
+        if v is not None:
+            inner_vals.append(v)
+        if not inner_vals:
+            inner_run.append(None)
+        elif inner_op == "sum":
+            inner_run.append(float(sum(inner_vals)))
+        elif inner_op == "mean":
+            inner_run.append(sum(inner_vals) / len(inner_vals))
+        elif inner_op == "last":
+            inner_run.append(float(inner_vals[-1]))
+    outer_inputs = []
+    out = []
+    for iv in inner_run:
+        if iv is not None:
+            outer_inputs.append(iv)
+        vals = outer_inputs
+        if outer_op == "count":
+            out.append(len(vals))
+        elif not vals:
+            out.append(None)
+        elif outer_op == "sum":
+            out.append(float(sum(vals)))
+        elif outer_op == "mean":
+            out.append(sum(vals) / len(vals))
+        elif outer_op == "max":
+            out.append(float(max(vals)))
+    return inner_run, out
+
+
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(ROW, min_size=1, max_size=24),
+    st.lists(st.integers(1, 23), max_size=4),
+    st.sampled_from(("sum", "mean", "last")),
+    st.sampled_from(("sum", "mean", "count", "max")),
+)
+def test_chained_state_machine_matches_brute_force(rows, cuts, inner_op, outer_op):
+    """Chained specs across arbitrary micro-batch splits: the outer
+    consumes the inner's latched per-row output (null-input rows
+    re-consume the held value) exactly like the reference model."""
+    pdf = _frame(rows)
+    specs = [
+        AggSpec(inner_op, "v", "inner"),
+        AggSpec(outer_op, "inner", "out"),
+    ]
+    res = _drive(specs, pdf, cuts)
+    exp_inner, exp_out = _brute_chained(rows, inner_op, outer_op)
+    for col, exp in (("inner", exp_inner), ("out", exp_out)):
+        got = res[col].tolist()
+        assert len(got) == len(exp)
+        for i, (g, e) in enumerate(zip(got, exp)):
+            if e is None:
+                assert g is None or (isinstance(g, float) and math.isnan(g)), (col, i, g)
+            else:
+                assert g == pytest.approx(e, rel=1e-9, abs=1e-9), (col, i, g, e)
