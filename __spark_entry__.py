@@ -1056,6 +1056,44 @@ def q_tokens_windowed(spark, sf_dir):
     return out
 
 
+def q_pipeline_e2e(spark, sf_dir):
+    """The assembled training-data pipeline, one plan end to end:
+    exact-dedup (keep content representatives) -> quality gate
+    (staged words projection, score >= 0.3) -> tokenize survivors ->
+    fixed-budget sequence packing. Each stage is the library operator;
+    the composite proves they CHAIN — filters stay pushed, the words
+    array is projected once, and the only wide exchanges are the dedup
+    groupBy and the per-source packing window."""
+    from kaskada_spark.operators.dedup import exact_dedup
+    from kaskada_spark.operators.text import quality_features, quality_score, words
+    from kaskada_spark.operators.training import pack_sequences
+    from kaskada_spark.sources.tokens import tokenize_df
+
+    docs = read_table(spark, sf_dir, "documents")
+    reps = exact_dedup(docs, "doc_id", "text").select(
+        F.col("rep_id").alias("doc_id")
+    )
+    deduped = docs.join(reps, "doc_id", "left_semi")
+    staged = deduped.select(
+        "doc_id", "text", "source", words(F.col("text")).alias("__w")
+    )
+    feats = quality_features(F.col("text"), w=F.col("__w"))
+    kept = (
+        staged.withColumn("__q", quality_score(F.col("text"), feats=feats))
+        .filter(F.col("__q") >= 0.3)
+        .select("doc_id", "text", "source")
+    )
+    packed = pack_sequences(tokenize_df(kept), budget=2048)
+    return packed.select(
+        "doc_id",
+        "source",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "tokens_before",
+        "pack_id",
+        "pack_offset",
+    )
+
+
 def q_token_histogram(spark, sf_dir):
     """Top-50 token ids by corpus frequency: explode -> map-side partial
     count -> per-partition top-k heap merge (TakeOrderedAndProject) —
@@ -1125,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_align": q_merge_align,
         "tokens_table": q_tokens_table,
         "tokens_windowed": q_tokens_windowed,
+        "pipeline_e2e": q_pipeline_e2e,
         "token_histogram": q_token_histogram,
         "seq_len_stats": q_seq_len_stats,
         "source_mix": q_source_mix,
@@ -1929,6 +1968,68 @@ def _pipeline_oracles() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und' {lang_cases} END AS detected_lang
             FROM h
+        """,
+        "pipeline_e2e": f"""
+            WITH reps AS (
+              SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            ),
+            dd AS (
+              SELECT d.doc_id, d.text, d.source FROM documents d JOIN reps USING (doc_id)
+            ),
+            w AS (
+              SELECT doc_id, source, text,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+              FROM dd
+            ),
+            f AS (
+              SELECT doc_id,
+                     CAST(length(text) AS DOUBLE) AS n_chars,
+                     len(ws) AS wc,
+                     CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) AS twc,
+                     CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n]', '', 'g')) AS DOUBLE) AS punct,
+                     CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+                     {hits('en')} AS sw
+              FROM w
+            ),
+            r AS (
+              SELECT doc_id,
+                     CASE WHEN wc > 0 THEN twc / CAST(wc AS DOUBLE) END AS mean_word_len,
+                     CASE WHEN n_chars > 0 THEN punct / n_chars END AS punct_ratio,
+                     CASE WHEN n_chars > 0 THEN digits / n_chars END AS digit_ratio,
+                     CASE WHEN wc > 0 THEN CAST(sw AS DOUBLE) / CAST(wc AS DOUBLE) END AS stopword_ratio
+              FROM f
+            ),
+            q AS (
+              SELECT doc_id,
+                     least(coalesce(stopword_ratio, 0.0) * 2.5, 1.0) * 0.4
+                     + (CASE WHEN coalesce(mean_word_len, 0.0) >= 3.0
+                             AND coalesce(mean_word_len, 0.0) <= 10.0 THEN 1.0 ELSE 0.0 END) * 0.3
+                     + greatest(1.0 - coalesce(punct_ratio, 0.0) * 4.0, 0.0) * 0.2
+                     + greatest(1.0 - coalesce(digit_ratio, 0.0) * 2.0, 0.0) * 0.1 AS quality
+              FROM r
+            ),
+            kept AS (
+              SELECT dd.doc_id, dd.text, dd.source
+              FROM dd JOIN q USING (doc_id) WHERE q.quality >= 0.3
+            ),
+            tok AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                     CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok,
+                     CAST(doc_id AS BIGINT) AS _subsort
+              FROM kept
+            ),
+            c AS (
+              SELECT doc_id, source, n_tok,
+                     CAST(SUM(n_tok) OVER (
+                       PARTITION BY source ORDER BY _subsort
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) - n_tok AS BIGINT) AS tokens_before
+              FROM tok
+            )
+            SELECT doc_id, source, n_tok, tokens_before,
+                   tokens_before // 2048 AS pack_id,
+                   tokens_before % 2048 AS pack_offset
+            FROM c
         """,
         "quality": f"""
             WITH {_WORDS_CTE.strip()}, f AS (

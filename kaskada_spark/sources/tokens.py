@@ -41,6 +41,14 @@ def tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare/column_behavior.rs:106,146).
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tokenize_df(docs)
+
+
+def tokenize_df(docs: DataFrame) -> DataFrame:
+    """Tokenize any (doc_id, text, source) frame into the north-rule
+    sequence shape — the df-input form of :func:`tokenize_documents`
+    (pipeline stages that filter the corpus first tokenize the
+    survivors, not the raw table)."""
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.transform(
