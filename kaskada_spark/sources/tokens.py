@@ -48,7 +48,18 @@ def tokenize_df(docs: DataFrame) -> DataFrame:
     """Tokenize any (doc_id, text, source) frame into the north-rule
     sequence shape — the df-input form of :func:`tokenize_documents`
     (pipeline stages that filter the corpus first tokenize the
-    survivors, not the raw table)."""
+    survivors, not the raw table). An existing ``_time`` column is
+    KEPT rather than re-derived: in a streaming pipeline the incoming
+    event-time column carries the query's watermark, and projecting a
+    fresh timestamp would force an (illegal) watermark redefinition."""
+    time_col = (
+        F.col("_time")
+        if "_time" in docs.columns
+        else (
+            F.to_timestamp(F.lit(EPOCH))
+            + F.make_dt_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("_time")
+    )
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.transform(
@@ -56,7 +67,7 @@ def tokenize_df(docs: DataFrame) -> DataFrame:
             _word_to_token,
         ).alias("tokens"),
         F.col("source"),
-        (F.to_timestamp(F.lit(EPOCH)) + F.make_dt_interval(secs=F.col("doc_id").cast("double"))).alias("_time"),
+        time_col,
         F.col("doc_id").cast("long").alias("_subsort"),
     ).withColumn("n_tok", F.size("tokens"))
 

@@ -97,3 +97,45 @@ def run_token_pipeline(
     else:
         writer.start()
     return sink
+
+
+def training_data_pipeline_stream(
+    stream: DataFrame,
+    budget: int = 2048,
+    dedup_watermark: str = "10 minutes",
+) -> DataFrame:
+    """The assembled training-data pipeline LIVE: first-arrival exact
+    dedup (watermark-bounded state) -> quality gate (stateless
+    whole-stage-codegen map) -> tokenize -> per-source streaming pack
+    assignment. Two stateful operators chained in ONE query: the
+    dedup stage defines the query's single watermark and its
+    pass-through rows keep their event times, so the packing machine
+    reads the same watermark downstream (re-defining it mid-query is
+    illegal in Spark).
+
+    Matches the batch `pipeline_e2e` contract query stage for stage on
+    an ordered replay (equivalence test), and inherits each stage's
+    scale posture: dedup state ~ (arrival rate x horizon), packing
+    state = one long per source.
+    """
+    from pyspark.sql import functions as F
+
+    from kaskada_spark.operators.text import quality_features, quality_score, words
+    from kaskada_spark.operators.training import pack_sequences_stream
+    from kaskada_spark.sources.tokens import tokenize_df
+    from kaskada_spark.streaming.dedup import exact_dedup_stream
+
+    dd = exact_dedup_stream(
+        stream, text_col="text", time_col="_time", watermark=dedup_watermark
+    )
+    staged = dd.select(
+        "doc_id", "text", "source", "_time", words(F.col("text")).alias("__w")
+    )
+    feats = quality_features(F.col("text"), w=F.col("__w"))
+    kept = (
+        staged.withColumn("__q", quality_score(F.col("text"), feats=feats))
+        .filter(F.col("__q") >= 0.3)
+        .select("doc_id", "text", "source", "_time")
+    )
+    # watermark=None: the dedup stage's watermark governs the whole query
+    return pack_sequences_stream(tokenize_df(kept), budget=budget, watermark=None)

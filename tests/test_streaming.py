@@ -2157,3 +2157,48 @@ def test_materialize_fenl_stateful_when(spark, events_tl, tmp_path):
     got = {r["_subsort"]: r["total"] for r in sink.read_output(spark).collect()}
     assert len(exp) > 0                      # the filter keeps real rows
     assert got == exp
+
+
+def test_streaming_training_pipeline_equals_batch(spark, sf_dir, tmp_path):
+    """The assembled pipeline LIVE (dedup -> quality gate -> tokenize ->
+    pack) over an ordered replay matches the batch pipeline_e2e
+    contract query row for row — two stateful operators chained in one
+    streaming query."""
+    import __spark_entry__ as entry_mod
+    from kaskada_spark.streaming.pipeline import training_data_pipeline_stream
+
+    exp = {
+        r["doc_id"]: (r["source"], r["n_tok"], r["tokens_before"],
+                      r["pack_id"], r["pack_offset"])
+        for r in entry_mod.q_pipeline_e2e(spark, sf_dir).collect()
+    }
+    assert len(exp) > 50
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source",
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_dt_interval(secs=F.col("doc_id").cast("double"))).alias("_time"),
+    )
+    in_dir = _write_time_split(docs, ["_time"], str(tmp_path / "in"), 3)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = training_data_pipeline_stream(stream, budget=2048)
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="_time")
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["doc_id"]: (r["source"], int(r["n_tok"]), r["tokens_before"],
+                      r["pack_id"], r["pack_offset"])
+        for r in sink.read_output(spark).collect()
+    }
+    exp_cast = {k: (v[0], int(v[1]), v[2], v[3], v[4]) for k, v in exp.items()}
+    assert got == exp_cast
