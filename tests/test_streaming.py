@@ -2202,3 +2202,60 @@ def test_streaming_training_pipeline_equals_batch(spark, sf_dir, tmp_path):
     }
     exp_cast = {k: (v[0], int(v[1]), v[2], v[3], v[4]) for k, v in exp.items()}
     assert got == exp_cast
+
+
+def test_streaming_training_pipeline_resume(spark, sf_dir, tmp_path):
+    """Kill/resume for the CHAINED two-stateful-op pipeline: run files
+    1-2, stop, delete file 1, add file 3, resume from checkpoint — both
+    state stores (dedup hashes + per-source pack counters) must carry,
+    and the combined output must equal the batch pipeline_e2e result."""
+    import __spark_entry__ as entry_mod
+    from kaskada_spark.streaming.pipeline import training_data_pipeline_stream
+
+    exp = {
+        r["doc_id"]: (r["source"], int(r["n_tok"]), r["tokens_before"],
+                      r["pack_id"], r["pack_offset"])
+        for r in entry_mod.q_pipeline_e2e(spark, sf_dir).collect()
+    }
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source",
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_dt_interval(secs=F.col("doc_id").cast("double"))).alias("_time"),
+    )
+    full = _write_time_split(docs, ["_time"], str(tmp_path / "full"), 3)
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    files = sorted(os.listdir(full))
+    for f in files[:2]:
+        shutil.copy2(os.path.join(full, f), os.path.join(in_dir, f))
+
+    def run():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out = training_data_pipeline_stream(stream, budget=2048)
+        sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="_time")
+        q = (
+            out.writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sink
+
+    run()
+    os.remove(os.path.join(in_dir, files[0]))          # early input gone
+    shutil.copy2(os.path.join(full, files[2]), os.path.join(in_dir, files[2]))
+    sink = run()
+
+    got = {
+        r["doc_id"]: (r["source"], int(r["n_tok"]), r["tokens_before"],
+                      r["pack_id"], r["pack_offset"])
+        for r in sink.read_output(spark).collect()
+    }
+    assert got == exp
