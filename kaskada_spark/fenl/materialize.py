@@ -426,13 +426,25 @@ def _single_stage(
 
     for name, sub in fields:
         sub = _pipe_to_calls(sub)
-        if not (isinstance(sub, A.Call) and sub.func in _AGGREGATIONS):
+        if not (isinstance(sub, A.Call) and sub.func in _AGGREGATIONS + ("lag",)):
             raise FenlCompileError(
                 f"materialize_fenl field {name!r} must be an aggregation call "
-                f"({', '.join(_AGGREGATIONS)}); got {type(sub).__name__}"
+                f"({', '.join(_AGGREGATIONS)}, lag); got {type(sub).__name__}"
             )
         args = list(sub.args)
         kw = dict(sub.kwargs)
+        if sub.func == "lag":
+            # lag(n, input) — the machine's deque state (reference
+            # lag_token.rs); signature differs from the agg (input,
+            # window) shape
+            kwl = dict(sub.kwargs)
+            n_node = args[0] if args else kwl.get("n")
+            lag_in = args[1] if len(args) > 1 else kwl.get("input", A.Ref(table_name))
+            if not (isinstance(n_node, A.Literal) and isinstance(n_node.value, int)):
+                raise FenlCompileError("lag n must be an integer literal")
+            in_col = lower_input_col(lag_in, name, "lag")
+            specs.append(AggSpec("lag", in_col, name, n=n_node.value))
+            continue
         input_node = args[0] if args else kw.pop("input", A.Ref(table_name))
         window_node = args[1] if len(args) > 1 else kw.pop("window", None)
 

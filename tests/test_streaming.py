@@ -2259,3 +2259,45 @@ def test_streaming_training_pipeline_resume(spark, sf_dir, tmp_path):
         for r in sink.read_output(spark).collect()
     }
     assert got == exp
+
+
+def test_materialize_fenl_lag_equals_batch(spark, events_tl, tmp_path):
+    """lag(n, x) fields materialize live via the deque state machine,
+    row-identical to batch — alongside regular aggregations."""
+    from kaskada_spark.fenl import fenl
+    from kaskada_spark.fenl.materialize import materialize_fenl
+
+    q = "{ prev2: lag(2, Input.value), total: sum(Input.value) }"
+    in_dir = _write_time_split(
+        events_tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 3
+    )
+    stream = (
+        spark.readStream.schema(events_tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = materialize_fenl(q, stream)
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="_time")
+    sq = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+
+    batch = fenl(q, {"Input": events_tl})
+    exp = {r["_subsort"]: (r["prev2"], r["total"]) for r in batch.collect()}
+    got = {
+        r["_subsort"]: (r["prev2"], r["total"])
+        for r in sink.read_output(spark).collect()
+    }
+    assert len(got) == len(exp)
+    for sid, e in exp.items():
+        g = got[sid]
+        for i in range(2):
+            if e[i] is None:
+                assert g[i] is None or g[i] != g[i], (sid, i, g[i])
+            else:
+                assert g[i] == pytest.approx(e[i], rel=1e-12), (sid, i, g[i], e[i])
