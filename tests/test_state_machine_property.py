@@ -562,3 +562,58 @@ def test_chained_state_machine_matches_brute_force(rows, cuts, inner_op, outer_o
                 assert g is None or (isinstance(g, float) and math.isnan(g)), (col, i, g)
             else:
                 assert g == pytest.approx(e, rel=1e-9, abs=1e-9), (col, i, g, e)
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 200),                         # minutes offset
+            st.one_of(st.none(), st.integers(-20, 20)),  # value
+            st.booleans(),                               # unused fire slot
+        ),
+        min_size=1, max_size=20,
+    ),
+    st.lists(st.integers(1, 19), max_size=4),
+    st.sampled_from(("sum", "mean", "last")),
+    st.sampled_from(("sum", "mean", "count", "max")),
+    st.sampled_from(["tick", "plain"]),
+)
+def test_tick_machine_chained_split_invariance(events, cuts, inner_op, outer_op, mode):
+    """Chained specs through the TICK machine: micro-batch splits must
+    not change any row (incl. injected boundary rows, where the outer
+    consumes the inner's latch). Covers the outer as tick-windowed and
+    as plain running."""
+    from kaskada_spark.streaming.state_machines import _STATE_COMPS
+
+    events = sorted(events, key=lambda e: e[0])
+    t0 = pd.Timestamp(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "_key": 1,
+            "_time": [t0 + pd.Timedelta(minutes=t) for t, _, _ in events],
+            "_subsort": range(len(events)),
+            "v": [float(v) if v is not None else None for _, v, _ in events],
+            "fire": [f for _, _, f in events],
+        }
+    )
+    specs = [
+        _AggSpec(inner_op, "v", "inner"),
+        _AggSpec(outer_op, "inner", "out"),
+    ]
+    tick_aliases = {"out"} if mode == "tick" else set()
+    comp_names = [f"inner__{c}" for c in _STATE_COMPS[inner_op]] + [
+        f"out__{c}" for c in _STATE_COMPS[outer_op]
+    ]
+    single = _drive_tick_running(specs, tick_aliases, comp_names, pdf, [])
+    split = _drive_tick_running(specs, tick_aliases, comp_names, pdf, cuts)
+    assert len(single) == len(split), (len(single), len(split))
+    for i in range(len(single)):
+        a, b = single.iloc[i], split.iloc[i]
+        assert a["_time"] == b["_time"] and a["_subsort"] == b["_subsort"], i
+        for col in ("inner", "out"):
+            ga, gb = a[col], b[col]
+            if pd.isna(ga) or ga is None:
+                assert gb is None or pd.isna(gb), (i, col, ga, gb)
+            else:
+                assert gb == pytest.approx(ga, rel=1e-9, abs=1e-9), (i, col, ga, gb)
