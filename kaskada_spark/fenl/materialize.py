@@ -191,6 +191,13 @@ def _pipe_to_calls(n: A.Node) -> A.Node:
             return A.Pipe(lhs, rhs)
         if _contains_input_ref(rhs):
             return _subst_input(rhs, lhs)
+        if rhs.func in ("lag", "with_key") and rhs.args:
+            # these take the piped input in the SECOND slot (lag(n,
+            # input) / with_key(key, value)) — the Fenl rule is that
+            # the pipe fills the first MISSING positional parameter
+            return A.Call(
+                rhs.func, (rhs.args[0], lhs) + tuple(rhs.args[1:]), rhs.kwargs
+            )
         return A.Call(rhs.func, (lhs,) + tuple(rhs.args), rhs.kwargs)
     if not dataclasses.is_dataclass(n):
         return n
@@ -367,6 +374,44 @@ def _single_stage(
     else:
         fields = [("result", node)]
 
+    # field-level `<agg> | with_key(k)`: re-keying AFTER aggregation is
+    # a stateless projection over the machine's output (the aggregate
+    # stays keyed by the ORIGINAL entity; only the output rows re-root
+    # — batch _fn_with_key semantics). All fields must share one
+    # universe, mirroring the batch "cannot combine re-rooted and
+    # un-re-rooted values" diagnostic.
+    rekey_node: A.Node | None = None
+    rekeyed_fields = 0
+    plain_fields = 0
+    new_fields = []
+    for name, sub in fields:
+        sub = _pipe_to_calls(sub)
+        if isinstance(sub, A.Call) and sub.func == "with_key":
+            wargs = list(sub.args)
+            wkw = dict(sub.kwargs)
+            k_node = wargs[0] if wargs else wkw.get("key")
+            v_node = wargs[1] if len(wargs) > 1 else wkw.get("value")
+            if k_node is None or v_node is None:
+                raise FenlCompileError("with_key needs (key, value)")
+            if rekey_node is not None and rekey_node != k_node:
+                raise FenlCompileError(
+                    "all with_key fields in one materialized record must "
+                    "share the same key (one output grouping per query)"
+                )
+            rekey_node = k_node
+            rekeyed_fields += 1
+            new_fields.append((name, v_node))
+        else:
+            plain_fields += 1
+            new_fields.append((name, sub))
+    if rekey_node is not None and plain_fields:
+        raise FenlCompileError(
+            "cannot combine a with_key-re-rooted field with fields in the "
+            "original grouping in one record (the batch compiler rejects "
+            "this mix too) — split into separate queries or lookup() back"
+        )
+    fields = new_fields
+
     comp = Compiler({table_name: Timeline(stream)}, table_name)
     base_df = comp.df
     df = stream
@@ -502,6 +547,16 @@ def _single_stage(
         )
     else:
         out = running_agg_stream(df, specs, watermark=watermark)
+    if rekey_node is not None:
+        from kaskada_spark.prepare import KEY
+
+        comp2 = Compiler({table_name: Timeline(out)}, table_name)
+        base2 = comp2.df
+        kv = comp2.compile(_subst_input(rekey_node, A.Ref(table_name)))
+        if comp2.df is not base2:
+            raise FenlCompileError("with_key key must be a stateless expression")
+        cols = [c for c in out.columns if c != KEY]
+        out = out.select(_masked(kv.col, kv.mask).alias(KEY), *cols)
     drop = [c for c in out.columns if c.startswith("__mat_")]
     return out.drop(*drop)
 

@@ -2301,3 +2301,55 @@ def test_materialize_fenl_lag_equals_batch(spark, events_tl, tmp_path):
                 assert g[i] is None or g[i] != g[i], (sid, i, g[i])
             else:
                 assert g[i] == pytest.approx(e[i], rel=1e-12), (sid, i, g[i], e[i])
+
+
+def test_materialize_fenl_field_with_key_equals_batch(spark, events_tl, tmp_path):
+    """`{ s: <agg> | with_key(k) }` — re-keying AFTER aggregation: the
+    aggregate stays keyed by the original entity; the output rows
+    re-root on the new key as a stateless projection. Row-identical to
+    batch, and the mixed-universe record errors like the batch
+    compiler."""
+    from kaskada_spark.fenl import fenl
+    from kaskada_spark.fenl.compiler import FenlCompileError
+    from kaskada_spark.fenl.materialize import materialize_fenl
+
+    q = "{ s: Input.value | sum() | with_key(Input.event_type) }"
+    in_dir = _write_time_split(
+        events_tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 3
+    )
+    stream = (
+        spark.readStream.schema(events_tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = materialize_fenl(q, stream)
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="_time")
+    sq = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+
+    batch = fenl(q, {"Input": events_tl})
+    exp = {r["_subsort"]: (r["_key"], r["s"]) for r in batch.collect()}
+    got = {
+        r["_subsort"]: (r["_key"], r["s"])
+        for r in sink.read_output(spark).collect()
+    }
+    assert len(got) == len(exp)
+    for sid, e in exp.items():
+        assert got[sid][0] == e[0], f"key at {sid}"
+        if e[1] is None:
+            assert got[sid][1] is None or got[sid][1] != got[sid][1]
+        else:
+            assert got[sid][1] == pytest.approx(e[1], rel=1e-12), f"s at {sid}"
+
+    with pytest.raises(FenlCompileError, match="cannot combine"):
+        materialize_fenl(
+            "{ a: sum(Input.value),"
+            "  b: Input.value | last() | with_key(Input.event_type) }",
+            stream,
+        )
