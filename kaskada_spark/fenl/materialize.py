@@ -445,17 +445,38 @@ def _single_stage(
             ikw = dict(input_node.kwargs)
             inner_in = iargs[0] if iargs else ikw.pop("input", A.Ref(table_name))
             inner_win = iargs[1] if len(iargs) > 1 else ikw.pop("window", None)
+            inner_since = None
             if inner_win is not None and not (
                 isinstance(inner_win, A.Literal) and inner_win.value is None
             ):
-                raise FenlCompileError(
-                    "a windowed INNER aggregation in a chained aggregation "
-                    "is not supported in materialize_fenl (window the "
-                    "outermost aggregation instead)"
-                )
+                # since(stateless-cond) inner windows lower like any
+                # since spec; tick/sliding inner windows stay staged
+                if (
+                    isinstance(inner_win, A.Call)
+                    and inner_win.func == "since"
+                    and not (
+                        isinstance(inner_win.args[0], A.Call)
+                        and inner_win.args[0].func in TICK_UNITS
+                    )
+                ):
+                    wargs2 = list(inner_win.args)
+                    cond2 = (
+                        wargs2[0] if wargs2 else dict(inner_win.kwargs)["condition"]
+                    )
+                    inner_since = f"__mat_nw_{name}_{depth}"
+                    df = df.withColumn(
+                        inner_since, scalar_column(cond2, "inner window condition")
+                    )
+                else:
+                    raise FenlCompileError(
+                        "a tick- or sliding-windowed INNER aggregation in a "
+                        "chained aggregation is not supported in "
+                        "materialize_fenl (window the outermost aggregation, "
+                        "or stage with materialize_fenl_pipeline)"
+                    )
             src = lower_input_col(inner_in, name, input_node.func, depth + 1)
             alias = f"__mat_nest_{name}_{depth}"
-            specs.append(AggSpec(input_node.func, src, alias))
+            specs.append(AggSpec(input_node.func, src, alias, since=inner_since))
             return alias
         in_col = f"__mat_in_{name}" if depth == 0 else f"__mat_in_{name}_{depth}"
         cv = scalar_value(input_node, f"{fname}() input")
