@@ -1112,6 +1112,16 @@ def q_seq_len_stats(spark, sf_dir):
     return seq_length_stats(tokenize_documents(spark, sf_dir))
 
 
+def q_len_quantiles(spark, sf_dir):
+    """Exact per-source length quantiles (type-7 interpolation) from
+    grouped counts — no per-group value buffer, unlike Spark's exact
+    percentile aggregate (which would hold every value of a group in
+    memory at 10^12 rows)."""
+    from kaskada_spark.operators.training import seq_length_quantiles
+
+    return seq_length_quantiles(tokenize_documents(spark, sf_dir))
+
+
 def q_source_mix(spark, sf_dir):
     """Alpha-0.7 training-mix sampling weights per source (share^alpha
     renormalized — upsamples small sources): one per-source aggregate +
@@ -1167,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram": q_token_histogram,
         "seq_len_stats": q_seq_len_stats,
         "source_mix": q_source_mix,
+        "len_quantiles": q_len_quantiles,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
@@ -1710,6 +1721,17 @@ def oracle_sql() -> dict[str, str]:
                    MAX(len(tokens)) AS max_len,
                    CAST(SUM(len(tokens)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_len,
                    CAST(median(len(tokens)) AS DOUBLE) AS median_len
+            FROM tokens_tbl
+            GROUP BY source
+        """,
+        "len_quantiles": f"""
+            WITH {TOKENS_ORACLE_CTE.strip()}
+            SELECT source,
+                   COUNT(*) AS n_seq,
+                   ROUND(quantile_cont(len(tokens), 0.25), 6) AS q25,
+                   ROUND(quantile_cont(len(tokens), 0.5), 6) AS q50,
+                   ROUND(quantile_cont(len(tokens), 0.75), 6) AS q75,
+                   ROUND(quantile_cont(len(tokens), 0.99), 6) AS q99
             FROM tokens_tbl
             GROUP BY source
         """,

@@ -291,3 +291,49 @@ def source_mixture_weights(
         F.round(share, 6).alias("natural_share"),
         F.round(powed / F.sum(powed).over(w_all), 6).alias("sample_weight"),
     )
+
+
+def seq_length_quantiles(
+    df: DataFrame,
+    group_col: str = "source",
+    n_tok_col: str = "n_tok",
+    qs: tuple = (0.25, 0.5, 0.75, 0.99),
+) -> DataFrame:
+    """EXACT per-source quantiles of an integer-domain column with
+    linear interpolation (type-7, the quantile_cont convention), from
+    grouped value counts — same machinery as the median in
+    :func:`seq_length_stats`, generalized to any q list.
+
+    Spark's exact `percentile` buffers every group value; this computes
+    rank lookups over the (source, length) count table instead —
+    decomposable at any corpus size because the integer length domain
+    is tiny. For q, the value at fractional position (n-1)*q is
+    v_lo + frac * (v_hi - v_lo) where v_r = min length with cumulative
+    count > r. round(6) guards the one float multiply against
+    cross-engine last-ulp divergence.
+    """
+    cnts = df.groupBy(group_col, n_tok_col).agg(F.count(F.lit(1)).alias("__c"))
+    w_cum = W.partitionBy(group_col).orderBy(n_tok_col).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy(group_col).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = (
+        cnts.withColumn("__cum", F.sum("__c").over(w_cum))
+        .withColumn("__n", F.sum("__c").over(w_all))
+    )
+    val = F.col(n_tok_col).cast("double")
+    aggs = [F.max("__n").alias("n_seq")]
+    for q in qs:
+        pos = (F.col("__n") - 1).cast("double") * F.lit(float(q))
+        lo_rank = F.floor(pos) + 1          # 1-based rank of v_lo
+        hi_rank = F.least(lo_rank + 1, F.col("__n"))
+        frac = pos - F.floor(pos).cast("double")
+        v_lo = F.min(F.when(F.col("__cum") >= lo_rank, val))
+        v_hi = F.min(F.when(F.col("__cum") >= hi_rank, val))
+        name = f"q{round(q * 100)}"
+        aggs.append(
+            F.round(v_lo + F.max(frac) * (v_hi - v_lo), 6).alias(name)
+        )
+    return cum.groupBy(group_col).agg(*aggs)

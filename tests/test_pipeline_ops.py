@@ -608,3 +608,30 @@ def test_source_mixture_weights(spark):
         got["big"]["sample_weight"] + got["small"]["sample_weight"], 1.0,
         abs_tol=2e-6,
     )
+
+
+def test_seq_length_quantiles_interpolation(spark):
+    from kaskada_spark.operators.training import seq_length_quantiles
+
+    # values 10,20,30,40 -> type-7: q25 at pos 0.75 = 10+0.75*10 = 17.5
+    # q50 at 1.5 = 25.0, q75 at 2.25 = 32.5; q99 at 2.97 = 39.7
+    df = spark.createDataFrame(
+        [("s", n) for n in (10, 20, 30, 40)], "source string, n_tok int"
+    )
+    (row,) = seq_length_quantiles(df).collect()
+    assert row["n_seq"] == 4
+    assert row["q25"] == 17.5 and row["q50"] == 25.0 and row["q75"] == 32.5
+    assert row["q99"] == 39.7
+
+    # single value: every quantile is that value
+    one = spark.createDataFrame([("t", 7)], "source string, n_tok int")
+    (r1,) = seq_length_quantiles(one).collect()
+    assert r1["q25"] == r1["q50"] == r1["q99"] == 7.0
+
+    # duplicated values: ranks resolve inside one count bucket
+    dup = spark.createDataFrame(
+        [("u", n) for n in (5, 5, 5, 9)], "source string, n_tok int"
+    )
+    (r2,) = seq_length_quantiles(dup).collect()
+    assert r2["q25"] == 5.0 and r2["q50"] == 5.0
+    assert r2["q75"] == 5.0 + 0.25 * 4  # pos 2.25 between 5 and 9
