@@ -1112,6 +1112,26 @@ def q_seq_len_stats(spark, sf_dir):
     return seq_length_stats(tokenize_documents(spark, sf_dir))
 
 
+def q_vocab_stats(spark, sf_dir):
+    """Per-source vocabulary: exact distinct token count + total
+    occurrences + type-token ratio. count(DISTINCT) lowers to a
+    two-stage hash agg (partial distinct per partition, then merge) —
+    the exact form is fine because the token domain is vocabulary-
+    bounded; at larger unique domains swap in approx_count_distinct
+    (HLL) at the cost of the oracle."""
+    toks = tokenize_documents(spark, sf_dir)
+    ex = toks.select("source", F.explode("tokens").alias("token"))
+    return ex.groupBy("source").agg(
+        F.countDistinct("token").alias("vocab"),
+        F.count(F.lit(1)).alias("occurrences"),
+        F.round(
+            F.countDistinct("token").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("type_token_ratio"),
+    )
+
+
 def q_len_quantiles(spark, sf_dir):
     """Exact per-source length quantiles (type-7 interpolation) from
     grouped counts — no per-group value buffer, unlike Spark's exact
@@ -1178,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_len_stats": q_seq_len_stats,
         "source_mix": q_source_mix,
         "len_quantiles": q_len_quantiles,
+        "vocab_stats": q_vocab_stats,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
@@ -1722,6 +1743,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(tokens)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_len,
                    CAST(median(len(tokens)) AS DOUBLE) AS median_len
             FROM tokens_tbl
+            GROUP BY source
+        """,
+        "vocab_stats": f"""
+            WITH {TOKENS_ORACLE_CTE.strip()},
+            ex AS (SELECT source, unnest(tokens) AS token FROM tokens_tbl)
+            SELECT source,
+                   COUNT(DISTINCT token) AS vocab,
+                   COUNT(*) AS occurrences,
+                   ROUND(CAST(COUNT(DISTINCT token) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS type_token_ratio
+            FROM ex
             GROUP BY source
         """,
         "len_quantiles": f"""
