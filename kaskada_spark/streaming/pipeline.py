@@ -139,3 +139,32 @@ def training_data_pipeline_stream(
     )
     # watermark=None: the dedup stage's watermark governs the whole query
     return pack_sequences_stream(tokenize_df(kept), budget=budget, watermark=None)
+
+
+def windowed_token_histogram(
+    stream: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"
+) -> DataFrame:
+    """Per-(tumbling window, token) frequency counts over the live
+    sequence stream — training-telemetry for vocabulary drift.
+
+    explode is a generator and the count's partial aggregation runs
+    map-side, so the shuffle carries at most |vocab| rows per partition
+    per window; state holds one count per (open window, token) and the
+    watermark expires closed windows. Works identically on a static
+    frame (same tumbling `window()` function), which the equivalence
+    test exploits; consumers take per-window top-k on the (tiny) closed
+    window output, not in the stateful stage.
+    """
+    ex = stream.withWatermark("_time", watermark).select(
+        "_time", F.explode("tokens").alias("token")
+    )
+    return (
+        ex.groupBy(F.window("_time", window).alias("win"), "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "token",
+            "cnt",
+        )
+    )

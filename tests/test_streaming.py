@@ -2393,3 +2393,56 @@ def test_materialize_chained_inner_since_window(spark, events_tl, tmp_path):
             assert got[sid] is None or got[sid] != got[sid]
         else:
             assert got[sid] == pytest.approx(e, rel=1e-12), (sid, got[sid], e)
+
+
+def test_streaming_token_histogram_equals_batch(spark, sf_dir, tmp_path):
+    """Per-window token frequencies over the live stream match the same
+    tumbling-window aggregation on the static frame (closed windows
+    only — availableNow's final watermark closes everything)."""
+    from kaskada_spark.sources.tokens import tokenize_documents
+    from kaskada_spark.streaming.pipeline import windowed_token_histogram
+
+    toks = tokenize_documents(spark, sf_dir).select("_time", "tokens")
+    exp = {
+        (r["window_start"], r["token"]): r["cnt"]
+        for r in windowed_token_histogram(toks, window="1 minute").collect()
+    }
+    assert len(exp) > 100
+
+    in_dir = _write_time_split(toks, ["_time"], str(tmp_path / "in"), 3)
+    stream = (
+        spark.readStream.schema(toks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = windowed_token_histogram(stream, window="1 minute")
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="window_start")
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["token"]): r["cnt"]
+        for r in sink.read_output(spark).collect()
+    }
+    # append mode emits only watermark-CLOSED windows: the final open
+    # window may be withheld, but closed windows match exactly and
+    # nothing is invented
+    import datetime as dt
+
+    max_t = toks.agg(F.max("_time")).collect()[0][0]
+    wm = max_t - dt.timedelta(minutes=2)
+    closed = {
+        k: v
+        for k, v in exp.items()
+        if k[0] + dt.timedelta(minutes=1) <= wm
+    }
+    assert len(closed) > 100
+    for k, v in closed.items():
+        assert got.get(k) == v, (k, got.get(k), v)
+    for k in got:
+        assert k in exp, f"invented window row {k}"
