@@ -2446,3 +2446,43 @@ def test_streaming_token_histogram_equals_batch(spark, sf_dir, tmp_path):
         assert got.get(k) == v, (k, got.get(k), v)
     for k in got:
         assert k in exp, f"invented window row {k}"
+
+
+def test_materialize_chained_sliding_outer(spark, events_tl, tmp_path):
+    """An outer sliding(n, cond) window over a chained inner aggregate:
+    the sliding deque consumes the inner's latched per-row output."""
+    from kaskada_spark.fenl import fenl
+    from kaskada_spark.fenl.materialize import materialize_fenl
+
+    q = """
+    { m: mean(sum(Input.value),
+              window = sliding(2, Input.event_type == 'purchase')) }
+    """
+    in_dir = _write_time_split(
+        events_tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 3
+    )
+    stream = (
+        spark.readStream.schema(events_tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = materialize_fenl(q, stream)
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="_time")
+    sq = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+
+    batch = fenl(q, {"Input": events_tl})
+    exp = {r["_subsort"]: r["m"] for r in batch.collect()}
+    got = {r["_subsort"]: r["m"] for r in sink.read_output(spark).collect()}
+    assert len(got) == len(exp)
+    for sid, e in exp.items():
+        if e is None:
+            assert got[sid] is None or got[sid] != got[sid], (sid, got[sid])
+        else:
+            assert got[sid] == pytest.approx(e, rel=1e-12), (sid, got[sid], e)
