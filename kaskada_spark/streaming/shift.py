@@ -36,10 +36,18 @@ def shift_to_stream(
     tdf: DataFrame,
     new_time: Column,
     watermark: str = "0 seconds",
+    max_buffered_rows: int | None = None,
 ) -> DataFrame:
     """Re-time each row to ``new_time`` (>= its current time), emitting
     it once the watermark passes the target. Output keeps the universal
-    shape with ``_time`` = the target time."""
+    shape with ``_time`` = the target time.
+
+    ``max_buffered_rows`` is the guard for the reference's documented
+    unbounded-buffering hazard (shift_to.rs PERFORMANCE note): targets
+    running far ahead of the watermark hold rows in state. When set,
+    an entity whose buffer would exceed the cap fails the query with a
+    clear error instead of growing state silently — fail-fast
+    backpressure; dropping would silently change results."""
     tdf = tdf.withWatermark(TIME, watermark)
     buffered = tdf.withColumn(_TARGET, new_time.cast("timestamp")).filter(
         F.col(_TARGET).isNotNull() & (F.col(_TARGET) >= F.col(TIME))
@@ -62,16 +70,22 @@ def shift_to_stream(
         + [T.StructField(f"p_{c}", T.ArrayType(tdf.schema[c].dataType)) for c in payload]
         + [T.StructField("settled_tgt", T.LongType())]
     )
-    func = _make_shift_fn(payload)
+    func = _make_shift_fn(payload, max_buffered_rows)
     return buffered.groupBy(KEY).applyInPandasWithState(
         func, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )
 
 
-def shift_by_stream(tdf: DataFrame, delta, watermark: str = "0 seconds") -> DataFrame:
+def shift_by_stream(
+    tdf: DataFrame, delta, watermark: str = "0 seconds",
+    max_buffered_rows: int | None = None,
+) -> DataFrame:
     """shift_by(delta) = shift_to(time + delta) (the reference's own
     rewrite, functions/time.rs:44-63)."""
-    return shift_to_stream(tdf, F.col(TIME) + delta, watermark=watermark)
+    return shift_to_stream(
+        tdf, F.col(TIME) + delta, watermark=watermark,
+        max_buffered_rows=max_buffered_rows,
+    )
 
 
 _PRED = "__shift_pred"
@@ -160,6 +174,13 @@ def _make_shift_until_fn(payload: list[str]):
                 st["pred"].append(bool(pdf[_PRED][i]))
                 for c in payload:
                     st[f"p_{c}"].append(_native(pdf[c][i]))
+            if max_buffered_rows is not None and len(st["tgt"]) > max_buffered_rows:
+                raise RuntimeError(
+                    f"shift_to buffer for entity {k!r} exceeded "
+                    f"max_buffered_rows={max_buffered_rows} "
+                    f"({len(st['tgt'])} rows in flight) — targets are "
+                    "running too far ahead of the watermark"
+                )
 
         wm_ns = state.getCurrentWatermarkMs() * 10**6
         order = sorted(range(len(st["ot"])), key=lambda i: (st["ot"][i], st["os"][i]))
@@ -212,7 +233,7 @@ def _make_shift_until_fn(payload: list[str]):
     return update
 
 
-def _make_shift_fn(payload: list[str]):
+def _make_shift_fn(payload: list[str], max_buffered_rows: int | None = None):
     arr_names = ["tgt", "ot", "os"] + [f"p_{c}" for c in payload]
     state_names = arr_names + ["settled_tgt"]
 
@@ -251,6 +272,13 @@ def _make_shift_fn(payload: list[str]):
                 st["os"].append(int(pdf[SUBSORT][i]))
                 for c in payload:
                     st[f"p_{c}"].append(_native(pdf[c][i]))
+            if max_buffered_rows is not None and len(st["tgt"]) > max_buffered_rows:
+                raise RuntimeError(
+                    f"shift_to buffer for entity {k!r} exceeded "
+                    f"max_buffered_rows={max_buffered_rows} "
+                    f"({len(st['tgt'])} rows in flight) — targets are "
+                    "running too far ahead of the watermark"
+                )
 
         wm_ns = state.getCurrentWatermarkMs() * 10**6
         # emit rows whose target the watermark has passed, ordered by

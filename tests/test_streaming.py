@@ -2486,3 +2486,46 @@ def test_materialize_chained_sliding_outer(spark, events_tl, tmp_path):
             assert got[sid] is None or got[sid] != got[sid], (sid, got[sid])
         else:
             assert got[sid] == pytest.approx(e, rel=1e-12), (sid, got[sid], e)
+
+
+def test_stream_shift_buffer_cap(spark, tmp_path):
+    """max_buffered_rows fail-fast: targets far ahead of the watermark
+    blow the cap with a clear error instead of growing state silently;
+    an adequate cap passes and matches the uncapped output."""
+    import datetime as dt
+
+    from kaskada_spark.streaming.shift import shift_by_stream
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(t0 + dt.timedelta(seconds=i), i, "A", float(i)) for i in range(12)]
+    schema = "_time timestamp, _subsort long, _key string, value double"
+    df = spark.createDataFrame(rows, schema)
+    in_dir = _write_time_split(df, ["_time", "_subsort"], str(tmp_path / "in"), 2)
+
+    def run(cap, ck):
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out = shift_by_stream(
+            stream, F.expr("INTERVAL 1 HOUR"), max_buffered_rows=cap
+        )
+        sink = ExactlyOnceSink(str(tmp_path / f"out{ck}"), time_col="_time")
+        q = (
+            out.writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ck{ck}"))
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sink
+
+    # all 12 rows shift 1h ahead of a 12s stream -> every row in flight
+    with pytest.raises(Exception, match="max_buffered_rows=4"):
+        run(4, "a")
+    sink = run(100, "b")  # adequate cap: query completes normally
+    # targets stay beyond the final watermark, so rows remain in state
+    # (the hazard the cap guards) — nothing emitted, nothing failed
+    assert sink.read_output(spark).count() == 0
