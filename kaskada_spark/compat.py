@@ -228,8 +228,6 @@ class EntityFilter(SliceFilter):
         self.entity_keys = list(entity_keys)
 
     def predicate(self, key):
-        import pyspark.sql.functions as F
-
         return key.isin([*self.entity_keys])
 
 

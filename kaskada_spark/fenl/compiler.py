@@ -33,7 +33,7 @@ lowering (timeline.py).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F

@@ -24,7 +24,7 @@ per the driver's north rule, they do not mirror a reference operator.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 

@@ -174,13 +174,6 @@ def _make_shift_until_fn(payload: list[str]):
                 st["pred"].append(bool(pdf[_PRED][i]))
                 for c in payload:
                     st[f"p_{c}"].append(_native(pdf[c][i]))
-            if max_buffered_rows is not None and len(st["tgt"]) > max_buffered_rows:
-                raise RuntimeError(
-                    f"shift_to buffer for entity {k!r} exceeded "
-                    f"max_buffered_rows={max_buffered_rows} "
-                    f"({len(st['tgt'])} rows in flight) — targets are "
-                    "running too far ahead of the watermark"
-                )
 
         wm_ns = state.getCurrentWatermarkMs() * 10**6
         order = sorted(range(len(st["ot"])), key=lambda i: (st["ot"][i], st["os"][i]))
