@@ -1132,6 +1132,14 @@ def q_vocab_stats(spark, sf_dir):
     )
 
 
+def q_vocab_drift(spark, sf_dir):
+    """Adjacent-window L1 vocabulary drift — exact integer cross-product
+    sum (engine-order-independent), one float division at the end."""
+    from kaskada_spark.operators.training import vocabulary_drift
+
+    return vocabulary_drift(tokenize_documents(spark, sf_dir))
+
+
 def q_len_quantiles(spark, sf_dir):
     """Exact per-source length quantiles (type-7 interpolation) from
     grouped counts — no per-group value buffer, unlike Spark's exact
@@ -1199,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": q_source_mix,
         "len_quantiles": q_len_quantiles,
         "vocab_stats": q_vocab_stats,
+        "vocab_drift": q_vocab_drift,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
@@ -1755,6 +1764,44 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(COUNT(*) AS DOUBLE), 6) AS type_token_ratio
             FROM ex
             GROUP BY source
+        """,
+        "vocab_drift": f"""
+            WITH {TOKENS_ORACLE_CTE.strip()},
+            cnts AS (
+              SELECT date_trunc('minute', _time) AS w, token, COUNT(*) AS cnt
+              FROM (SELECT _time, unnest(tokens) AS token FROM tokens_tbl)
+              GROUP BY 1, 2
+            ),
+            cur AS (
+              SELECT w, token, cnt, SUM(cnt) OVER (PARTITION BY w) AS tot FROM cnts
+            ),
+            prev AS (
+              SELECT w + INTERVAL 1 MINUTE AS w, token,
+                     cnt AS cnt_prev, tot AS tot_prev
+              FROM cur
+            ),
+            joined AS (
+              SELECT COALESCE(cur.w, prev.w) AS w,
+                     COALESCE(cur.token, prev.token) AS token,
+                     cur.cnt, cur.tot, prev.cnt_prev, prev.tot_prev
+              FROM cur FULL OUTER JOIN prev
+                ON cur.w = prev.w AND cur.token = prev.token
+            ),
+            fixed AS (
+              SELECT w, token, cnt, cnt_prev,
+                     MAX(tot) OVER (PARTITION BY w) AS tot,
+                     MAX(tot_prev) OVER (PARTITION BY w) AS tot_prev
+              FROM joined
+            )
+            SELECT w AS window_start,
+                   ROUND(
+                     CAST(SUM(ABS(COALESCE(cnt, 0) * COALESCE(tot_prev, 0)
+                              - COALESCE(cnt_prev, 0) * COALESCE(tot, 0))) AS DOUBLE)
+                     / (CAST(MAX(tot) AS DOUBLE) * CAST(MAX(tot_prev) AS DOUBLE)),
+                     6) AS l1_drift
+            FROM fixed
+            GROUP BY w
+            HAVING MAX(tot) IS NOT NULL AND MAX(tot_prev) IS NOT NULL
         """,
         "len_quantiles": f"""
             WITH {TOKENS_ORACLE_CTE.strip()}

@@ -337,3 +337,68 @@ def seq_length_quantiles(
             F.round(v_lo + F.max(frac) * (v_hi - v_lo), 6).alias(name)
         )
     return cum.groupBy(group_col).agg(*aggs)
+
+
+def vocabulary_drift(
+    toks: DataFrame,
+    bucket: str = "minute",
+    time_col: str = "_time",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """L1 distance between adjacent time-buckets' token distributions —
+    the vocabulary-drift telemetry a streaming ingest wants per window.
+
+    drift(w) = sum_t |p_w(t) - p_{w-1}(t)| over the union of tokens.
+    Computed EXACTLY: the sum runs over integer cross products
+    |cnt_w * tot_prev - cnt_prev * tot_w| (one BIGINT per token — no
+    float accumulation, so the result is engine-order-independent) and
+    divides by tot_w * tot_prev once at the end. Shuffles: one count
+    agg on (bucket, token), one bucket-total window, one self-join on
+    (token, prev bucket), one final bucket agg — all decomposable.
+    """
+    cnts = (
+        toks.select(
+            F.date_trunc(bucket, F.col(time_col)).alias("w"),
+            F.explode(tokens_col).alias("token"),
+        )
+        .groupBy("w", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot_w = W.partitionBy("w").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cur = cnts.withColumn("tot", F.sum("cnt").over(tot_w))
+    step = F.expr(f"INTERVAL 1 {bucket.upper()}")
+    prev = cur.select(
+        (F.col("w") + step).alias("w"),
+        F.col("token"),
+        F.col("cnt").alias("cnt_prev"),
+        F.col("tot").alias("tot_prev"),
+    )
+    joined = cur.join(prev, ["w", "token"], "full_outer")
+    # a bucket with no counterpart rows on one side has no tot on that
+    # side for ABSENT tokens; rebroadcast per-bucket totals over the
+    # joined frame so every row knows both denominators
+    fixed = joined.withColumn(
+        "tot", F.max("tot").over(tot_w)
+    ).withColumn("tot_prev", F.max("tot_prev").over(tot_w))
+    num = F.abs(
+        F.coalesce(F.col("cnt"), F.lit(0)) * F.coalesce(F.col("tot_prev"), F.lit(0))
+        - F.coalesce(F.col("cnt_prev"), F.lit(0)) * F.coalesce(F.col("tot"), F.lit(0))
+    )
+    out = fixed.groupBy("w").agg(
+        # decimal(38,0): the per-token cross products can reach
+        # tot^2 ~ 10^18+ at real window sizes — an int64 sum would
+        # overflow (and ANSI mode raises); decimal stays exact
+        F.sum(num.cast("decimal(38,0)")).alias("__num"),
+        F.max("tot").alias("__tot"),
+        F.max("tot_prev").alias("__tot_prev"),
+    )
+    return out.filter(F.col("__tot").isNotNull() & F.col("__tot_prev").isNotNull()).select(
+        F.col("w").alias("window_start"),
+        F.round(
+            F.col("__num").cast("double")
+            / (F.col("__tot").cast("double") * F.col("__tot_prev").cast("double")),
+            6,
+        ).alias("l1_drift"),
+    )

@@ -635,3 +635,25 @@ def test_seq_length_quantiles_interpolation(spark):
     (r2,) = seq_length_quantiles(dup).collect()
     assert r2["q25"] == 5.0 and r2["q50"] == 5.0
     assert r2["q75"] == 5.0 + 0.25 * 4  # pos 2.25 between 5 and 9
+
+
+def test_vocabulary_drift(spark):
+    import datetime as dt
+
+    from kaskada_spark.operators.training import vocabulary_drift
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (t0, [1, 1, 2]),             # w0: p = {1: 2/3, 2: 1/3}
+        (t0 + m, [1, 2, 2]),         # w1: p = {1: 1/3, 2: 2/3} -> L1 = 2/3
+        (t0 + 2 * m, [3, 3, 3]),     # w2: disjoint vocab -> L1 = 2
+    ]
+    df = spark.createDataFrame(rows, "_time timestamp, tokens array<int>")
+    got = {
+        r["window_start"]: r["l1_drift"]
+        for r in vocabulary_drift(df).collect()
+    }
+    assert set(got) == {t0 + m, t0 + 2 * m}  # first window has no prev
+    assert got[t0 + m] == round(2 / 3, 6)
+    assert got[t0 + 2 * m] == 2.0
