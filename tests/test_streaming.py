@@ -2529,3 +2529,55 @@ def test_stream_shift_buffer_cap(spark, tmp_path):
     # targets stay beyond the final watermark, so rows remain in state
     # (the hazard the cap guards) — nothing emitted, nothing failed
     assert sink.read_output(spark).count() == 0
+
+
+def test_streaming_metrics_recorder(spark, sf_dir, tmp_path):
+    """The MetricsRecorder captures one progress line per micro-batch
+    with rows, rates, watermark and stateful-operator state sizes —
+    the metrics half of the north rule's lineage+metrics contract."""
+    import time as _time
+
+    from kaskada_spark.sources.tokens import tokenize_documents
+    from kaskada_spark.streaming.metrics import (
+        attach_metrics,
+        read_metrics,
+    )
+    from kaskada_spark.streaming.pipeline import windowed_token_agg
+
+    toks = tokenize_documents(spark, sf_dir)
+    in_dir = _write_time_split(toks, ["_time"], str(tmp_path / "in"), 3)
+    mpath = str(tmp_path / "metrics.jsonl")
+    rec = attach_metrics(spark, mpath)
+    try:
+        stream = (
+            spark.readStream.schema(toks.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out = windowed_token_agg(stream, window="1 minute")
+        sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="window_start")
+        q = (
+            out.writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener events are delivered asynchronously
+        for _ in range(40):
+            if os.path.exists(mpath) and len(read_metrics(mpath)) >= 3:
+                break
+            _time.sleep(0.25)
+    finally:
+        spark.streams.removeListener(rec)
+    prog = read_metrics(mpath)
+    assert len(prog) >= 3                      # one per input file
+    assert sum(p["num_input_rows"] for p in prog) == toks.count()
+    assert all(p["batch_id"] >= 0 for p in prog)
+    stateful = [p for p in prog if p["state_operators"]]
+    assert stateful, "no stateful operator metrics captured"
+    assert stateful[-1]["state_operators"][0]["rows_total"] > 0
+    # watermark advances across batches
+    wms = [p["watermark"] for p in prog if p["watermark"]]
+    assert wms == sorted(wms) and len(wms) >= 2
