@@ -25,4 +25,5 @@ SPARK_SUBMIT=$(python -c "import pyspark, os; print(os.path.join(os.path.dirname
   --conf spark.ui.enabled=false \
   --py-files dist/kaskada_spark.zip \
   tools/submit_pipeline.py \
-  --input "$INPUT" --output "$OUTPUT" --checkpoint "$CKPT"
+  --input "$INPUT" --output "$OUTPUT" --checkpoint "$CKPT" \
+  --metrics "$OUTPUT/_metrics/progress.jsonl"

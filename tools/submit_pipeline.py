@@ -32,6 +32,12 @@ def main() -> None:
     p.add_argument("--watermark", default="2 minutes")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--continuous", action="store_true")
+    p.add_argument(
+        "--metrics",
+        default=None,
+        help="JSONL path for per-micro-batch metrics (rows, rates, "
+        "watermark, state sizes) — appends across checkpoint resumes",
+    )
     args = p.parse_args()
 
     # Import AFTER spark-submit has set up sys.path from --py-files.
@@ -41,6 +47,10 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("kaskada-token-pipeline").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if args.metrics:
+        from kaskada_spark.streaming.metrics import attach_metrics
+
+        attach_metrics(spark, args.metrics)
     run_token_pipeline(
         spark,
         args.input,
