@@ -2581,3 +2581,77 @@ def test_streaming_metrics_recorder(spark, sf_dir, tmp_path):
     # watermark advances across batches
     wms = [p["watermark"] for p in prog if p["watermark"]]
     assert wms == sorted(wms) and len(wms) >= 2
+
+
+def test_materialize_fenl_random_queries_equal_batch(spark, events_tl, tmp_path):
+    """Seeded mini-fuzz over the materialize surface: random records of
+    aggregations (plain / since-windowed / sliding / chained / lag),
+    optional stateful when() — every generated query must match batch
+    compile_fenl row-for-row. Catches interaction bugs no single
+    hand-written case covers."""
+    import random
+
+    from kaskada_spark.fenl import fenl
+    from kaskada_spark.fenl.materialize import materialize_fenl
+
+    rng = random.Random(20240818)
+    ops = ["sum", "count", "min", "max", "mean", "last", "first"]
+    inputs = ["Input.value", "clamp(Input.value, 10.0, 190.0)"]
+    windows = [
+        None,
+        "since(Input.event_type == 'purchase')",
+        "sliding(2, Input.event_type == 'click')",
+    ]
+
+    def gen_field(allow_chain=True):
+        op = rng.choice(ops)
+        if allow_chain and rng.random() < 0.35:
+            inner = f"{rng.choice(ops)}({rng.choice(inputs)})"
+            arg = inner
+        else:
+            arg = rng.choice(inputs)
+        w = rng.choice(windows)
+        return f"{op}({arg}" + (f", window = {w})" if w else ")")
+
+    for qi in range(6):
+        n_fields = rng.randint(1, 3)
+        fields = ", ".join(f"f{j}: {gen_field()}" for j in range(n_fields))
+        q = "{ " + fields + " }"
+        if rng.random() < 0.4:
+            q += " | when(count(Input.value) > 2)"
+        in_dir = _write_time_split(
+            events_tl.df, ["_time", "_subsort"], str(tmp_path / f"in{qi}"), 3
+        )
+        stream = (
+            spark.readStream.schema(events_tl.df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out = materialize_fenl(q, stream)
+        sink = ExactlyOnceSink(str(tmp_path / f"out{qi}"), time_col="_time")
+        sq = (
+            out.writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ck{qi}"))
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+
+        batch = fenl(q, {"Input": events_tl})
+        cols = [f"f{j}" for j in range(n_fields)]
+        exp = {r["_subsort"]: tuple(r[c] for c in cols) for r in batch.collect()}
+        got = {
+            r["_subsort"]: tuple(r[c] for c in cols)
+            for r in sink.read_output(spark).collect()
+        }
+        assert len(got) == len(exp), f"query {qi}: {q}"
+        for sid, e in exp.items():
+            g = got[sid]
+            for i in range(n_fields):
+                if e[i] is None:
+                    assert g[i] is None or g[i] != g[i], (qi, q, sid, i, g[i])
+                else:
+                    assert g[i] == pytest.approx(e[i], rel=1e-12), (
+                        qi, q, sid, i, g[i], e[i],
+                    )
