@@ -568,6 +568,13 @@ def _single_stage(
         )
     else:
         out = running_agg_stream(df, specs, watermark=watermark)
+    if rekey_node is not None and tick_unit is not None:
+        raise FenlCompileError(
+            "field-level with_key over a tick-windowed aggregation is not "
+            "supported in materialize_fenl (the boundary rows' re-key "
+            "value latches in batch; stream it as "
+            "Table | with_key(k) | {aggs} instead)"
+        )
     if rekey_node is not None:
         from kaskada_spark.prepare import KEY
 

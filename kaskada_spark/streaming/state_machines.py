@@ -120,6 +120,26 @@ def _value_kind(input_schema: T.StructType, spec: AggSpec) -> str:
     return kind
 
 
+def _check_spec_cols(input_schema: T.StructType, specs: list[AggSpec]) -> None:
+    """Every spec's input must be an input column or an EARLIER spec's
+    alias (chained). A forward or dangling reference would otherwise
+    surface as a KeyError deep inside an executor-side pandas batch."""
+    seen: set[str] = set()
+    names = set(input_schema.names)
+    for s in specs:
+        if s.col not in names and s.col not in seen:
+            later = {x.alias for x in specs} - seen
+            hint = (
+                " (chained specs must be listed inner-first)"
+                if s.col in later
+                else ""
+            )
+            raise ValueError(
+                f"AggSpec {s.alias!r} reads unknown column {s.col!r}{hint}"
+            )
+        seen.add(s.alias)
+
+
 def _resolve_kinds(
     input_schema: T.StructType, specs: list[AggSpec]
 ) -> dict[str, str]:
@@ -259,6 +279,7 @@ def running_agg_stream(
     if watermark:
         tdf = tdf.withWatermark(TIME, watermark)
     tdf, specs, rec_restore = _lower_record_specs(tdf, specs)
+    _check_spec_cols(tdf.schema, specs)
     kinds = _resolve_kinds(tdf.schema, specs)
     out_schema = _output_schema(tdf.schema, specs, kinds)
     state_schema = _state_schema(specs, kinds)

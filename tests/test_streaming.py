@@ -2655,3 +2655,22 @@ def test_materialize_fenl_random_queries_equal_batch(spark, events_tl, tmp_path)
                     assert g[i] == pytest.approx(e[i], rel=1e-12), (
                         qi, q, sid, i, g[i], e[i],
                     )
+
+
+def test_chained_spec_validation(spark):
+    """Misordered or dangling chained specs fail at build time with a
+    clear message, not as an executor-side KeyError."""
+    from kaskada_spark.streaming.state_machines import AggSpec, running_agg_stream
+
+    df = (
+        spark.readStream.format("rate").load()
+        .selectExpr("timestamp AS _time", "value AS _subsort",
+                    "CAST(value % 3 AS STRING) AS _key",
+                    "CAST(value AS DOUBLE) AS v")
+    )
+    with pytest.raises(ValueError, match="inner-first"):
+        running_agg_stream(
+            df, [AggSpec("mean", "inner", "out"), AggSpec("sum", "v", "inner")]
+        )
+    with pytest.raises(ValueError, match="unknown column"):
+        running_agg_stream(df, [AggSpec("sum", "nope", "out")])
