@@ -383,6 +383,7 @@ def tick_running_agg_stream(
         _apply_agg,
         _apply_lag,
         _apply_sliding,
+        _check_spec_cols,
         _output_schema,
         _resolve_kinds,
         _state_schema,
@@ -398,6 +399,7 @@ def tick_running_agg_stream(
             )
     cal = _Cal(tick.unit)
     tdf = tdf.withWatermark(TIME, watermark)
+    _check_spec_cols(tdf.schema, specs)
     kinds = _resolve_kinds(tdf.schema, specs)
     out_schema = _output_schema(tdf.schema, specs, kinds)
     base_state = _state_schema(specs, kinds)  # max_time, max_subsort, comps…
