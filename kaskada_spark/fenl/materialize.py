@@ -893,9 +893,93 @@ def materialize_fenl_pipeline(
             pipe.add_stage("lookup", build_lookup)
         return pipe
 
+    # two-level aggregation tree: `<agg chain> | with_key(k) | <agg>` —
+    # per-entity aggregate, re-root on a new key, aggregate again in the
+    # new grouping (e.g. per-user sum -> per-country mean of user sums).
+    # Two stateful stages with DIFFERENT grouping keys, so it stages:
+    # stage 1 = single-stage machine with the field-level with_key
+    # output projection; stage 2 = a fresh machine keyed by the new key.
+    m = _match_rekeyed_agg(node, table_name)
+    if m is not None:
+        out_name, outer_op, outer_win, wk_call = m
+        inner_record = A.Record((("__v", wk_call),))
+
+        def build_rekeyed(spark):
+            return _single_stage(inner_record, primary, table_name, watermark)
+
+        rek_schema = build_rekeyed(pipe.spark).schema
+        pipe.add_stage("rekeyed", build_rekeyed)
+
+        def build_outer(spark):
+            from kaskada_spark.streaming.state_machines import (
+                AggSpec,
+                running_agg_stream,
+            )
+
+            src = _staged_source(pipe, "rekeyed", rek_schema)
+            since_col = None
+            if outer_win is not None and not (
+                isinstance(outer_win, A.Literal) and outer_win.value is None
+            ):
+                if not (
+                    isinstance(outer_win, A.Call) and outer_win.func == "since"
+                ):
+                    raise FenlCompileError(
+                        "the outer aggregation of a re-keyed chain supports "
+                        "since(...) windows only"
+                    )
+                cond = (
+                    list(outer_win.args)[0]
+                    if outer_win.args
+                    else dict(outer_win.kwargs)["condition"]
+                )
+                comp = Compiler({table_name: Timeline(src)}, table_name)
+                base = comp.df
+                cv = comp.compile(_subst_input(cond, A.Ref(table_name)))
+                if comp.df is not base:
+                    raise FenlCompileError(
+                        "outer window condition must be stateless over the "
+                        "re-keyed stage's columns"
+                    )
+                since_col = "__w_outer"
+                src = src.withColumn(since_col, _masked(cv.col, cv.mask))
+            out = running_agg_stream(
+                src,
+                [AggSpec(outer_op, "__v", out_name, since=since_col)],
+                watermark=watermark,
+            )
+            drop = ["__v"] + ([since_col] if since_col else [])
+            return out.drop(*drop)
+
+        pipe.add_stage("outer", build_outer)
+        return pipe
+
     # plain single-stage surface
     def build_single(spark):
         return _single_stage(node, primary, table_name, watermark)
 
     pipe.add_stage("agg", build_single)
     return pipe
+
+
+def _match_rekeyed_agg(node: A.Node, table_name: str):
+    """Match `<agg chain> | with_key(k) | <agg>` (bare or single-field
+    record) after pipe desugaring: an aggregation call whose INPUT is a
+    with_key call. Returns (out_name, outer_op, outer_window,
+    with_key_call) or None."""
+    n2 = _pipe_to_calls(node)
+    if isinstance(n2, A.Record):
+        if len(n2.fields) != 1:
+            return None
+        name, expr = n2.fields[0]
+    else:
+        name, expr = "result", n2
+    if not (isinstance(expr, A.Call) and expr.func in _AGGREGATIONS):
+        return None
+    args = list(expr.args)
+    kw = dict(expr.kwargs)
+    inp = args[0] if args else kw.get("input")
+    win = args[1] if len(args) > 1 else kw.get("window")
+    if not (isinstance(inp, A.Call) and inp.func == "with_key"):
+        return None
+    return name, expr.func, win, inp

@@ -2674,3 +2674,40 @@ def test_chained_spec_validation(spark):
         )
     with pytest.raises(ValueError, match="unknown column"):
         running_agg_stream(df, [AggSpec("sum", "nope", "out")])
+
+
+def test_materialize_pipeline_rekeyed_agg_tree(spark, tmp_path):
+    """Two-level aggregation tree: per-user sum -> re-key on a payload
+    column -> per-group mean of the user sums, staged as TWO streaming
+    queries with different grouping keys — matches batch row-for-row on
+    settled rows."""
+    import pandas as pd
+
+    from kaskada_spark.fenl import fenl
+    from kaskada_spark.fenl.materialize import materialize_fenl_pipeline
+
+    rows = []
+    for i, (ent, grp) in enumerate(
+        [("u1", "US"), ("u1", "US"), ("u2", "US"), ("u2", "DE"),
+         ("u3", "DE"), ("u1", "US"), ("u3", "DE"), ("u2", "US")]
+    ):
+        rows.append((ent, grp, pd.Timestamp(2024, 5, 1, 12, i), i, float(i + 1)))
+    pdf = pd.DataFrame(rows, columns=["key", "country", "time", "seq", "v"])
+    tl = Timeline.from_events(spark.createDataFrame(pdf), "time", "key", "seq")
+
+    q = "{ m: Input.v | sum() | with_key(Input.country) | mean() }"
+    batch = fenl(q, {"Input": tl})
+    exp = {(r["_key"], r["_subsort"]): r["m"] for r in batch.collect()}
+
+    in_dir = _write_time_split(tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 3)
+    stream = (
+        spark.readStream.schema(tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    pipe = materialize_fenl_pipeline(q, stream, str(tmp_path / "work"))
+    out = pipe.run_available_now()
+    got = {(r["_key"], r["_subsort"]): r["m"] for r in out.collect()}
+    assert len(got) == len(exp), (sorted(got), sorted(exp))
+    for k, e in exp.items():
+        assert got[k] == pytest.approx(e, rel=1e-12), (k, got[k], e)
