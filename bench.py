@@ -278,8 +278,9 @@ def _compact_throughput(full: dict) -> dict:
 # The driver stores only the last N bytes of stdout (2000 in round 2,
 # BENCH_r02.json "tail") and json-parses the final line; round 2's line
 # overflowed that window and the round's numbers were machine-unreadable
-# ("parsed": null). Keep a safety margin below the observed window.
-_MAX_LINE = 1600
+# ("parsed": null). _emit prints this as the FINAL line, so the whole
+# budget is usable — keep a 150-byte margin under the observed window.
+_MAX_LINE = 1850
 
 
 def _emit(result: dict) -> None:
