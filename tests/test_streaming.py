@@ -2711,3 +2711,52 @@ def test_materialize_pipeline_rekeyed_agg_tree(spark, tmp_path):
     assert len(got) == len(exp), (sorted(got), sorted(exp))
     for k, e in exp.items():
         assert got[k] == pytest.approx(e, rel=1e-12), (k, got[k], e)
+
+
+def test_materialize_tick_window_typed_value(spark, events_tl, tmp_path):
+    """A STRING-typed latch under a calendar-tick window materializes
+    live (typed state through the tick machine) — batch-identical."""
+    from kaskada_spark.fenl import fenl
+    from kaskada_spark.fenl.materialize import materialize_fenl
+
+    q = """
+    { last_type: last(Input.event_type, window = since(daily())),
+      n: count(Input.value, window = since(daily())) }
+    """
+    in_dir = _write_time_split(
+        events_tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 3
+    )
+    stream = (
+        spark.readStream.schema(events_tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = materialize_fenl(q, stream)
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="_time")
+    sq = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+
+    batch = fenl(q, {"Input": events_tl})
+    exp = {
+        (r["_key"], r["_time"], r["_subsort"]): (r["last_type"], r["n"])
+        for r in batch.collect()
+    }
+    got = {
+        (r["_key"], r["_time"], r["_subsort"]): (r["last_type"], r["n"])
+        for r in sink.read_output(spark).collect()
+    }
+    # the final open window's boundary row is withheld until the
+    # watermark closes it; everything settled must match
+    missing = {k for k in exp if k not in got}
+    max_t = max(k[1] for k in exp)
+    for k in missing:
+        assert k[1] >= max_t.replace(hour=0, minute=0, second=0), k
+    for k, g in got.items():
+        assert k in exp and g == exp[k], (k, g, exp.get(k))
+    assert len(got) >= len(exp) - 32
