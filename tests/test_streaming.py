@@ -2604,6 +2604,9 @@ def test_materialize_fenl_random_queries_equal_batch(spark, events_tl, tmp_path)
     ]
 
     def gen_field(allow_chain=True):
+        r = rng.random()
+        if r < 0.12:
+            return f"lag({rng.randint(1, 3)}, {rng.choice(inputs)})"
         op = rng.choice(ops)
         if allow_chain and rng.random() < 0.35:
             inner = f"{rng.choice(ops)}({rng.choice(inputs)})"
