@@ -147,7 +147,13 @@ def tick_agg_stream(
     watermark: str = "0 seconds",
 ) -> DataFrame:
     """Per-entity since(tick) aggregates emitted AT each calendar
-    boundary — one output row per (entity, closed window)."""
+    boundary — one output row per (entity, closed window).
+
+    Numeric values only (double state). For typed (string/bool/ts/
+    record) values use ``tick_running_agg_stream`` — its state reuses
+    the typed running-machine kernels — and filter the output to the
+    boundary sentinel rows (``_subsort == TICK_SUBSORT``): that IS the
+    boundary-only result, with full typed-state support."""
     cal = _Cal(tick.unit)
     tdf = tdf.withWatermark(TIME, watermark)
     key_type = tdf.schema[KEY].dataType
