@@ -2763,3 +2763,57 @@ def test_materialize_tick_window_typed_value(spark, events_tl, tmp_path):
     for k, g in got.items():
         assert k in exp and g == exp[k], (k, g, exp.get(k))
     assert len(got) >= len(exp) - 32
+
+
+def test_tick_boundary_rows_typed_via_running_machine(spark, events_tl, tmp_path):
+    """The documented typed boundary-only path: tick_running_agg_stream
+    filtered to the boundary sentinel == per-window typed latches, and
+    it matches the batch tick lowering's boundary rows."""
+    from kaskada_spark.operators.tick import TICK_SUBSORT
+    from kaskada_spark.streaming.state_machines import AggSpec
+    from kaskada_spark.streaming.ticks import tick_running_agg_stream
+    from kaskada_spark.windows import Since, Tick
+    from kaskada_spark.operators.tick import TICK_COL
+    from kaskada_spark import daily
+
+    # batch expectation: last(event_type) since daily(), AT tick rows
+    tl = events_tl.with_ticks(daily())
+    tl = tl.aggregate(
+        "last", "event_type", window=Since(F.col(TICK_COL)), alias="lt"
+    )
+    exp = {
+        (r["_key"], r["_time"]): r["lt"]
+        for r in tl.df.filter(F.col(TICK_COL) & (F.col("_subsort") == TICK_SUBSORT)).collect()
+    }
+    assert exp
+
+    in_dir = _write_time_split(
+        events_tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 3
+    )
+    stream = (
+        spark.readStream.schema(events_tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = tick_running_agg_stream(
+        stream, Tick("daily"), [AggSpec("last", "event_type", "lt")],
+        tick_aliases={"lt"},
+    )
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="_time")
+    q = (
+        out.filter(F.col("_subsort") == TICK_SUBSORT)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["_key"], r["_time"]): r["lt"]
+        for r in sink.read_output(spark).collect()
+    }
+    # settled boundaries match; the final boundary may be withheld
+    for k, g in got.items():
+        assert k in exp and g == exp[k], (k, g, exp.get(k))
+    assert len(got) >= len(exp) - len({k[0] for k in exp})
