@@ -954,12 +954,79 @@ def materialize_fenl_pipeline(
         pipe.add_stage("outer", build_outer)
         return pipe
 
+    # chained aggregation whose INNER is tick-windowed (single-stage
+    # raises for this shape): stage 1 materializes the inner windowed
+    # aggregate (tick machine, boundary rows injected), stage 2 runs
+    # the outer aggregate over the staged per-row output — the outer
+    # consumes the latched inner at every domain row INCLUDING tick
+    # rows (batch chained-agg rule), which stage 2 naturally does
+    # because the boundary rows are ordinary rows of the staged frame.
+    m = _match_tick_inner_chain(node, table_name)
+    if m is not None:
+        out_name, outer_op, inner_call = m
+        inner_record = A.Record((("__v", inner_call),))
+
+        def build_inner_tick(spark):
+            return _single_stage(inner_record, primary, table_name, watermark)
+
+        in_schema = build_inner_tick(pipe.spark).schema
+        pipe.add_stage("inner", build_inner_tick)
+
+        def build_outer2(spark):
+            from kaskada_spark.streaming.state_machines import (
+                AggSpec,
+                running_agg_stream,
+            )
+
+            src = _staged_source(pipe, "inner", in_schema)
+            out = running_agg_stream(
+                src, [AggSpec(outer_op, "__v", out_name)], watermark=watermark
+            )
+            return out.drop("__v")
+
+        pipe.add_stage("outer", build_outer2)
+        return pipe
+
     # plain single-stage surface
     def build_single(spark):
         return _single_stage(node, primary, table_name, watermark)
 
     pipe.add_stage("agg", build_single)
     return pipe
+
+
+def _match_tick_inner_chain(node: A.Node, table_name: str):
+    """Match `<outer agg>(<inner agg windowed by a tick unit>)` (bare or
+    single-field record). Returns (out_name, outer_op, inner_call) or
+    None."""
+    n2 = _pipe_to_calls(node)
+    if isinstance(n2, A.Record):
+        if len(n2.fields) != 1:
+            return None
+        name, expr = n2.fields[0]
+    else:
+        name, expr = "result", n2
+    if not (isinstance(expr, A.Call) and expr.func in _AGGREGATIONS):
+        return None
+    args = list(expr.args)
+    kw = dict(expr.kwargs)
+    if len(args) > 1 or "window" in kw:
+        return None  # windowed OUTER over tick inner stays unsupported
+    inp = args[0] if args else kw.get("input")
+    if not (isinstance(inp, A.Call) and inp.func in _AGGREGATIONS):
+        return None
+    iargs = list(inp.args)
+    ikw = dict(inp.kwargs)
+    iwin = iargs[1] if len(iargs) > 1 else ikw.get("window")
+    if not (
+        isinstance(iwin, A.Call)
+        and iwin.func == "since"
+        and iwin.args
+        and isinstance(iwin.args[0], A.Call)
+        and iwin.args[0].func in TICK_UNITS
+    ):
+        return None
+    return name, expr.func, inp
 
 
 def _match_rekeyed_agg(node: A.Node, table_name: str):

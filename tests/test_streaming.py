@@ -2817,3 +2817,47 @@ def test_tick_boundary_rows_typed_via_running_machine(spark, events_tl, tmp_path
     for k, g in got.items():
         assert k in exp and g == exp[k], (k, g, exp.get(k))
     assert len(got) >= len(exp) - len({k[0] for k in exp})
+
+
+def test_materialize_pipeline_tick_inner_chain(spark, events_tl, tmp_path):
+    """`mean(sum(x, window = since(daily())))` — a tick-windowed INNER
+    aggregate in a chain stages as two queries: the tick machine first
+    (boundary rows injected), then the outer aggregate over its per-row
+    output. Settled rows match batch."""
+    from kaskada_spark.fenl import fenl
+    from kaskada_spark.fenl.materialize import materialize_fenl_pipeline
+
+    q = "{ m: mean(sum(Input.value, window = since(daily()))) }"
+    batch = fenl(q, {"Input": events_tl})
+    exp = {
+        (r["_key"], r["_time"], r["_subsort"]): r["m"] for r in batch.collect()
+    }
+
+    in_dir = _write_time_split(
+        events_tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 3
+    )
+    stream = (
+        spark.readStream.schema(events_tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    pipe = materialize_fenl_pipeline(q, stream, str(tmp_path / "work"))
+    out = pipe.run_available_now()
+    got = {
+        (r["_key"], r["_time"], r["_subsort"]): r["m"] for r in out.collect()
+    }
+    assert got, "no rows emitted"
+    for k, g in got.items():
+        assert k in exp, f"unexpected row {k}"
+        e = exp[k]
+        if e is None:
+            assert g is None or g != g, (k, g)
+        else:
+            assert g == pytest.approx(e, rel=1e-12), (k, g, e)
+    # settled fence: every batch row at-or-before the final boundary the
+    # stream could close must be present (boundary rows beyond the final
+    # watermark are withheld, never invented)
+    max_t = max(k[1] for k in exp)
+    missing = {k for k in exp if k not in got}
+    for k in missing:
+        assert k[1] >= max_t.replace(hour=0, minute=0, second=0), k
