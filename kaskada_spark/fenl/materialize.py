@@ -470,9 +470,10 @@ def _single_stage(
                 else:
                     raise FenlCompileError(
                         "a tick- or sliding-windowed INNER aggregation in a "
-                        "chained aggregation is not supported in "
-                        "materialize_fenl (window the outermost aggregation, "
-                        "or stage with materialize_fenl_pipeline)"
+                        "chained aggregation needs the staged form — "
+                        "materialize_fenl_pipeline runs tick-windowed inner "
+                        "chains (two queries); sliding inner windows are "
+                        "unsupported (window the outermost aggregation)"
                     )
             src = lower_input_col(inner_in, name, input_node.func, depth + 1)
             alias = f"__mat_nest_{name}_{depth}"
