@@ -26,19 +26,26 @@ null on injected boundary rows, so constant-only inputs (e.g.
 ``count(1)``) would differ from batch there — aggregate over the
 table's columns, as every realistic query does.
 
+CHAINED aggregations (``Input.v | sum() | mean()``) lower onto chained
+AggSpecs in the same machine with the reference's latched-reconsumption
+semantics (aggregation_tests.rs test_nested_sum_i64), composing with
+since()/sliding()/tick OUTER windows and since(<cond>) INNER windows;
+``lag(n, x)`` fields run on the deque state. ``when(cond)`` filters the
+output — statelessly, via ``when(daily())`` boundary sampling, or with
+AGGREGATIONS in the condition (hidden fields of the same pass).
+``Table | with_key(k) | {aggs}`` re-keying composes into the single
+stateful stage, and field-level ``<agg> | with_key(k)`` re-keys the
+OUTPUT as a stateless projection.
+
 Queries that CHAIN stateful operators — ``<agg> | shift_by(...)``,
-``lookup(key, <foreign agg>)`` — cannot run as one Spark query (one
-applyInPandasWithState per streaming query, hard AnalysisException);
+``lookup(key, <foreign agg>)``, two-level aggregation trees
+(``<agg> | with_key(k) | <agg>``), and tick-windowed INNER aggregates
+in chains — cannot run as one Spark query (one applyInPandasWithState
+per streaming query, hard AnalysisException);
 ``materialize_fenl_pipeline`` runs them as a STAGED pipeline of
 streaming queries chained through exactly-once sinks (see the section
-comment below). ``Table | with_key(k) | {aggs}`` re-keying composes
-into the single stateful stage (re-keying is just a new grouping
-column — the shuffle happens at the machine's groupBy), and
-``<aggs> | when(cond)`` filters the output statelessly — including
-``when(daily())`` boundary sampling, which forces tick-row injection
-exactly like the batch pre-scan. Still unsupported in any streaming
-form (clear errors): with_key nested inside expressions and nested
-aggregations.
+comment below). Still unsupported (clear errors): sliding inner
+windows in chains; field-level with_key over a tick-windowed field.
 """
 
 from __future__ import annotations
