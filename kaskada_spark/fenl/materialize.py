@@ -44,8 +44,10 @@ in chains — cannot run as one Spark query (one applyInPandasWithState
 per streaming query, hard AnalysisException);
 ``materialize_fenl_pipeline`` runs them as a STAGED pipeline of
 streaming queries chained through exactly-once sinks (see the section
-comment below). Still unsupported (clear errors): sliding inner
-windows in chains; field-level with_key over a tick-windowed field.
+comment below). since()/sliding() inner windows with stateless
+conditions lower into the single machine (windowed hidden specs); only
+tick-CONDITIONED inner windows need the staged form. Still unsupported
+(clear error): field-level with_key over a tick-windowed field.
 """
 
 from __future__ import annotations
@@ -453,38 +455,53 @@ def _single_stage(
             inner_in = iargs[0] if iargs else ikw.pop("input", A.Ref(table_name))
             inner_win = iargs[1] if len(iargs) > 1 else ikw.pop("window", None)
             inner_since = None
+            inner_n = None
             if inner_win is not None and not (
                 isinstance(inner_win, A.Literal) and inner_win.value is None
             ):
-                # since(stateless-cond) inner windows lower like any
-                # since spec; tick/sliding inner windows stay staged
+                # since/sliding(stateless-cond) inner windows lower like
+                # any windowed spec; tick-conditioned inner windows stay
+                # staged (boundary rows come from the tick machine)
+                ikw2 = dict(inner_win.kwargs) if isinstance(inner_win, A.Call) else {}
+                wargs2 = list(inner_win.args) if isinstance(inner_win, A.Call) else []
                 if (
                     isinstance(inner_win, A.Call)
-                    and inner_win.func == "since"
-                    and not (
-                        isinstance(inner_win.args[0], A.Call)
-                        and inner_win.args[0].func in TICK_UNITS
-                    )
+                    and inner_win.func == "sliding"
+                    and len(wargs2) < 2
                 ):
-                    wargs2 = list(inner_win.args)
-                    cond2 = (
-                        wargs2[0] if wargs2 else dict(inner_win.kwargs)["condition"]
-                    )
-                    inner_since = f"__mat_nw_{name}_{depth}"
-                    df = df.withColumn(
-                        inner_since, scalar_column(cond2, "inner window condition")
-                    )
-                else:
+                    wargs2 = [ikw2.get("duration"), ikw2.get("condition")]
+                cond2 = None
+                if isinstance(inner_win, A.Call) and inner_win.func == "since":
+                    cond2 = wargs2[0] if wargs2 else ikw2.get("condition")
+                elif isinstance(inner_win, A.Call) and inner_win.func == "sliding":
+                    n_node2, cond2 = wargs2[0], wargs2[1]
+                    if not (
+                        isinstance(n_node2, A.Literal)
+                        and isinstance(n_node2.value, int)
+                    ):
+                        raise FenlCompileError(
+                            "sliding duration must be an integer literal",
+                            code="E0014",
+                        )
+                    inner_n = n_node2.value
+                if cond2 is None or (
+                    isinstance(cond2, A.Call) and cond2.func in TICK_UNITS
+                ):
                     raise FenlCompileError(
-                        "a tick- or sliding-windowed INNER aggregation in a "
-                        "chained aggregation needs the staged form — "
+                        "a tick-windowed INNER aggregation in a chained "
+                        "aggregation needs the staged form — "
                         "materialize_fenl_pipeline runs tick-windowed inner "
-                        "chains (two queries); sliding inner windows are "
-                        "unsupported (window the outermost aggregation)"
+                        "chains (two queries)"
                     )
+                inner_since = f"__mat_nw_{name}_{depth}"
+                df = df.withColumn(
+                    inner_since, scalar_column(cond2, "inner window condition")
+                )
             src = lower_input_col(inner_in, name, input_node.func, depth + 1)
             alias = f"__mat_nest_{name}_{depth}"
-            specs.append(AggSpec(input_node.func, src, alias, since=inner_since))
+            specs.append(
+                AggSpec(input_node.func, src, alias, since=inner_since, n=inner_n)
+            )
             return alias
         in_col = f"__mat_in_{name}" if depth == 0 else f"__mat_in_{name}_{depth}"
         cv = scalar_value(input_node, f"{fname}() input")

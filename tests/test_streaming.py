@@ -2395,6 +2395,46 @@ def test_materialize_chained_inner_since_window(spark, events_tl, tmp_path):
             assert got[sid] == pytest.approx(e, rel=1e-12), (sid, got[sid], e)
 
 
+def test_materialize_chained_inner_sliding_window(spark, events_tl, tmp_path):
+    """A sliding(n, cond)-windowed INNER aggregation inside a chain
+    lowers onto a sliding-spec (bounded deque of closed sub-accumulators)
+    whose per-row output feeds the outer — matching batch row-for-row."""
+    from kaskada_spark.fenl import fenl
+    from kaskada_spark.fenl.materialize import materialize_fenl
+
+    q = """
+    { m: mean(sum(Input.value, window = sliding(2, Input.event_type == 'purchase'))) }
+    """
+    in_dir = _write_time_split(
+        events_tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 3
+    )
+    stream = (
+        spark.readStream.schema(events_tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = materialize_fenl(q, stream)
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="_time")
+    sq = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+
+    batch = fenl(q, {"Input": events_tl})
+    exp = {r["_subsort"]: r["m"] for r in batch.collect()}
+    got = {r["_subsort"]: r["m"] for r in sink.read_output(spark).collect()}
+    assert len(got) == len(exp)
+    for sid, e in exp.items():
+        if e is None:
+            assert got[sid] is None or got[sid] != got[sid]
+        else:
+            assert got[sid] == pytest.approx(e, rel=1e-12), (sid, got[sid], e)
+
+
 def test_streaming_token_histogram_equals_batch(spark, sf_dir, tmp_path):
     """Per-window token frequencies over the live stream match the same
     tumbling-window aggregation on the static frame (closed windows
@@ -2609,7 +2649,10 @@ def test_materialize_fenl_random_queries_equal_batch(spark, events_tl, tmp_path)
             return f"lag({rng.randint(1, 3)}, {rng.choice(inputs)})"
         op = rng.choice(ops)
         if allow_chain and rng.random() < 0.35:
-            inner = f"{rng.choice(ops)}({rng.choice(inputs)})"
+            iw = rng.choice(windows)
+            inner = f"{rng.choice(ops)}({rng.choice(inputs)}" + (
+                f", window = {iw})" if iw else ")"
+            )
             arg = inner
         else:
             arg = rng.choice(inputs)
