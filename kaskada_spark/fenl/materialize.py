@@ -46,8 +46,10 @@ per streaming query, hard AnalysisException);
 streaming queries chained through exactly-once sinks (see the section
 comment below). since()/sliding() inner windows with stateless
 conditions lower into the single machine (windowed hidden specs); only
-tick-CONDITIONED inner windows need the staged form. Still unsupported
-(clear error): field-level with_key over a tick-windowed field.
+tick-CONDITIONED inner windows need the staged form. Field-level
+with_key over a tick-windowed field also stages (tick machine →
+stateless re-key → tick-injection machine on the new key, matching the
+batch rule that the re-key re-injects boundary rows per NEW entity).
 """
 
 from __future__ import annotations
@@ -595,10 +597,9 @@ def _single_stage(
         out = running_agg_stream(df, specs, watermark=watermark)
     if rekey_node is not None and tick_unit is not None:
         raise FenlCompileError(
-            "field-level with_key over a tick-windowed aggregation is not "
-            "supported in materialize_fenl (the boundary rows' re-key "
-            "value latches in batch; stream it as "
-            "Table | with_key(k) | {aggs} instead)"
+            "field-level with_key over a tick-windowed aggregation needs "
+            "two stateful stages (the re-key re-injects boundary rows per "
+            "NEW entity) — run it via materialize_fenl_pipeline"
         )
     if rekey_node is not None:
         from kaskada_spark.prepare import KEY
@@ -1012,6 +1013,48 @@ def materialize_fenl_pipeline(
         pipe.add_stage("outer", build_outer2)
         return pipe
 
+    # field-level `<tick-windowed agg> | with_key(k)`: the re-key drops
+    # the ORIGINAL grouping's boundary rows and re-injects the tick grid
+    # per NEW entity with null payload (batch _fn_with_key re-injection
+    # rule — "old tick rows belong to the old grouping"). Two stateful
+    # stages: the tick machine keyed by the source entity, then a
+    # tick-INJECTION machine (no aggregation specs) keyed by the new key.
+    m = _match_tick_rekeyed_record(node, table_name)
+    if m is not None:
+        rekey_node, tick_unit, stripped = m
+        inner_record = A.Record(stripped)
+
+        def build_inner_rk(spark):
+            return _single_stage(inner_record, primary, table_name, watermark)
+
+        rk_schema = build_inner_rk(pipe.spark).schema
+        pipe.add_stage("inner", build_inner_rk)
+
+        def build_reinject(spark):
+            from pyspark.sql import functions as F
+
+            from kaskada_spark.operators.tick import TICK_SUBSORT
+            from kaskada_spark.streaming.ticks import tick_running_agg_stream
+            from kaskada_spark.windows import Tick
+
+            src = _staged_source(pipe, "inner", rk_schema)
+            src = src.filter(F.col(SUBSORT) != TICK_SUBSORT)
+            comp = Compiler({table_name: Timeline(src)}, table_name)
+            base = comp.df
+            kv = comp.compile(_subst_input(rekey_node, A.Ref(table_name)))
+            if comp.df is not base:
+                raise FenlCompileError(
+                    "with_key key must be a stateless expression"
+                )
+            cols = [c for c in src.columns if c != KEY]
+            src = src.select(_masked(kv.col, kv.mask).alias(KEY), *cols)
+            return tick_running_agg_stream(
+                src, Tick(tick_unit), [], watermark=watermark
+            )
+
+        pipe.add_stage("rekey", build_reinject)
+        return pipe
+
     # plain single-stage surface
     def build_single(spark):
         return _single_stage(node, primary, table_name, watermark)
@@ -1052,6 +1095,65 @@ def _match_tick_inner_chain(node: A.Node, table_name: str):
     ):
         return None
     return name, expr.func, inp
+
+
+def _tick_unit_of(n: A.Node) -> str | None:
+    """First calendar-tick unit used as a since()/sliding() window
+    condition anywhere in the expression, else None."""
+    import dataclasses
+
+    if isinstance(n, A.Call) and n.func in ("since", "sliding"):
+        for a in tuple(n.args) + tuple(v for _, v in n.kwargs):
+            if isinstance(a, A.Call) and a.func in TICK_UNITS:
+                return a.func
+    if not dataclasses.is_dataclass(n):
+        return None
+    for f in n.__dataclass_fields__:
+        v = getattr(n, f)
+        items = v if isinstance(v, tuple) else (v,)
+        for e in items:
+            if isinstance(e, tuple) and len(e) == 2:
+                e = e[1]
+            if isinstance(e, A.Node):
+                u = _tick_unit_of(e)
+                if u is not None:
+                    return u
+    return None
+
+
+def _match_tick_rekeyed_record(node: A.Node, table_name: str):
+    """Match a record (or bare field) whose every field is
+    ``<tick-windowed agg> | with_key(k)`` with one shared key — the
+    field-level re-key over a tick-windowed aggregation, which cannot
+    run single-stage (the re-injected boundary rows belong to the NEW
+    grouping). Returns (key_node, tick_unit, stripped_fields) or None."""
+    n2 = _pipe_to_calls(node)
+    fields = list(n2.fields) if isinstance(n2, A.Record) else [("result", n2)]
+    key_node = None
+    unit = None
+    stripped = []
+    for name, sub in fields:
+        sub = _pipe_to_calls(sub)
+        if not (isinstance(sub, A.Call) and sub.func == "with_key"):
+            return None
+        wargs = list(sub.args)
+        wkw = dict(sub.kwargs)
+        k = wargs[0] if wargs else wkw.get("key")
+        v = wargs[1] if len(wargs) > 1 else wkw.get("value")
+        if k is None or v is None:
+            return None
+        if key_node is not None and key_node != k:
+            return None  # single-stage raises the shared-key diagnostic
+        key_node = k
+        u = _tick_unit_of(v)
+        if u is not None:
+            if unit is not None and unit != u:
+                return None  # single-stage raises the one-unit diagnostic
+            unit = u
+        stripped.append((name, v))
+    if key_node is None or unit is None:
+        return None
+    return key_node, unit, tuple(stripped)
 
 
 def _match_rekeyed_agg(node: A.Node, table_name: str):

@@ -2904,3 +2904,52 @@ def test_materialize_pipeline_tick_inner_chain(spark, events_tl, tmp_path):
     missing = {k for k in exp if k not in got}
     for k in missing:
         assert k[1] >= max_t.replace(hour=0, minute=0, second=0), k
+
+
+def test_materialize_pipeline_tick_rekeyed_field(spark, events_tl, tmp_path):
+    """`{ s: <tick-windowed agg> | with_key(k) }` — the re-key drops the
+    original grouping's boundary rows and re-injects the tick grid per
+    NEW entity with null payload (batch _fn_with_key re-injection).
+    Stages as tick machine + re-key + tick-injection machine; settled
+    rows match batch."""
+    from kaskada_spark.fenl import fenl
+    from kaskada_spark.fenl.materialize import materialize_fenl_pipeline
+
+    q = (
+        "{ s: Input.value | sum(window = since(daily()))"
+        " | with_key(Input.event_type) }"
+    )
+    batch = fenl(q, {"Input": events_tl})
+    exp = {
+        (r["_key"], r["_time"], r["_subsort"]): r["s"] for r in batch.collect()
+    }
+
+    in_dir = _write_time_split(
+        events_tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 3
+    )
+    stream = (
+        spark.readStream.schema(events_tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    pipe = materialize_fenl_pipeline(q, stream, str(tmp_path / "work"))
+    out = pipe.run_available_now()
+    got = {
+        (r["_key"], r["_time"], r["_subsort"]): r["s"] for r in out.collect()
+    }
+    assert got, "no rows emitted"
+    n_ticks = sum(1 for k in got if k[2] == 2**63 - 1)
+    assert n_ticks > 0, "no re-injected boundary rows in the new grouping"
+    for k, g in got.items():
+        assert k in exp, f"unexpected row {k}"
+        e = exp[k]
+        if e is None:
+            assert g is None or g != g, (k, g)
+        else:
+            assert g == pytest.approx(e, rel=1e-12), (k, g, e)
+    # settled fence: boundary rows beyond the final watermark are
+    # withheld, never invented
+    max_t = max(k[1] for k in exp)
+    missing = {k for k in exp if k not in got}
+    for k in missing:
+        assert k[1] >= max_t.replace(hour=0, minute=0, second=0), k
