@@ -529,6 +529,30 @@ def q_fenl_nested(spark, sf_dir):
     )
 
 
+def q_fenl_nested_windowed(spark, sf_dir):
+    """Chained aggregation with BOTH levels daily-tick-windowed
+    (reference windowed aggregations compose with any outer window,
+    windowed_aggregation_tests.rs): the inner daily sum latches, the
+    outer daily mean re-consumes the latched value at every domain row
+    INCLUDING injected boundary rows, and resets after each boundary.
+    Integer-floored inner sums keep the outer mean's division bit-exact
+    across engines. The streaming twin runs through the staged pipeline
+    (test_materialize_pipeline_tick_inner_windowed_outer)."""
+    from kaskada_spark.fenl import fenl
+
+    q = (
+        "{ m: mean(sum(floor(Events.value) as i64,"
+        " window = since(daily())), window = since(daily())) }"
+    )
+    out = fenl(q, {"Events": _events(spark, sf_dir)})
+    return out.select(
+        F.col(KEY).alias("user_id"),
+        F.col(TIME).alias("t"),
+        F.col(SUBSORT).alias("subsort"),
+        "m",
+    )
+
+
 def q_fenl_when(spark, sf_dir):
     from kaskada_spark.fenl import fenl
 
@@ -1191,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_slice": q_entity_slice,
         "fenl_running": q_fenl_running,
         "fenl_nested": q_fenl_nested,
+        "fenl_nested_windowed": q_fenl_nested_windowed,
         "fenl_when": q_fenl_when,
         "fenl_since": q_fenl_since,
         "fenl_lookup_rekey": q_fenl_lookup_rekey,
@@ -1590,6 +1615,50 @@ def oracle_sql() -> dict[str, str]:
         "fenl_when": """
             SELECT event_id, user_id, value FROM events
             WHERE value > 150 AND event_type = 'click'
+        """,
+        "fenl_nested_windowed": """
+            WITH bnds AS (
+              SELECT user_id,
+                     CASE WHEN date_trunc('day', MIN(ts)) = MIN(ts)
+                          THEN MIN(ts)
+                          ELSE date_trunc('day', MIN(ts)) + INTERVAL 1 DAY
+                     END AS start
+              FROM events GROUP BY user_id
+            ), g AS (
+              SELECT date_trunc('day', MAX(ts)) AS fin FROM events
+            ), ticks AS (
+              SELECT user_id, UNNEST(generate_series(start, (SELECT fin FROM g), INTERVAL 1 DAY)) AS t
+              FROM bnds
+            ), rows_u AS (
+              SELECT user_id, ts AS t, event_id AS subsort,
+                     CAST(FLOOR(value) AS BIGINT) AS f, FALSE AS is_tick
+              FROM events
+              UNION ALL
+              SELECT user_id, t, 9223372036854775807 AS subsort,
+                     NULL AS f, TRUE AS is_tick
+              FROM ticks
+            ), w AS (
+              -- inner window id: a boundary row carries the sum of the
+              -- day it CLOSES (resets after the tick, never at it)
+              SELECT *,
+                     CASE WHEN is_tick THEN t - INTERVAL 1 DAY
+                          ELSE date_trunc('day', t) END AS wid
+              FROM rows_u
+            ), i AS (
+              SELECT *,
+                     SUM(f) OVER (PARTITION BY user_id, wid ORDER BY t, subsort
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+                     COALESCE(SUM(CASE WHEN is_tick THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY t, subsort
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS owid
+              FROM w
+            )
+            SELECT user_id, t, subsort,
+                   CAST(SUM(s) OVER (PARTITION BY user_id, owid ORDER BY t, subsort
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   / NULLIF(COUNT(s) OVER (PARTITION BY user_id, owid ORDER BY t, subsort
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS m
+            FROM i
         """,
         "fenl_since": f"""
             WITH w AS (

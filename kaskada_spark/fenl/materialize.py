@@ -46,7 +46,14 @@ per streaming query, hard AnalysisException);
 streaming queries chained through exactly-once sinks (see the section
 comment below). since()/sliding() inner windows with stateless
 conditions lower into the single machine (windowed hidden specs); only
-tick-CONDITIONED inner windows need the staged form. Field-level
+tick-CONDITIONED inner windows need the staged form. The outer of a
+tick-inner chain may itself be windowed — since()/sliding() over the
+SAME calendar unit (closes at the staged boundary rows) or over a
+stateless condition (evaluated on the staged frame's null-at-tick
+payload); mixed units raise the one-unit diagnostic. A re-keyed
+chain's outer may be windowed by since()/sliding() over a calendar
+unit — its stage 2 is a tick machine keyed by the NEW key (the
+boundary grid belongs to the new grouping). Field-level
 with_key over a tick-windowed field also stages (tick machine →
 stateless re-key → tick-injection machine on the new key, matching the
 batch rule that the re-key re-injects boundary rows per NEW entity).
@@ -943,22 +950,37 @@ def materialize_fenl_pipeline(
             )
 
             src = _staged_source(pipe, "rekeyed", rek_schema)
-            since_col = None
-            if outer_win is not None and not (
-                isinstance(outer_win, A.Literal) and outer_win.value is None
-            ):
-                if not (
-                    isinstance(outer_win, A.Call) and outer_win.func == "since"
-                ):
+            win = outer_win
+            if isinstance(win, A.Literal) and win.value is None:
+                win = None
+            if win is not None:
+                cond, slide_n = _window_parts(win)
+                if isinstance(cond, A.Call) and cond.func in TICK_UNITS:
+                    # tick-unit outer window over the re-keyed stream:
+                    # the boundary grid belongs to the NEW grouping, so
+                    # stage 2 is a tick machine keyed by the new key —
+                    # event rows carry the open window's running value,
+                    # injected boundary rows carry the closing window's
+                    # (batch with_ticks + Since(tick) over the re-key)
+                    from kaskada_spark.streaming.ticks import (
+                        tick_running_agg_stream,
+                    )
+                    from kaskada_spark.windows import Tick
+
+                    out = tick_running_agg_stream(
+                        src,
+                        Tick(cond.func),
+                        [AggSpec(outer_op, "__v", out_name, n=slide_n)],
+                        tick_aliases=[out_name],
+                        watermark=watermark,
+                    )
+                    return out.drop("__v")
+                if win.func != "since":
                     raise FenlCompileError(
                         "the outer aggregation of a re-keyed chain supports "
-                        "since(...) windows only"
+                        "since(<stateless cond>) and since()/sliding() over "
+                        "a calendar unit"
                     )
-                cond = (
-                    list(outer_win.args)[0]
-                    if outer_win.args
-                    else dict(outer_win.kwargs)["condition"]
-                )
                 comp = Compiler({table_name: Timeline(src)}, table_name)
                 base = comp.df
                 cv = comp.compile(_subst_input(cond, A.Ref(table_name)))
@@ -969,13 +991,18 @@ def materialize_fenl_pipeline(
                     )
                 since_col = "__w_outer"
                 src = src.withColumn(since_col, _masked(cv.col, cv.mask))
+                out = running_agg_stream(
+                    src,
+                    [AggSpec(outer_op, "__v", out_name, since=since_col)],
+                    watermark=watermark,
+                )
+                return out.drop("__v", since_col)
             out = running_agg_stream(
                 src,
-                [AggSpec(outer_op, "__v", out_name, since=since_col)],
+                [AggSpec(outer_op, "__v", out_name)],
                 watermark=watermark,
             )
-            drop = ["__v"] + ([since_col] if since_col else [])
-            return out.drop(*drop)
+            return out.drop("__v")
 
         pipe.add_stage("outer", build_outer)
         return pipe
@@ -989,7 +1016,26 @@ def materialize_fenl_pipeline(
     # because the boundary rows are ordinary rows of the staged frame.
     m = _match_tick_inner_chain(node, table_name)
     if m is not None:
-        out_name, outer_op, inner_call = m
+        out_name, outer_op, inner_call, inner_unit, outer_win = m
+        outer_parts = None
+        if outer_win is not None:
+            outer_parts = _window_parts(outer_win)
+            cond0 = outer_parts[0]
+            if (
+                isinstance(cond0, A.Call)
+                and cond0.func in TICK_UNITS
+                and cond0.func != inner_unit
+            ):
+                # a tick-unit outer window closes exactly at the inner
+                # stage's injected boundary rows (batch merges the two
+                # grids into one row per boundary); mixed units would
+                # need a second coincident boundary row — same one-unit
+                # rule as the single-stage machine
+                raise FenlCompileError(
+                    "all tick windows in one materialized query must "
+                    f"share a single calendar unit (inner {inner_unit}(), "
+                    f"outer {cond0.func}())"
+                )
         inner_record = A.Record((("__v", inner_call),))
 
         def build_inner_tick(spark):
@@ -999,16 +1045,52 @@ def materialize_fenl_pipeline(
         pipe.add_stage("inner", build_inner_tick)
 
         def build_outer2(spark):
+            from pyspark.sql import functions as F
+
+            from kaskada_spark.operators.tick import TICK_SUBSORT
             from kaskada_spark.streaming.state_machines import (
                 AggSpec,
                 running_agg_stream,
             )
 
             src = _staged_source(pipe, "inner", in_schema)
+            since_col = None
+            slide_n = None
+            if outer_parts is not None:
+                cond_node, slide_n = outer_parts
+                since_col = "__w_outer"
+                if (
+                    isinstance(cond_node, A.Call)
+                    and cond_node.func in TICK_UNITS
+                ):
+                    # same-unit tick outer: closes at the inner stage's
+                    # injected boundary rows (validated above)
+                    src = src.withColumn(
+                        since_col, F.col(SUBSORT) == F.lit(TICK_SUBSORT)
+                    )
+                else:
+                    # stateless condition, evaluated over the staged
+                    # frame — tick rows carry null payload, so the
+                    # condition is null there (never closes), exactly
+                    # the batch tick-row masking
+                    comp = Compiler({table_name: Timeline(src)}, table_name)
+                    base = comp.df
+                    cv = comp.compile(
+                        _subst_input(cond_node, A.Ref(table_name))
+                    )
+                    if comp.df is not base:
+                        raise FenlCompileError(
+                            "the outer window condition of a chained "
+                            "aggregation must be stateless"
+                        )
+                    src = src.withColumn(since_col, _masked(cv.col, cv.mask))
             out = running_agg_stream(
-                src, [AggSpec(outer_op, "__v", out_name)], watermark=watermark
+                src,
+                [AggSpec(outer_op, "__v", out_name, since=since_col, n=slide_n)],
+                watermark=watermark,
             )
-            return out.drop("__v")
+            drop = ["__v"] + ([since_col] if since_col else [])
+            return out.drop(*drop)
 
         pipe.add_stage("outer", build_outer2)
         return pipe
@@ -1065,8 +1147,9 @@ def materialize_fenl_pipeline(
 
 def _match_tick_inner_chain(node: A.Node, table_name: str):
     """Match `<outer agg>(<inner agg windowed by a tick unit>)` (bare or
-    single-field record). Returns (out_name, outer_op, inner_call) or
-    None."""
+    single-field record), outer optionally windowed by since()/sliding().
+    Returns (out_name, outer_op, inner_call, inner_unit, outer_window)
+    or None."""
     n2 = _pipe_to_calls(node)
     if isinstance(n2, A.Record):
         if len(n2.fields) != 1:
@@ -1078,8 +1161,9 @@ def _match_tick_inner_chain(node: A.Node, table_name: str):
         return None
     args = list(expr.args)
     kw = dict(expr.kwargs)
-    if len(args) > 1 or "window" in kw:
-        return None  # windowed OUTER over tick inner stays unsupported
+    outer_win = args[1] if len(args) > 1 else kw.get("window")
+    if isinstance(outer_win, A.Literal) and outer_win.value is None:
+        outer_win = None
     inp = args[0] if args else kw.get("input")
     if not (isinstance(inp, A.Call) and inp.func in _AGGREGATIONS):
         return None
@@ -1094,7 +1178,32 @@ def _match_tick_inner_chain(node: A.Node, table_name: str):
         and iwin.args[0].func in TICK_UNITS
     ):
         return None
-    return name, expr.func, inp
+    return name, expr.func, inp, iwin.args[0].func, outer_win
+
+
+def _window_parts(win: A.Node) -> tuple[A.Node, int | None]:
+    """Split a since()/sliding() window node into (condition node,
+    sliding count | None)."""
+    if not (
+        isinstance(win, A.Call) and win.func in ("since", "sliding")
+    ):
+        raise FenlCompileError("window must be since(...) or sliding(...)")
+    args = list(win.args)
+    kw = dict(win.kwargs)
+    if win.func == "since":
+        cond = args[0] if args else kw.get("condition")
+        if cond is None:
+            raise FenlCompileError("since() needs a condition")
+        return cond, None
+    n_node = args[0] if args else kw.get("duration")
+    cond = args[1] if len(args) > 1 else kw.get("condition")
+    if cond is None or not (
+        isinstance(n_node, A.Literal) and isinstance(n_node.value, int)
+    ):
+        raise FenlCompileError(
+            "sliding() needs an integer duration and a condition"
+        )
+    return cond, int(n_node.value)
 
 
 def _tick_unit_of(n: A.Node) -> str | None:

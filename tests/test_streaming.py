@@ -2953,3 +2953,151 @@ def test_materialize_pipeline_tick_rekeyed_field(spark, events_tl, tmp_path):
     missing = {k for k in exp if k not in got}
     for k in missing:
         assert k[1] >= max_t.replace(hour=0, minute=0, second=0), k
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        # same-unit tick outer: closes at the inner stage's injected
+        # boundary rows (batch merges the two grids into one row)
+        "{ m: mean(sum(Input.value, window = since(daily())),"
+        " window = since(daily())) }",
+        # sliding tick outer over the same unit
+        "{ m: sum(sum(Input.value, window = since(daily())),"
+        " window = sliding(2, daily())) }",
+        # stateless-cond outer, evaluated over the staged frame's
+        # null-at-tick payload (tick rows never close the window)
+        "{ m: mean(sum(Input.value, window = since(daily())),"
+        " window = since(Input.value > 50)) }",
+    ],
+    ids=["since_same_unit", "sliding_same_unit", "since_stateless_cond"],
+)
+def test_materialize_pipeline_tick_inner_windowed_outer(
+    spark, events_tl, tmp_path, q
+):
+    """A WINDOWED outer aggregate over a tick-windowed inner stages as
+    tick machine -> windowed running machine; settled rows match batch
+    (reference: windowed aggregations compose with any outer window,
+    sparrow-main/tests/e2e/windowed_aggregation_tests.rs)."""
+    from kaskada_spark.fenl import fenl
+    from kaskada_spark.fenl.materialize import materialize_fenl_pipeline
+
+    batch = fenl(q, {"Input": events_tl})
+    exp = {
+        (r["_key"], r["_time"], r["_subsort"]): r["m"] for r in batch.collect()
+    }
+
+    in_dir = _write_time_split(
+        events_tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 3
+    )
+    stream = (
+        spark.readStream.schema(events_tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    pipe = materialize_fenl_pipeline(q, stream, str(tmp_path / "work"))
+    out = pipe.run_available_now()
+    got = {
+        (r["_key"], r["_time"], r["_subsort"]): r["m"] for r in out.collect()
+    }
+    assert got, "no rows emitted"
+    for k, g in got.items():
+        assert k in exp, f"unexpected row {k}"
+        e = exp[k]
+        if e is None:
+            assert g is None or g != g, (k, g)
+        else:
+            assert g == pytest.approx(e, rel=1e-12), (k, g, e)
+    # settled fence: boundary rows beyond the final watermark are
+    # withheld, never invented
+    max_t = max(k[1] for k in exp)
+    missing = {k for k in exp if k not in got}
+    for k in missing:
+        assert k[1] >= max_t.replace(hour=0, minute=0, second=0), k
+
+
+def test_materialize_pipeline_mixed_tick_units_diagnostic(
+    spark, events_tl, tmp_path
+):
+    """Mixed calendar units between the inner window and a tick-unit
+    outer window raise the one-unit diagnostic at pipeline-construction
+    time (batch emits a second coincident boundary row for the coarser
+    grid — a shape the staged machines do not reproduce)."""
+    from kaskada_spark.fenl.compiler import FenlCompileError
+    from kaskada_spark.fenl.materialize import materialize_fenl_pipeline
+
+    in_dir = _write_time_split(
+        events_tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 1
+    )
+    stream = spark.readStream.schema(events_tl.df.schema).parquet(in_dir)
+    q = (
+        "{ m: mean(sum(Input.value, window = since(daily())),"
+        " window = since(monthly())) }"
+    )
+    with pytest.raises(FenlCompileError, match="single calendar unit"):
+        materialize_fenl_pipeline(q, stream, str(tmp_path / "work"))
+
+
+@pytest.mark.parametrize(
+    "win",
+    ["since(daily())", "sliding(2, daily())"],
+    ids=["since_daily", "sliding_daily"],
+)
+def test_materialize_pipeline_rekeyed_tick_outer(spark, tmp_path, win):
+    """Tick-unit outer window over a re-keyed chain: the boundary grid
+    belongs to the NEW grouping, so stage 2 is a tick machine keyed by
+    the new key — event rows carry the open window's running value,
+    injected boundary rows the closing window's (batch with_ticks +
+    Since/Sliding(tick) over the re-key). Settled rows match batch."""
+    import pandas as pd
+
+    from kaskada_spark.fenl import fenl
+    from kaskada_spark.fenl.materialize import materialize_fenl_pipeline
+
+    rows = []
+    for i, (ent, grp) in enumerate(
+        [("u1", "US"), ("u1", "US"), ("u2", "US"), ("u2", "DE"),
+         ("u3", "DE"), ("u1", "US"), ("u3", "DE"), ("u2", "US")]
+    ):
+        rows.append(
+            (ent, grp, pd.Timestamp(2024, 5, 1 + i // 3, 12, i), i, float(i + 1))
+        )
+    pdf = pd.DataFrame(rows, columns=["key", "country", "time", "seq", "v"])
+    tl = Timeline.from_events(spark.createDataFrame(pdf), "time", "key", "seq")
+
+    q = (
+        "{ m: sum(Input.v) | with_key(Input.country)"
+        f" | mean(window = {win}) }}"
+    )
+    batch = fenl(q, {"Input": tl})
+    exp = {
+        (r["_key"], r["_time"], r["_subsort"]): r["m"] for r in batch.collect()
+    }
+
+    in_dir = _write_time_split(
+        tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 3
+    )
+    stream = (
+        spark.readStream.schema(tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    pipe = materialize_fenl_pipeline(q, stream, str(tmp_path / "work"))
+    out = pipe.run_available_now()
+    got = {
+        (r["_key"], r["_time"], r["_subsort"]): r["m"] for r in out.collect()
+    }
+    assert got, "no rows emitted"
+    n_ticks = sum(1 for k in got if k[2] == 2**63 - 1)
+    assert n_ticks > 0, "no boundary rows in the new grouping"
+    for k, g in got.items():
+        assert k in exp, f"unexpected row {k}"
+        e = exp[k]
+        if e is None:
+            assert g is None or g != g, (k, g)
+        else:
+            assert g == pytest.approx(e, rel=1e-12), (k, g, e)
+    max_t = max(k[1] for k in exp)
+    missing = {k for k in exp if k not in got}
+    for k in missing:
+        assert k[1] >= max_t.replace(hour=0, minute=0, second=0), k
