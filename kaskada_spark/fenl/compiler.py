@@ -100,6 +100,7 @@ _DIAG = {
     "E0010": "Invalid argument type(s)",
     "E0011": "Invalid syntax",
     "E0012": "Circular dependency",
+    "E0013": "Invalid output type",
     "E0014": "Invalid non-constant argument",
 }
 
@@ -566,7 +567,12 @@ class Compiler:
                 )
             v = self.compile(sub)
             if not isinstance(v, CVal):
-                raise FenlCompileError(f"record field {name!r} is not a value")
+                # basic_error_tests.rs test_windows_as_field: a window
+                # descriptor is not a value — E0010
+                kind = "window" if isinstance(v, WindowVal) else "tick"
+                raise FenlCompileError(
+                    f"field {name!r} has invalid type {kind}", code="E0010"
+                )
             fields[name] = v
         self._chk(*fields.values())
         # the record's row domain: union of the discrete fields'
@@ -683,6 +689,22 @@ class Compiler:
             args = self._positional(node, nargs)
             vals = [self._boolify(self.compile(a)) for a in args]
             self._chk(*vals)
+            if name in _NUMERIC_ONLY:
+                # basic_error_tests.rs test_incompatible_actual_types_
+                # error / test_concrete_type_error: arithmetic over a
+                # non-number is a compile-time E0010, not a runtime
+                # coercion (Spark would ANSI-cast strings and raise — or
+                # worse, succeed — per ROW at execution)
+                from pyspark.sql import types as T
+
+                for v in vals:
+                    dt = self._spark_type(v.col)
+                    if not isinstance(dt, (T.NumericType, T.NullType)):
+                        raise FenlCompileError(
+                            f"invalid types for call to {name!r} (actual: "
+                            f"{dt.simpleString()}); expected 'number'",
+                            code="E0010",
+                        )
             cols = [v.col for v in vals]
             return self._v(fn(*cols), _or_masks(*vals), sel=_and_sels(*vals))
         fns = (
@@ -1448,6 +1470,13 @@ class Compiler:
         ta, tb = (
             self.df.select(a.col.alias("__a"), b.col.alias("__b")).schema
         )
+        for f in (ta, tb):
+            if not isinstance(f.dataType, (T.NumericType, T.NullType)):
+                raise FenlCompileError(
+                    "invalid types for call to 'div' (actual: "
+                    f"{f.dataType.simpleString()}); expected 'number'",
+                    code="E0010",
+                )
         if isinstance(ta.dataType, integral) and isinstance(tb.dataType, integral):
             # SQL `div`: truncating integer division (Rust i64 `/` parity)
             col = F.when(b.col != F.lit(0), F.call_function("div", a.col, b.col))
@@ -1695,6 +1724,14 @@ def _depends_on_input(node: A.Node, env: dict[str, A.Node] | None = None) -> boo
     return walk(node)
 
 
+#: scalars whose every argument must type as a number (reference
+#: signatures `(a: number, b: number)` etc., functions/math.rs) —
+#: checked at compile time with diagnostic E0010
+_NUMERIC_ONLY = frozenset(
+    ("add", "sub", "mul", "neg", "powf", "sqrt", "exp",
+     "ceil", "floor", "round")
+)
+
 # scalar registry: Fenl name -> (arity, Column function). All lower to
 # built-in Spark expressions (InstOp table, SURVEY §2.2).
 _SCALARS = {
@@ -1791,7 +1828,12 @@ def compile_fenl(
     )
     result = comp.compile(node)
     if not isinstance(result, CVal):
-        raise FenlCompileError("query does not produce a value")
+        # basic_error_tests.rs test_window_as_query: E0013 "Invalid
+        # output type — Output type must be a record, but was window"
+        kind = "window" if isinstance(result, WindowVal) else "tick"
+        raise FenlCompileError(
+            f"output type must be a record, but was {kind}", code="E0013"
+        )
     df = comp.df
     if result.fields is not None:
         out_cols = [

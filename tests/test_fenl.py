@@ -1406,6 +1406,53 @@ def test_diag_syntax_error_location(spark):
     assert "Query:1:" in msg
 
 
+def test_diag_window_as_query(spark):
+    # basic_error_tests.rs test_window_as_query: E0013 Invalid output
+    # type - "Output type must be a record, but was window"
+    tl = _tl(spark, "time,key,m\n1996-12-19T16:00:57,Ben,2\n")
+    with pytest.raises(FenlCompileError) as ei:
+        fenl("since(Input.m > 10)", tl)
+    msg = str(ei.value)
+    assert "error[E0013]: Invalid output type" in msg
+    assert "record, but was window" in msg
+
+
+def test_diag_window_as_field(spark):
+    # basic_error_tests.rs test_windows_as_field: E0010 - "Field 'x'
+    # has invalid type window"
+    tl = _tl(spark, "time,key,m\n1996-12-19T16:00:57,Ben,2\n")
+    with pytest.raises(FenlCompileError) as ei:
+        fenl("{ x: since(Input.m > 10) }", tl)
+    msg = str(ei.value)
+    assert "error[E0010]" in msg
+    assert "field 'x' has invalid type window" in msg
+
+
+def test_diag_arithmetic_type_errors(spark):
+    # basic_error_tests.rs test_incompatible_actual_types_error
+    # (string + i64), test_incompatible_lub_error (string + string),
+    # test_concrete_type_error (exp(string)): all E0010 "Invalid
+    # argument type(s) ... Expected 'number'" at COMPILE time - the
+    # reference type-checks in the DFG; Spark alone would ANSI-cast
+    # per row at execution
+    tl = _tl(spark, "time,key,n,s\n1996-12-19T16:00:57,Ben,2,hello\n")
+    for q, fn in [
+        ("{ m: Input.s + Input.n }", "add"),
+        ("{ s2: Input.s + Input.s }", "add"),
+        ("{ m: exp(Input.s) }", "exp"),
+        ("{ m: Input.n / Input.s }", "div"),
+    ]:
+        with pytest.raises(FenlCompileError) as ei:
+            fenl(q, tl)
+        msg = str(ei.value)
+        assert "error[E0010]" in msg, (q, msg)
+        assert f"call to '{fn}'" in msg, (q, msg)
+        assert "expected 'number'" in msg, (q, msg)
+    # boolean arithmetic is equally illegal
+    with pytest.raises(FenlCompileError):
+        fenl("{ m: (Input.n > 1) + 1 }", tl)
+
+
 def test_catalog_last_record(spark):
     # aggregation_tests.rs test_last_record: last over a whole RECORD
     # latches the most recent ROW (field values come from that row even
