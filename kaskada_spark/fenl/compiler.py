@@ -147,6 +147,18 @@ class CVal:
     continuous: bool = False
     fields: dict[str, "CVal"] | None = None  # record structure when known
     is_json: bool = False
+    #: result of a field access THROUGH a json value — a plain string
+    #: scalar; a further field access is the reference's E0001 ("No
+    #: fields for non-record base type string", json_tests.rs
+    #: test_nested_json_produces_error)
+    json_leaf: bool = False
+    #: Fenl duration unit when the value is a duration/interval
+    #: constructor result ('s' | 'days' | 'months'). Spark folds
+    #: days() into a DAY-TO-SECOND interval, so without this the cast
+    #: `days(n) as i32` would yield seconds; the reference's
+    #: interval_days casts to its DAY count (cast_tests.rs
+    #: test_days_between_as_i32).
+    dur_unit: str | None = None
     gen: int = -1
     #: rows where a CONTINUOUS value is NEW (updates), when that differs
     #: from the event rows: a windowed aggregate also updates at its
@@ -531,7 +543,13 @@ class Compiler:
         self._chk(base)
         if base.is_json:
             return CVal(S.json_field(base.col, node.field), base.mask,
-                        sel=base.sel)
+                        sel=base.sel, json_leaf=True)
+        if base.json_leaf:
+            # json_tests.rs test_nested_json_produces_error: json(x).a.b
+            raise FenlCompileError(
+                "no fields for non-record base type string",
+                code="E0001",
+            )
         if base.fields is not None:
             if node.field not in base.fields:
                 raise FenlCompileError(
@@ -572,6 +590,12 @@ class Compiler:
                 kind = "window" if isinstance(v, WindowVal) else "tick"
                 raise FenlCompileError(
                     f"field {name!r} has invalid type {kind}", code="E0010"
+                )
+            if v.is_json:
+                # json_tests.rs test_json_as_output_field_produces_error:
+                # a json value must be field-accessed before output
+                raise FenlCompileError(
+                    f"field {name!r} has invalid type json", code="E0010"
                 )
             fields[name] = v
         self._chk(*fields.values())
@@ -656,6 +680,13 @@ class Compiler:
 
         tgt = _FENL_TYPES[node.to]
         if tgt in ("tinyint", "smallint", "int", "bigint", "long", "float", "double"):
+            if v.dur_unit == "days":
+                # interval_days as a number = the DAY count (cast_tests.rs
+                # test_days_between_as_i32); Spark's DAY-TO-SECOND
+                # interval casts to total seconds
+                secs = v.col.try_cast("long")
+                return replace(v, col=(secs / F.lit(86400)).try_cast(tgt),
+                               dur_unit=None)
             if isinstance(self._spark_type(v.col), T.TimestampType):
                 # timestamp_ns as a number = NANOSECONDS since epoch
                 # (time_tests.rs test_time_of_record_as_i64), not Spark's
@@ -674,7 +705,7 @@ class Compiler:
                 micros = (v.col * F.lit({"s": 10**6, "ms": 10**3, "us": 1}[unit])
                           ).try_cast("long")
             return replace(v, col=F.timestamp_micros(micros))
-        return replace(v, col=v.col.try_cast(tgt))
+        return replace(v, col=v.col.try_cast(tgt), dur_unit=None)
 
     # -- calls ---------------------------------------------------------
     def _c_call(self, node: A.Call) -> CVal | WindowVal | TickVal:
@@ -706,7 +737,10 @@ class Compiler:
                             code="E0010",
                         )
             cols = [v.col for v in vals]
-            return self._v(fn(*cols), _or_masks(*vals), sel=_and_sels(*vals))
+            out = self._v(fn(*cols), _or_masks(*vals), sel=_and_sels(*vals))
+            if name in ("seconds", "days", "months"):
+                out = replace(out, dur_unit={"seconds": "s"}.get(name, name))
+            return out
         fns = (
             set(_SCALARS)
             | set(_AGGREGATIONS)
@@ -1500,7 +1534,14 @@ class Compiler:
     def _fn_json(self, node: A.Call) -> CVal:
         (v_node,) = self._positional(node, 1, ("s",))
         v = self.compile(v_node)
-        return replace(v, is_json=True)
+        if isinstance(v, CVal) and v.is_json:
+            # json_tests.rs test_json_of_json_object_errors
+            raise FenlCompileError(
+                "invalid types for parameter 's' in call to 'json': "
+                "actual type json, expected type string",
+                code="E0010",
+            )
+        return replace(v, is_json=True, json_leaf=False)
 
     def _fn_if(self, node: A.Call) -> CVal:
         c_node, v_node = self._positional(node, 2, ("condition", "value"))

@@ -1222,6 +1222,45 @@ def test_e2e_json_number_as_string(spark):
     }
 
 
+_JSON_INVALID_E2E = """time,sub,key,json
+1996-12-19T16:39:57,0,A,"{a: 10, ""b"": ""dog""}"
+1996-12-19T16:40:57,1,B,"{""a"": 4, ""b"": lizard""}"
+1996-12-19T16:41:57,2,B,"{""a"": 1, ""c"": 3.3}"
+1996-12-19T16:42:57,3,B,"{""a"": 12, ""b"": ""cat""}"
+1996-12-19T16:43:57,4,A,"{""a"", 34}"
+1996-12-19T16:44:57,5,B,"{""a"": 6, ""b"": ""dog""}"
+"""
+
+
+def test_e2e_incorrect_json_format_produces_null(spark):
+    # json_tests.rs::test_incorrect_json_format_produces_null — malformed
+    # rows (unquoted key, bad value, comma-for-colon) null every field;
+    # well-formed rows still parse
+    pdf = pd.read_csv(io.StringIO(_JSON_INVALID_E2E), parse_dates=["time"])
+    tl = Timeline.from_events(
+        spark.createDataFrame(pdf), time_col="time", key_col="key", subsort_col="sub"
+    )
+    q = "let j = json(Input.json) in { a_test: j.a as i64, b_test: json(Input.json).b }"
+    got = {r["_subsort"]: (r["a_test"], r["b_test"]) for r in fenl(q, tl).collect()}
+    assert got == {
+        0: (None, None), 1: (None, None), 2: (1, None),
+        3: (12, "cat"), 4: (None, None), 5: (6, "dog"),
+    }
+
+
+def test_e2e_json_error_goldens(spark):
+    # json_tests.rs::{test_json_of_json_object_errors (E0010),
+    # test_nested_json_produces_error (E0001),
+    # test_json_as_output_field_produces_error (E0010)}
+    tl = _json_tl(spark)
+    with pytest.raises(FenlCompileError, match=r"E0010.*'json'"):
+        fenl("let j = json(Input.json) in { a: json(j) }", tl)
+    with pytest.raises(FenlCompileError, match=r"E0001.*non-record base type string"):
+        fenl("{ out: json(Input.json).a.b }", tl)
+    with pytest.raises(FenlCompileError, match=r"E0010.*'out'.*invalid type json"):
+        fenl("{ out: json(Input.json) }", tl)
+
+
 # ----------------------------------------------------------------------
 # e2e goldens ported from sparrow-main/tests/e2e/cast_tests.rs
 # ----------------------------------------------------------------------
@@ -1274,6 +1313,87 @@ def test_e2e_numeric_downcasts(spark):
     assert dict(out.dtypes)["as32"] == "int"
 
 
+def test_e2e_implicit_cast_powf(spark):
+    # cast_tests.rs::test_implicit_cast_i64_to_f64_powf golden
+    out = fenl("{ p: powf(Input.i64, Input.f64) }", _cast_tl(spark))
+    got = {r["_subsort"]: r["p"] for r in out.collect()}
+    assert got[0] == pytest.approx(2.280122041201667e36, rel=1e-13)
+    assert got[1] is None
+    assert got[2] == 1.0 and got[3] == 1.0
+    assert got[4] == pytest.approx(1189.7837116974247, rel=1e-13)
+    assert got[5] is None and got[6] is None
+
+
+def test_e2e_null_literal_as_string(spark):
+    # cast_tests.rs::test_null_literal_as_string golden — a bare null
+    # literal is legal, and `null as string` takes the string type
+    out = fenl("{ i64: Input.i64, null_: null, ns: null as string }", _cast_tl(spark))
+    assert dict(out.dtypes)["ns"] == "string"
+    rows = out.collect()
+    assert len(rows) == 7
+    assert all(r["null_"] is None and r["ns"] is None for r in rows)
+
+
+def test_e2e_interval_casts_to_int(spark):
+    # cast_tests.rs::{test_days_between_as_i32, test_months_between_as_
+    # i32} goldens — `days(n) as i32` / `months(n) as i32` return the
+    # UNIT count (n), not Spark's interval-to-seconds cast
+    out = fenl(
+        "{ d: days(Input.i64) as i32, mo: months(Input.i64) as i32 }",
+        _cast_tl(spark),
+    )
+    assert dict(out.dtypes)["d"] == "int" and dict(out.dtypes)["mo"] == "int"
+    got = {r["_subsort"]: (r["d"], r["mo"]) for r in out.collect()}
+    assert got == {
+        0: (50, 50), 1: (None, None), 2: (25, 25), 3: (35, 35),
+        4: (25, 25), 5: (12, 12), 6: (None, None),
+    }
+
+
+def test_e2e_seconds_between_as_i64(spark):
+    # cast_tests.rs::test_seconds_between_as_i64 golden (order_time
+    # fixture column; the '2004-12-1' row parses lenient, the
+    # 'not a timestamp' row parses null — pre-parsed here exactly as
+    # the reference CSV reader resolved them, times in UTC)
+    import datetime as dt
+
+    def ts(s):
+        return dt.datetime.fromisoformat(s) if s else None
+
+    rows = [
+        ("1996-12-20T00:39:57", "2005-12-20T00:39:57"),
+        ("1997-12-20T00:39:57", "2001-12-20T00:39:57"),
+        ("1997-12-20T00:39:58", "2001-12-20T00:39:57"),
+        ("1997-12-20T00:39:59", "2001-12-20T00:39:57"),
+        ("1998-12-20T00:39:57", "2003-12-20T00:39:57"),
+        ("1999-12-20T00:39:58", "2004-12-01T00:00:00"),
+        ("1999-12-20T00:39:58", None),
+    ]
+    df = spark.createDataFrame(
+        [(ts(t), i, "0", ts(o)) for i, (t, o) in enumerate(rows)],
+        "time timestamp, sub long, key string, order_time timestamp",
+    )
+    tl = Timeline.from_events(df, time_col="time", key_col="key", subsort_col="sub")
+    q = """let duration_s = seconds_between(Input.order_time, Input.time)
+           in { duration_s_as_i64: duration_s as i64 }"""
+    got = {r["_subsort"]: r["duration_s_as_i64"] for r in fenl(q, tl).collect()}
+    assert got == {
+        0: -283996800, 1: -126230400, 2: -126230399, 3: -126230398,
+        4: -157766400, 5: -156208802, 6: None,
+    }
+
+
+def test_e2e_bool_as_i64(spark):
+    # cast_tests.rs::test_bool_as_i64 golden — true/false cast to 1/0,
+    # null comparison stays null
+    q = """let m = Numbers.m
+           let n = Numbers.n + 11
+           in { m, n, eq: (m == n) as i64 }"""
+    out = fenl(q, {"Numbers": _numbers_tl(spark)})
+    got = {r["_subsort"]: r["eq"] for r in out.collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: None, 4: None, 5: None}
+
+
 # ----------------------------------------------------------------------
 # e2e goldens ported from sparrow-main/tests/e2e/string_tests.rs
 # ----------------------------------------------------------------------
@@ -1302,6 +1422,16 @@ def test_e2e_string_len_upper(spark):
     assert got == {
         0: (5, "HELLO"), 1: (5, "WORLD"), 2: (11, "HELLO WORLD"),
         3: (0, ""), 4: (0, ""), 5: (7, "GOODBYE"),
+    }
+
+
+def test_e2e_string_lower_len(spark):
+    # string_tests.rs::test_lower_len golden
+    out = fenl("{ lower: lower(Input.s), l: len(lower(Input.s)) }", _strings_tl(spark))
+    got = {r["_subsort"]: (r["lower"], r["l"]) for r in out.collect()}
+    assert got == {
+        0: ("hello", 5), 1: ("world", 5), 2: ("hello world", 11),
+        3: ("", 0), 4: ("", 0), 5: ("goodbye", 7),
     }
 
 
@@ -1542,6 +1672,44 @@ def test_when_false_empty(spark):
     # when_tests.rs test_when_false: literal-false filter -> zero rows
     out = fenl("WhenFixture | when(false)", {"WhenFixture": _when_tl(spark)})
     assert out.count() == 0
+
+
+def test_e2e_when_every_value_type(spark):
+    # when_tests.rs::{test_boolean_when, test_timestamp_when,
+    # test_string_when} goldens — when() keeps rows where cond is TRUE
+    # (null cond drops), for bool/timestamp/string values alike
+    import datetime as dt
+
+    tl = _when_tl(spark)
+    q = """{ b: WhenFixture.bool | when(WhenFixture.cond)
+           , t: WhenFixture.time | when(WhenFixture.cond)
+           , s: WhenFixture.string | when(WhenFixture.cond) }"""
+    rows = sorted(fenl(q, {"WhenFixture": tl}).collect(), key=lambda r: r["_time"])
+    assert [r["b"] for r in rows] == [False, None, None]
+    assert [r["t"] for r in rows] == [
+        dt.datetime(1996, 12, 20, 0, 39, 57),
+        dt.datetime(1996, 12, 20, 0, 40, 0),
+        dt.datetime(1996, 12, 20, 0, 40, 2),
+    ]
+    assert [r["s"] for r in rows] == ["hello", None, "hello"]
+
+
+def test_e2e_when_cond_and_full_record(spark):
+    # when_tests.rs::{test_when_cond, test_record_when} goldens — a
+    # full-record pipe through when() keeps every original column
+    tl = _when_tl(spark)
+    out = fenl("WhenFixture | when(WhenFixture.i64 == 2)", {"WhenFixture": tl})
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["cond"], r["bool"], r["i64"], r["string"]) == (True, None, 2, "hello")
+
+    out2 = fenl("WhenFixture | when($input.cond)", {"WhenFixture": tl})
+    rows2 = sorted(out2.collect(), key=lambda r: r["_time"])
+    assert [(r["i64"], r["string"]) for r in rows2] == [
+        (57, "hello"), (None, None), (2, "hello")
+    ]
+    assert all(r["cond"] for r in rows2)
 
 
 # ----------------------------------------------------------------------
