@@ -922,6 +922,88 @@ def test_decoration_changed_since_with_final_at_time(spark):
     assert got == [("B", dt.datetime(2000, 1, 1, 0, 0, 0, 1), 8.0)], got
 
 
+def test_decoration_windowed_changed_since(spark):
+    # decoration_tests.rs test_last_timestamp_ns_windowed_changed_since:
+    # with a since(yearly()) window, boundary ticks past changed_since
+    # appear for EVERY seen entity (null last — the closing window held
+    # no events), plus B's 2004 event row
+    import datetime as dt
+
+    out = fenl(
+        "{ last: last(Times.n, window=since(yearly())) }",
+        {"Times": _tl(spark, TIMES)},
+        changed_since="2001-12-12 00:42:57",
+    )
+    got = sorted((r["_time"], r["_key"], r["last"]) for r in out.collect())
+    assert got == [
+        (dt.datetime(2002, 1, 1), "A", None),
+        (dt.datetime(2002, 1, 1), "B", None),
+        (dt.datetime(2003, 1, 1), "A", None),
+        (dt.datetime(2003, 1, 1), "B", None),
+        (dt.datetime(2004, 1, 1), "A", None),
+        (dt.datetime(2004, 1, 1), "B", None),
+        (dt.datetime(2004, 12, 6, 0, 44, 57), "B", 23.0),
+    ], got
+
+
+def test_decoration_windowed_changed_since_final(spark):
+    # decoration_tests.rs test_last_timestamp_ns_windowed_changed_since_
+    # finished: ticks count as new events, so BOTH entities survive the
+    # changed_since filter into the final results
+    import datetime as dt
+
+    out = fenl(
+        "{ last: last(Times.n, window=since(yearly())) }",
+        {"Times": _tl(spark, TIMES)},
+        behavior="final", changed_since="2001-12-12 00:42:57",
+    )
+    end = dt.datetime(2004, 12, 6, 0, 44, 57, 1)
+    got = sorted((r["_key"], r["_time"], r["last"]) for r in out.collect())
+    assert got == [("A", end, None), ("B", end, 23.0)], got
+
+
+def test_decoration_when_filtered_results(spark):
+    # decoration_tests.rs FILTERED_RESULTS quartet: a record piped
+    # through when(key == "B") under every decoration mode — entity A
+    # must NOT leak into final results (reference regression: when()'s
+    # is_new was not filtering, letting the final pass "discover" A)
+    import datetime as dt
+
+    q = '{ key: Times.key, time: Times.time, last: last(Times.n) } | when(Times.key == "B")'
+    tl = {"Times": _tl(spark, TIMES)}
+
+    # test_last_timestamp_filtered_results (plain)
+    out = fenl(q, tl)
+    got = [(r["key"], r["last"]) for r in out.orderBy("_time").collect()]
+    assert got == [("B", 4), ("B", 5), ("B", 5), ("B", 8), ("B", 23)], got
+
+    # test_last_timestamp_ns_changed_since_expect_filtered_results
+    out = fenl(q, tl, changed_since="2001-12-12 00:00:00")
+    got = [(r["key"], r["time"], r["last"]) for r in out.collect()]
+    assert got == [("B", dt.datetime(2004, 12, 6, 0, 44, 57), 23)], got
+
+    # test_last_timestamp_ns_final_expect_filtered_results
+    out = fenl(q, tl, behavior="final")
+    got = [(r["_key"], r["key"], r["time"], r["last"]) for r in out.collect()]
+    assert got == [("B", "B", dt.datetime(2004, 12, 6, 0, 44, 57), 23)], got
+
+    # test_last_timestamp_ns_changed_since_final_expect_filtered_results
+    out = fenl(q, tl, behavior="final", changed_since="2001-12-12 00:00:00")
+    got = [(r["_key"], r["last"]) for r in out.collect()]
+    assert got == [("B", 23)], got
+
+
+def test_decoration_changed_since_no_results(spark):
+    # decoration_tests.rs test_last_timestamp_ns_changed_since_expect_
+    # no_results: changed_since past every input -> empty output
+    out = fenl(
+        "{ time: Times.time, last: last(Times.n) }",
+        {"Times": _tl(spark, TIMES)},
+        changed_since="2050-01-01 00:00:00",
+    )
+    assert out.count() == 0
+
+
 # ----------------------------------------------------------------------
 # calendar tick goldens (reference e2e tick_tests.rs:486-545)
 # ----------------------------------------------------------------------

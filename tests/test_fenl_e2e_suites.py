@@ -857,6 +857,98 @@ def test_e2e_join_superset(spark):
     assert (_ts("2022-01-03T06:45:57"), "C", None, 3, None) in rows
 
 
+_NEXT_DAY = [
+    ("2022-01-03T18:39:57", "B", 5), ("2022-01-03T20:39:57", "A", 4),
+    ("2022-01-03T21:39:57", "B", 15), ("2022-01-03T22:39:57", "A", 8),
+    ("2022-01-03T23:39:57", "C", 100), ("2022-01-04T00:39:57", "C", 200),
+    ("2022-01-04T01:39:57", "B", 20),
+]
+
+_DIFFERENT_KEYS = [
+    ("2022-01-03T00:39:57", "X", 1), ("2022-01-03T01:39:57", "Y", 10),
+    ("2022-01-03T02:39:57", "X", 2), ("2022-01-03T03:39:57", "Y", 20),
+    ("2022-01-03T04:39:57", "Z", 100), ("2022-01-03T05:39:57", "Z", 200),
+    ("2022-01-03T06:39:57", "X", 3),
+]
+
+
+def test_e2e_join_identical_tables(spark):
+    # multiple_tables.rs::{test_identical_table_join,
+    # test_triple_add_same_table} — a copy of the same rows aligns 1:1;
+    # an operand may appear twice in the addition tree
+    tables = {"Purchases": _purchase_tl(spark, _PURCHASES),
+              "P2": _purchase_tl(spark, _PURCHASES)}
+    out = fenl(
+        "{t1_val: Purchases.total, t2_val: P2.total, "
+        "sum: Purchases.total + P2.total}", tables)
+    rows = _join_rows(out)
+    assert len(rows) == 7
+    assert all(r[2] == r[3] and r[4] == 2 * r[2] for r in rows)
+
+    out3 = fenl(
+        "{t1_val: Purchases.total, t2_val: P2.total, "
+        "sum: Purchases.total + (P2.total + Purchases.total)}", tables)
+    rows3 = _join_rows(out3)
+    assert len(rows3) == 7
+    assert all(r[4] == 3 * r[2] for r in rows3)
+
+
+def test_e2e_join_different_dates(spark):
+    # multiple_tables.rs::test_tables_different_dates — disjoint time
+    # ranges interleave into one timeline; the null-strict add never
+    # fires (no coincident rows)
+    out = fenl(
+        "{t1_val: Purchases.total, t2_val: NDPurchases.total, "
+        "sum: Purchases.total + NDPurchases.total}",
+        {"Purchases": _purchase_tl(spark, _PURCHASES),
+         "NDPurchases": _purchase_tl(spark, _NEXT_DAY)},
+    )
+    rows = _join_rows(out)
+    assert len(rows) == 14
+    assert all(r[4] is None for r in rows)
+    # day-1 rows carry only t1, day-2 rows only t2
+    assert (_ts("2022-01-03T00:39:57"), "A", 1, None, None) in rows
+    assert (_ts("2022-01-04T01:39:57"), "B", None, 20, None) in rows
+
+
+def test_e2e_join_no_overlapping_keys(spark):
+    # multiple_tables.rs::test_tables_no_overlapping_keys — same
+    # instants, disjoint entities: every row stays single-sided
+    out = fenl(
+        "{t1_val: Purchases.total, t2_val: DKPurchases.total, "
+        "sum: Purchases.total + DKPurchases.total}",
+        {"Purchases": _purchase_tl(spark, _PURCHASES),
+         "DKPurchases": _purchase_tl(spark, _DIFFERENT_KEYS)},
+    )
+    rows = _join_rows(out)
+    assert len(rows) == 14
+    assert all(r[4] is None for r in rows)
+    assert (_ts("2022-01-03T00:39:57"), "A", 1, None, None) in rows
+    assert (_ts("2022-01-03T00:39:57"), "X", None, 1, None) in rows
+    assert (_ts("2022-01-03T05:39:57"), "Z", None, 200, None) in rows
+
+
+def test_e2e_join_triple_add_different_tables(spark):
+    # multiple_tables.rs::test_triple_add_different_tables — three-way
+    # merge; sum fires only where ALL THREE tables have coincident rows
+    out = fenl(
+        "{t1_val: Purchases.total, t2_val: SSPurchases.total, "
+        "t3_val: OKPurchases.total, "
+        "sum: (Purchases.total + SSPurchases.total) + OKPurchases.total}",
+        {"Purchases": _purchase_tl(spark, _PURCHASES),
+         "SSPurchases": _purchase_tl(spark, _SUPERSET),
+         "OKPurchases": _purchase_tl(spark, _OVERLAPPING)},
+    )
+    rows = _join_rows(out)
+    assert len(rows) == 19
+    assert (_ts("2022-01-03T01:39:57"), "B", 10, 10, 10, 30) in rows
+    assert (_ts("2022-01-03T02:39:57"), "A", 2, 2, 2, 6) in rows
+    assert (_ts("2022-01-03T04:39:57"), "C", 100, 100, 100, 300) in rows
+    assert (_ts("2022-01-03T00:39:57"), "X", None, None, 1, None) in rows
+    assert (_ts("2022-01-03T05:39:57"), "C", 200, 200, None, None) in rows
+    assert sum(1 for r in rows if r[5] is not None) == 3
+
+
 def test_e2e_join_three_tables_common_operand(spark):
     # multiple_tables.rs::test_3_tables_with_3_additions_with_1_common_
     # operand — three-way merge; SSPurchases.total feeds two additions
