@@ -105,6 +105,22 @@ _DIAG = {
 }
 
 
+
+def _kwdict(node: "A.Call") -> dict:
+    """kwargs as a dict; a repeated keyword is the reference's E0008
+    (basic_error_tests.rs test_invalid_named_arguments_duplicates) —
+    dict() would silently keep the last one."""
+    kw: dict = {}
+    for k, v in node.kwargs:
+        if k in kw:
+            raise FenlCompileError(
+                f"invalid arguments: keyword {k!r} given more than once",
+                code="E0008",
+            )
+        kw[k] = v
+    return kw
+
+
 class FenlCompileError(ValueError):
     def __init__(self, message: str, code: str | None = None):
         self.code = code
@@ -679,14 +695,34 @@ class Compiler:
         from pyspark.sql import types as T
 
         tgt = _FENL_TYPES[node.to]
+        if node.to.startswith(("duration_", "interval_")):
+            # basic_error_tests.rs test_illegal_cast: only numbers (and
+            # durations) cast to duration/interval types; `key as
+            # duration_ns` is E0002, not a null-producing try_cast
+            st = self._spark_type(v.col)
+            if not isinstance(
+                st,
+                (T.NumericType, T.NullType, T.DayTimeIntervalType,
+                 T.YearMonthIntervalType),
+            ):
+                raise FenlCompileError(
+                    f"unable to cast to type {node.to!r} from type "
+                    f"{st.simpleString()}",
+                    code="E0002",
+                )
         if tgt in ("tinyint", "smallint", "int", "bigint", "long", "float", "double"):
-            if v.dur_unit == "days":
+            if v.dur_unit == "days" and isinstance(
+                self._spark_type(v.col), T.DayTimeIntervalType
+            ):
                 # interval_days as a number = the DAY count (cast_tests.rs
                 # test_days_between_as_i32); Spark's DAY-TO-SECOND
-                # interval casts to total seconds
+                # interval casts to total seconds. days_between already
+                # yields the day count as a plain int — generic path.
                 secs = v.col.try_cast("long")
                 return replace(v, col=(secs / F.lit(86400)).try_cast(tgt),
                                dur_unit=None)
+            if v.dur_unit is not None:
+                return replace(v, col=v.col.try_cast(tgt), dur_unit=None)
             if isinstance(self._spark_type(v.col), T.TimestampType):
                 # timestamp_ns as a number = NANOSECONDS since epoch
                 # (time_tests.rs test_time_of_record_as_i64), not Spark's
@@ -738,8 +774,16 @@ class Compiler:
                         )
             cols = [v.col for v in vals]
             out = self._v(fn(*cols), _or_masks(*vals), sel=_and_sels(*vals))
-            if name in ("seconds", "days", "months"):
-                out = replace(out, dur_unit={"seconds": "s"}.get(name, name))
+            # duration/interval-typed results (Fenl types duration_s /
+            # interval_days / interval_months): the constructors produce
+            # real Spark intervals, the *_between functions plain
+            # numbers — both carry the Fenl unit so casts and the
+            # output-type check (E0013) see it
+            _DUR = {"seconds": "s", "days": "days", "months": "months",
+                    "seconds_between": "s", "days_between": "days",
+                    "months_between": "months"}
+            if name in _DUR:
+                out = replace(out, dur_unit=_DUR[name])
             return out
         fns = (
             set(_SCALARS)
@@ -756,7 +800,7 @@ class Compiler:
         with $input (the reference's implicit-input resolution for pipes,
         frontend/resolve_arguments.rs)."""
         args = list(node.args)
-        kw = dict(node.kwargs)
+        kw = _kwdict(node)
         out: list[A.Node] = []
         for i in range(n):
             if i < len(args):
@@ -770,7 +814,7 @@ class Compiler:
     # aggregations -----------------------------------------------------
     def _aggregate(self, op: str, node: A.Call) -> CVal:
         args = list(node.args)
-        kw = dict(node.kwargs)
+        kw = _kwdict(node)
         input_node = args[0] if args else kw.pop("input", A.Ref("$input"))
         window_node = args[1] if len(args) > 1 else kw.pop("window", None)
         if kw:
@@ -838,7 +882,8 @@ class Compiler:
             # (tick_tests.rs test_tick_when_finished: `{...} | last()`
             # emits `time,sum` columns, not one struct)
             out = replace(out, fields={
-                n: self._v(F.col(alias)[n], continuous=True)
+                n: replace(self._v(F.col(alias)[n], continuous=True),
+                           dur_unit=v.fields[n].dur_unit)
                 for n in v.fields
             })
         return out
@@ -1669,7 +1714,7 @@ class Compiler:
 
     def _fn_substring(self, node: A.Call) -> CVal:
         args = list(node.args)
-        kw = dict(node.kwargs)
+        kw = _kwdict(node)
         s = self.compile(args[0] if args else A.Ref("$input"))
         start = self.compile(args[1]) if len(args) > 1 else (
             self.compile(kw["start"]) if "start" in kw else None
@@ -1686,7 +1731,7 @@ class Compiler:
 
     def _fn_clamp(self, node: A.Call) -> CVal:
         args = list(node.args)
-        kw = dict(node.kwargs)
+        kw = _kwdict(node)
         v = self.compile(args[0] if args else A.Ref("$input"))
         lo = self.compile(args[1]) if len(args) > 1 else (
             self.compile(kw["min"]) if "min" in kw else None
@@ -1876,11 +1921,28 @@ def compile_fenl(
             f"output type must be a record, but was {kind}", code="E0013"
         )
     df = comp.df
+    _DUR_TYPE = {"s": "duration_s", "days": "interval_days",
+                 "months": "interval_months"}
     if result.fields is not None:
+        for n, v in result.fields.items():
+            if v.dur_unit is not None:
+                # basic_error_tests.rs test_unsupported_output_type_*:
+                # duration/interval values must be cast before output
+                raise FenlCompileError(
+                    f"output field {n!r} has unsupported output type "
+                    f"{_DUR_TYPE[v.dur_unit]!r}; try adding 'as i64'",
+                    code="E0013",
+                )
         out_cols = [
             _masked(v.col, v.sel).alias(n) for n, v in result.fields.items()
         ]
     else:
+        if result.dur_unit is not None:
+            raise FenlCompileError(
+                "output has unsupported output type "
+                f"{_DUR_TYPE[result.dur_unit]!r}; try adding 'as i64'",
+                code="E0013",
+            )
         out_cols = [_masked(result.col, result.sel).alias("result")]
     out = df.select(*META, *out_cols)
     if result.mask is not None:

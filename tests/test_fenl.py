@@ -1640,6 +1640,107 @@ def test_diag_window_as_field(spark):
     assert "field 'x' has invalid type window" in msg
 
 
+def test_diag_undefined_column_variants(spark):
+    # basic_error_tests.rs {test_undefined_column_last,
+    # test_undefined_column_field_ref, test_undefined_column_field_
+    # addition}: the E0001 survives through aggregates, chained field
+    # refs, and arithmetic (regression: the diagnostic was swallowed)
+    for q in ("{ u: Input.undefined } | last()",
+              "{ u: Input.undefined.foo }",
+              "{ u: Input.undefined + 5 }"):
+        msg = _err(spark, q)
+        assert "error[E0001]: Illegal field reference" in msg, q
+        assert "'undefined'" in msg and "Nearest fields:" in msg, q
+
+
+def test_diag_illegal_cast_string_to_duration(spark):
+    # basic_error_tests.rs test_illegal_cast: string as duration_ns is
+    # E0002 with the from-type, not a null-producing try_cast
+    msg = _err(spark, "{ n: Input.key as duration_ns }")
+    assert "error[E0002]: Illegal cast" in msg
+    assert "'duration_ns'" in msg and "from type string" in msg
+
+
+def test_diag_non_record_extension(spark):
+    # basic_error_tests.rs test_non_record_extension: extending a record
+    # WITH a non-record is E0010 (the base-also-non-record variant is
+    # test_diag_invalid_argument_type above)
+    msg = _err(spark, "Input | extend(Input.n)")
+    assert "error[E0010]" in msg and "must be record" in msg
+
+
+def test_diag_duplicate_keyword_argument(spark):
+    # basic_error_tests.rs test_invalid_named_arguments_duplicates:
+    # E0008, not a silent last-one-wins dict build
+    msg = _err(spark, "{ n: ceil(x = Input.n, x = 5) }")
+    assert "error[E0008]: Invalid arguments" in msg
+    assert "'x'" in msg and "more than once" in msg
+
+
+def test_diag_named_before_positional(spark):
+    # basic_error_tests.rs test_invalid_named_before_positional — the
+    # parser rejects a positional after a keyword (E0011 here; the
+    # reference awkwardly reports E0008 from its parser)
+    from kaskada_spark.fenl.lexer import FenlSyntaxError
+
+    tl = _tl(spark, "time,key,n\n1996-12-19T16:00:57,Ben,2\n")
+    with pytest.raises(FenlSyntaxError, match="positional argument after keyword"):
+        fenl("{ n: ceil(x = Input.n, 5) }", tl)
+
+
+def test_diag_argument_syntax_errors(spark):
+    # basic_error_tests.rs {test_invalid_arguments_missing_named_value,
+    # test_invalid_arguments_unexpected_operator, test_parse_error,
+    # test_parse_error_missing_parentheses}: all E0011 with a location
+    from kaskada_spark.fenl.lexer import FenlSyntaxError
+
+    tl = _tl(spark, "time,key,n\n1996-12-19T16:00:57,Ben,2\n")
+    for q in ("{ n: ceil(x:) }", "{ n: ceil(+ Input.n) }",
+              "{ n: Input.n +", "{ n: sum(Input.n }"):
+        with pytest.raises(FenlSyntaxError) as ei:
+            fenl(q, tl)
+        msg = str(ei.value)
+        assert "error[E0011]: Invalid syntax" in msg, q
+        assert "Query:1:" in msg, q
+
+
+def test_diag_non_const_lag(spark):
+    # basic_error_tests.rs test_non_const_lag: E0014
+    msg = _err(spark, "{ invalid_lag: lag(Input.n, Input.n) }")
+    assert "error[E0014]: Invalid non-constant argument" in msg
+    assert "must be constant" in msg
+
+
+def test_diag_unsupported_output_types(spark):
+    # basic_error_tests.rs test_unsupported_output_type_* family:
+    # duration/interval values are not writable output types — E0013
+    # with the "try adding 'as i64'" hint; the cast clears it, and the
+    # flag survives a record latch (`{...} | last()`)
+    tl = _tl(spark, "time,key,n\n1996-12-19T16:00:57,Ben,2\n")
+    for q, ty in [
+        ("{ duration: seconds_between(Input.time, Input.time), other: Input.n }",
+         "duration_s"),
+        ("{ interval: months_between(Input.time, Input.time), other: Input.time }",
+         "interval_months"),
+        ("{ interval: months_between(Input.time, Input.time) } | last()",
+         "interval_months"),
+        ("{ d: days(Input.n) }", "interval_days"),
+    ]:
+        msg = _err(spark, q)
+        assert "error[E0013]: Invalid output type" in msg, q
+        assert f"unsupported output type '{ty}'" in msg, q
+        assert "as i64" in msg, q
+    # the explicit cast makes each of them legal
+    out = fenl(
+        """{ sb: seconds_between(Input.time, Input.time) as i64
+           , mb: months_between(Input.time, Input.time) as i32
+           , d: days(Input.n) as i32 }""",
+        tl,
+    )
+    r = out.collect()[0]
+    assert (r["sb"], r["mb"], r["d"]) == (0, 0, 2)
+
+
 def test_diag_arithmetic_type_errors(spark):
     # basic_error_tests.rs test_incompatible_actual_types_error
     # (string + i64), test_incompatible_lub_error (string + string),
