@@ -1,4 +1,4 @@
-"""Streaming exact deduplication over a live document/sequence stream.
+"""Streaming exact + near deduplication over a live document stream.
 
 Batch dedup (operators/dedup.py exact_dedup) answers "which rows are
 copies" after the fact; a streaming ingest pipeline instead wants to
@@ -46,4 +46,52 @@ def exact_dedup_stream(
     hashed = stream.withColumn(hash_col, F.md5(F.col(text_col)))
     return hashed.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
         [hash_col]
+    )
+
+
+LSH_KEY = "lsh_key"
+
+
+def near_dedup_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    time_col: str = "_time",
+    watermark: str = "10 minutes",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    band_size: int | None = None,
+    key_col: str = LSH_KEY,
+) -> DataFrame:
+    """First-arrival pass-through NEAR-duplicate filter (MinHash LSH).
+
+    Rows whose first ``band_size`` MinHash values all collide with a
+    previously-seen row inside the watermark horizon are dropped; two
+    documents with word-shingle Jaccard similarity J collide with
+    probability J^band_size (J=0.9, band_size=4 → 66% drop per
+    encounter; repeated copies are caught on later encounters since the
+    survivor re-arms the state). ``band_size=None`` uses the full
+    signature — the strictest setting, near-exact dedup with fuzz only
+    from shingle-set equality.
+
+    The signature is the batch engine's (`operators/dedup.py
+    minhash_signature`) — pure Catalyst column expressions, one md5 per
+    shingle, no Python — so batch LSH pairs and this stream filter
+    agree on which documents band together. State = one row per live
+    LSH key, expired by the watermark: bounded by (arrival rate x
+    horizon) at any corpus size, never by corpus cardinality.
+
+    Reference scope note: like `exact_dedup_stream`, this extends the
+    driver's training-data-pipeline mandate into the streaming domain;
+    the reference engine has no dedup operator.
+    """
+    from kaskada_spark.operators.dedup import minhash_signature
+
+    band_size = num_hashes if band_size is None else band_size
+    if not 1 <= band_size <= num_hashes:
+        raise ValueError(f"band_size must be in [1, {num_hashes}]")
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    key = F.md5(F.slice(sig, 1, band_size).cast("string"))
+    keyed = stream.withColumn(key_col, key)
+    return keyed.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        [key_col]
     )

@@ -1952,6 +1952,66 @@ def test_streaming_exact_dedup_equivalence(spark, tmp_path):
     assert {r["doc_id"] for r in got.collect()} == reps == {1, 2, 4, 6}
 
 
+def test_streaming_near_dedup_equivalence(spark, tmp_path):
+    """MinHash-LSH first-arrival filter: rows whose leading signature
+    band collides with an earlier in-horizon row are dropped. The
+    stream output equals the batch min-time-per-LSH-key rule by
+    construction (same Catalyst signature expression), and documents
+    that differ only in case/whitespace (same word shingles, different
+    raw bytes — invisible to EXACT dedup) collapse."""
+    import datetime as dt
+
+    from kaskada_spark.operators.dedup import minhash_signature
+    from kaskada_spark.streaming.dedup import near_dedup_stream
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, base, t0),
+        (2, "completely different content about spark streaming state stores",
+         t0 + dt.timedelta(minutes=1)),
+        # same words as 1 modulo case/whitespace -> same shingle set,
+        # different md5(text): a NEAR dup, arriving in a later batch
+        (3, base.upper().replace(" ", "  "), t0 + dt.timedelta(minutes=2)),
+        (4, "a third unrelated document listing parquet file formats",
+         t0 + dt.timedelta(minutes=3)),
+        (5, base, t0 + dt.timedelta(minutes=90)),  # exact dup, later file
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, _time timestamp")
+
+    # batch twin of the stream rule: keep the min-time row per LSH key
+    sig = minhash_signature(F.col("text"), 8, 3)
+    key = F.md5(F.slice(sig, 1, 8).cast("string"))
+    w = df.withColumn("k", key)
+    batch_keep = {
+        r["doc_id"]
+        for r in w.join(
+            w.groupBy("k").agg(F.min("_time").alias("_time")), ["k", "_time"]
+        ).collect()
+    }
+    assert batch_keep == {1, 2, 4}  # 3 near-dups 1; 5 exact-dups 1
+
+    in_dir = _write_time_split(df, ["_time"], str(tmp_path / "in"), 3)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = near_dedup_stream(stream, text_col="text", watermark="3 hours")
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="_time")
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sink.read_output(spark)
+    assert "lsh_key" in got.columns
+    assert {r["doc_id"] for r in got.collect()} == batch_keep
+
+
 def test_streaming_exact_dedup_horizon_expiry(spark, tmp_path):
     """State expires with the watermark: a copy arriving AFTER the
     dedup horizon is treated as new content (bounded state is the
