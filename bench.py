@@ -146,12 +146,18 @@ def worker(master: str, input_dir: str, n_rows: int) -> None:
         "SPARK_GRAFT_BENCH_RUNS",
         "5" if master.startswith("local-cluster") else "3",
     ))
+    # convergence-aware extra samples: when the newest run is still
+    # improving the best by >5% (JIT/cache/host-noise still settling —
+    # observed run arrays like [173,133,138,94,93] that were clearly
+    # still converging when a fixed count stopped them), keep sampling
+    # up to n_max within the wall budget
+    n_max = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", str(n_runs + 3)))
     # wall budget per level: keep well under _spawn_worker's subprocess
     # timeout so a noisy machine degrades to fewer samples, never to a
     # killed worker (round 2's parsed-null failure mode)
     budget = float(os.environ.get("SPARK_GRAFT_LEVEL_BUDGET", "1200"))
     level_t0 = time.time()
-    for _ in range(n_runs):
+    while True:
         work = tempfile.mkdtemp(prefix="bench_worker_")
         try:
             t0 = time.time()
@@ -169,15 +175,22 @@ def worker(master: str, input_dir: str, n_rows: int) -> None:
             shutil.rmtree(work, ignore_errors=True)
         if len(runs) >= 2 and time.time() - level_t0 > budget:
             break  # enough samples; don't risk the subprocess timeout
+        if len(runs) >= n_max:
+            break
+        if len(runs) >= n_runs and (
+            len(runs) < 2 or min(runs[:-1]) <= min(runs) * 1.05
+        ):
+            break  # converged: the last run didn't improve best by >5%
     best = min(runs)
     print(json.dumps({"master": master, "sec": round(best, 3),
                       "runs": [round(r, 3) for r in runs],
                       "seq_per_sec": round(n_rows / best, 1)}))
 
 
-def _spawn_worker(master: str, input_dir: str, n_rows: int) -> dict:
+def _spawn_worker(master: str, input_dir: str, n_rows: int,
+                  env_overrides: dict | None = None) -> dict:
     def attempt(extra_env: dict) -> dict:
-        env = {**os.environ, **extra_env}
+        env = {**os.environ, **(env_overrides or {}), **extra_env}
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", master, input_dir, str(n_rows)],
             capture_output=True, text=True, env=env, timeout=1800,
@@ -195,6 +208,37 @@ def _spawn_worker(master: str, input_dir: str, n_rows: int) -> dict:
                         "SPARK_GRAFT_LEVEL_BUDGET": "400"})
 
 
+def _paired_executor_levels(input_dir: str, n_rows: int) -> dict:
+    """Sample the headline N -> 4N executor pair INTERLEAVED.
+
+    The scaling ratio is only meaningful when both levels see the same
+    machine state; sequential per-level sampling separated the two
+    levels by ~20 minutes and a host-noise window that hits one level
+    but not the other distorts the ratio by 2x (observed: a 40-minute
+    external-load episode put all of one level's samples at ~1/3
+    speed). Alternating short worker rounds keeps the two levels'
+    samples within a few minutes of each other, so noise hits both or
+    neither; best-of across rounds still converges on the sustained
+    steady state the metric is defined over.
+    """
+    rounds = int(os.environ.get("SPARK_GRAFT_PAIR_ROUNDS", "3"))
+    per_round = {"SPARK_GRAFT_BENCH_RUNS": "2",
+                 "SPARK_GRAFT_BENCH_MAX_RUNS": "4",
+                 "SPARK_GRAFT_LEVEL_BUDGET": "450"}
+    all_runs: dict[str, list[float]] = {m: [] for m in CLUSTER_LEVELS}
+    for _ in range(rounds):
+        for m in CLUSTER_LEVELS:
+            r = _spawn_worker(m, input_dir, n_rows, env_overrides=per_round)
+            all_runs[m].extend(r["runs"])
+    out = {}
+    for m in CLUSTER_LEVELS:
+        best = min(all_runs[m])
+        out[m] = {"master": m, "sec": round(best, 3),
+                  "runs": [round(x, 3) for x in all_runs[m]],
+                  "seq_per_sec": round(n_rows / best, 1)}
+    return out
+
+
 def scaling_sweep(spark, n_rows: int) -> dict:
     """Generate a deterministic token-stream parquet once, then run the
     streaming pipeline at each parallelism level in fresh JVMs."""
@@ -210,10 +254,10 @@ def scaling_sweep(spark, n_rows: int) -> dict:
         for cores in SCALE_LEVELS:
             levels[f"local[{cores}]"] = _spawn_worker(f"local[{cores}]", input_dir, n_rows)
 
-        # north rule N -> 4N EXECUTORS: separate executor JVMs (1 -> 4 x 2c)
-        exec_levels = {}
-        for m in (*CLUSTER_LEVELS, CLUSTER_MAX):
-            exec_levels[m] = _spawn_worker(m, input_dir, n_rows)
+        # north rule N -> 4N EXECUTORS: separate executor JVMs (1 -> 4 x 2c),
+        # the two pair levels sampled interleaved (see _paired_executor_levels)
+        exec_levels = _paired_executor_levels(input_dir, n_rows)
+        exec_levels[CLUSTER_MAX] = _spawn_worker(CLUSTER_MAX, input_dir, n_rows)
 
         def thr(c):
             return levels[f"local[{c}]"]["seq_per_sec"]
