@@ -710,6 +710,16 @@ class Compiler:
                     f"{st.simpleString()}",
                     code="E0002",
                 )
+            # the cast RESULT is duration/interval-typed (reference
+            # casts.rs types `n as duration_s` as Duration(Second)):
+            # carry the Fenl unit so the E0013 output-type guard still
+            # fires until a numeric cast clears it
+            unit = {
+                "duration_s": "s", "duration_ms": "ms",
+                "duration_us": "us", "duration_ns": "ns",
+                "interval_days": "days", "interval_months": "months",
+            }[node.to]
+            return replace(v, col=v.col.try_cast(tgt), dur_unit=unit)
         if tgt in ("tinyint", "smallint", "int", "bigint", "long", "float", "double"):
             if v.dur_unit == "days" and isinstance(
                 self._spark_type(v.col), T.DayTimeIntervalType
@@ -1921,8 +1931,9 @@ def compile_fenl(
             f"output type must be a record, but was {kind}", code="E0013"
         )
     df = comp.df
-    _DUR_TYPE = {"s": "duration_s", "days": "interval_days",
-                 "months": "interval_months"}
+    _DUR_TYPE = {"s": "duration_s", "ms": "duration_ms",
+                 "us": "duration_us", "ns": "duration_ns",
+                 "days": "interval_days", "months": "interval_months"}
     if result.fields is not None:
         for n, v in result.fields.items():
             if v.dur_unit is not None:

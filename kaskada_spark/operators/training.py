@@ -85,7 +85,7 @@ def pack_sequences(
     order_cols: tuple[str, ...] = ("_time", "_subsort"),
     n_tok_col: str = "n_tok",
     segmented: bool = True,
-    segment_rows: int = 4096,
+    n_segments: int | None = None,
 ) -> DataFrame:
     """Assign every pre-tokenized sequence its slot in the packed
     training stream: sequences are concatenated per ``group_col`` in
@@ -97,12 +97,23 @@ def pack_sequences(
 
     ``segmented=False`` computes the running count with one window per
     group — fine while a group fits a task. With ``segmented=True``
-    (default) the prefix sum is parallelized with the 3-stage segmented
-    pattern (operators/skew.py): rows are bucketed into fixed-size rank
-    segments, summed within segments in parallel, and offset by the
-    (tiny) per-segment totals — a group with 10^11 rows packs without
-    any single task seeing more than ``segment_rows`` of them. Results
-    are identical (integer math, no reordering).
+    (default) the prefix sum is a true distributed two-pass scan with
+    NO per-group global stage anywhere:
+
+    1. ``repartitionByRange`` on ``(group, *order)`` splits every group
+       into ordered range slices; ``spark_partition_id()`` is the
+       segment id (range partitions are ordered, so for rows of one
+       group, segment order == event order).
+    2. Each (segment, group) computes its local running sum in
+       parallel — a window bounded by the range-partition size, never
+       by group size.
+    3. Per-(segment, group) totals (``n_segments × n_groups`` rows —
+       tiny) get exclusive prefix offsets, broadcast-joined back.
+
+    A group with 10^11 rows packs without any single task seeing more
+    than one range slice of it. Results are identical to the plain
+    window (integer math, no reordering). ``n_segments`` defaults to
+    ``spark.sql.shuffle.partitions``.
     """
     order = [F.col(c) for c in order_cols]
     n_tok = F.col(n_tok_col).cast("long")
@@ -115,21 +126,24 @@ def pack_sequences(
         before = F.sum(n_tok).over(w) - n_tok
         df = toks.withColumn("tokens_before", before)
     else:
-        # stage 0: global rank within group -> fixed-size segments.
-        # (row_number is itself a per-group window, but it carries no
-        # payload state; at true scale swap it for a zipWithIndex-style
-        # two-pass rank or a pre-bucketed layout. The SUM stages below
-        # are the memory/skew hazard and THEY are segmented.)
-        rank_w = W.partitionBy(group_col).orderBy(*order)
-        df = toks.withColumn("__rk", F.row_number().over(rank_w) - 1)
-        df = df.withColumn("__seg", (F.col("__rk") / segment_rows).cast("long"))
+        if n_segments is None:
+            n_segments = int(
+                toks.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+        # stage 1: ordered range slices; the partition id read AFTER
+        # the exchange is the segment id (spark_partition_id() is
+        # non-deterministic so Catalyst cannot hoist it above the
+        # exchange; AQE only coalesces ADJACENT range partitions, which
+        # preserves segment order)
+        df = toks.repartitionByRange(n_segments, F.col(group_col), *order)
+        df = df.withColumn("__seg", F.spark_partition_id())
         inner = (
-            W.partitionBy(group_col, "__seg")
+            W.partitionBy("__seg", group_col)
             .orderBy(*order)
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
         df = df.withColumn("__run_in_seg", F.sum(n_tok).over(inner))
-        seg_totals = df.groupBy(group_col, "__seg").agg(
+        seg_totals = df.groupBy("__seg", group_col).agg(
             F.sum(n_tok).alias("__seg_total")
         )
         prior = (
@@ -140,10 +154,10 @@ def pack_sequences(
         seg_offsets = seg_totals.withColumn(
             "__seg_offset", F.coalesce(F.sum("__seg_total").over(prior), F.lit(0))
         ).drop("__seg_total")
-        df = df.join(seg_offsets, [group_col, "__seg"]).withColumn(
+        df = df.join(F.broadcast(seg_offsets), ["__seg", group_col]).withColumn(
             "tokens_before", F.col("__seg_offset") + F.col("__run_in_seg") - n_tok
         )
-        df = df.drop("__rk", "__seg", "__run_in_seg", "__seg_offset")
+        df = df.drop("__seg", "__run_in_seg", "__seg_offset")
     return df.withColumn(
         "pack_id", F.floor(F.col("tokens_before") / budget).cast("long")
     ).withColumn("pack_offset", F.col("tokens_before") % budget)

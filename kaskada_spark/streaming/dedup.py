@@ -65,11 +65,20 @@ def near_dedup_stream(
     """First-arrival pass-through NEAR-duplicate filter (MinHash LSH).
 
     Rows whose first ``band_size`` MinHash values all collide with a
-    previously-seen row inside the watermark horizon are dropped; two
-    documents with word-shingle Jaccard similarity J collide with
-    probability J^band_size (J=0.9, band_size=4 → 66% drop per
-    encounter; repeated copies are caught on later encounters since the
-    survivor re-arms the state). ``band_size=None`` uses the full
+    previously-seen row inside the watermark horizon are dropped. The
+    band key is DETERMINISTIC in the document text, so for a fixed
+    (variant, survivor) pair the outcome never changes: a variant that
+    collides is dropped on every re-arrival, and a variant that escaped
+    once escapes every time it reappears verbatim (only its first
+    arrival survives thereafter, since the escapee itself arms the
+    state for its own exact repeats). The J^band_size collision
+    probability (J=0.9, band_size=4 → ~66%) therefore applies across
+    INDEPENDENTLY perturbed copies — each fresh perturbation is a new
+    draw — not across re-encounters of the same variant. Higher recall
+    per variant needs OR-amplification (any-of-b bands), which is a
+    multi-key membership test `dropDuplicatesWithinWatermark` cannot
+    express; run batch `minhash_lsh_pairs` over the survivors as the
+    second-stage sweep instead. ``band_size=None`` uses the full
     signature — the strictest setting, near-exact dedup with fuzz only
     from shingle-set equality.
 

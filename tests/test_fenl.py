@@ -1725,6 +1725,13 @@ def test_diag_unsupported_output_types(spark):
         ("{ interval: months_between(Input.time, Input.time) } | last()",
          "interval_months"),
         ("{ d: days(Input.n) }", "interval_days"),
+        # casting TO a duration/interval type TYPES the result (the
+        # reference's cast kernels yield Duration(Second) etc.), so the
+        # output guard must still fire on the cast result
+        ("{ d: Input.n as duration_s }", "duration_s"),
+        ("{ d: Input.n as duration_ms }", "duration_ms"),
+        ("{ d: seconds(Input.n) as duration_s }", "duration_s"),
+        ("{ d: Input.n as interval_months }", "interval_months"),
     ]:
         msg = _err(spark, q)
         assert "error[E0013]: Invalid output type" in msg, q
@@ -1734,11 +1741,12 @@ def test_diag_unsupported_output_types(spark):
     out = fenl(
         """{ sb: seconds_between(Input.time, Input.time) as i64
            , mb: months_between(Input.time, Input.time) as i32
-           , d: days(Input.n) as i32 }""",
+           , d: days(Input.n) as i32
+           , dc: (Input.n as duration_s) as i64 }""",
         tl,
     )
     r = out.collect()[0]
-    assert (r["sb"], r["mb"], r["d"]) == (0, 0, 2)
+    assert (r["sb"], r["mb"], r["d"], r["dc"]) == (0, 0, 2, 2)
 
 
 def test_diag_arithmetic_type_errors(spark):

@@ -529,7 +529,9 @@ def test_pack_sequences_boundaries_and_segmented_equality(spark):
         pd.DataFrame(rows, columns=["doc_id", "source", "n_tok", "_time", "_subsort"])
     )
     plain = pack_sequences(df, budget=64, segmented=False)
-    seg = pack_sequences(df, budget=64, segmented=True, segment_rows=8)
+    # n_segments far above rows-per-group so every group straddles
+    # many range slices — exercises the cross-segment offset path
+    seg = pack_sequences(df, budget=64, segmented=True, n_segments=16)
     key = lambda r: r["doc_id"]
     p = sorted(plain.collect(), key=key)
     g = sorted(seg.collect(), key=key)

@@ -46,19 +46,53 @@ def test_no_scale_antipatterns(spark, sf_dir, name, fn):
     )
 
 
+def _read_schemas(plan: str, table: str) -> list[str]:
+    """ReadSchema fragments of every FileScan over `table` in the plan."""
+    out = []
+    for scan in plan.split("FileScan")[1:]:
+        head = scan.split("ReadSchema:")
+        if len(head) == 2 and table in head[0]:
+            out.append(head[1].split("\n")[0])
+    return out
+
+
 def test_scans_are_column_pruned(spark, sf_dir):
+    """Column pruning reached the parquet scan: columns the query never
+    touches must be ABSENT from ReadSchema (documents is the widest
+    table — `text` dominates its byte size; embeddings carries a
+    64-float vector per row)."""
     qs = entrymod.queries()
-    # lang_id reads only the text column from documents (plus its id)
+    # lang_id reads only (doc_id, text): lang/source/n_chars pruned
     plan = _plan(qs["lang_id"](spark, sf_dir))
-    for scan in [s for s in plan.split("FileScan") if "documents" in s][:1]:
-        schema = scan.split("ReadSchema:")[-1]
-        assert "body" in schema or "text" in schema
-    # token_counts must not drag the embeddings table in at all
+    doc_schemas = _read_schemas(plan, "documents")
+    assert doc_schemas, "lang_id must scan the documents table"
+    for schema in doc_schemas:
+        assert "text" in schema
+        for unused in ("lang", "source", "n_chars"):
+            assert unused not in schema, (
+                f"lang_id documents scan reads unused column {unused!r}: "
+                f"{schema}"
+            )
     assert "embeddings" not in plan
-    # brute-force knn reads only (id, vector) from embeddings
+    # brute-force knn reads only (vec_id, embedding): label pruned
     plan = _plan(qs["embed_knn"](spark, sf_dir))
-    emb_scans = [s for s in plan.split("FileScan") if "embeddings" in s]
-    assert emb_scans, "embed_knn must scan the embeddings table"
+    emb_schemas = _read_schemas(plan, "embeddings")
+    assert emb_schemas, "embed_knn must scan the embeddings table"
+    for schema in emb_schemas:
+        assert "embedding" in schema
+        assert "label" not in schema, (
+            f"embed_knn embeddings scan reads unused column 'label': {schema}"
+        )
+    # token_counts reads only (doc_id, text) from documents
+    plan = _plan(qs["token_counts"](spark, sf_dir))
+    doc_schemas = _read_schemas(plan, "documents")
+    assert doc_schemas, "token_counts must scan the documents table"
+    for schema in doc_schemas:
+        for unused in ("lang", "source", "n_chars"):
+            assert unused not in schema, (
+                f"token_counts documents scan reads unused column "
+                f"{unused!r}: {schema}"
+            )
 
 
 def test_entry_contract_smoke(spark):
