@@ -98,11 +98,26 @@ def run_queries(spark) -> dict[str, float]:
         _ident, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Optional flight recording: KASKADA_QFR_DIR=<dir> writes one
+    # per-operator metrics JSONL per query (kaskada_spark/qfr.py) —
+    # off by default so recording never skews the timed runs.
+    qfr_dir = os.environ.get("KASKADA_QFR_DIR")
+    if qfr_dir:
+        os.makedirs(qfr_dir, exist_ok=True)
+
     times: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
         t0 = time.time()
         _force(fn(spark, SF_DIR))
         times[name] = round(time.time() - t0, 3)
+        if qfr_dir:
+            from kaskada_spark.qfr import write_flight_record
+
+            write_flight_record(
+                fn(spark, SF_DIR),
+                os.path.join(qfr_dir, f"{name}.jsonl"),
+                request_id=name,
+            )
     return times
 
 
