@@ -327,6 +327,13 @@ def _single_stage(
         # machine's output columns (`sum(Input.v) > 100` filters live)
         hidden: list[str] = []
         if not is_tick_cond:
+            if isinstance(inner, A.Ref) and inner.name == table_name:
+                # bare-table stateful when() (`Input | when(count(Input)
+                # > 3)`, reference when_tests.rs): the machine's output
+                # already carries every payload column, so the record
+                # only needs the hidden condition aggs — filter + drop
+                # leaves exactly the batch compiler's passthrough rows
+                inner = A.Record(())
             cond_node, hidden, inner = _extract_cond_aggs(
                 _pipe_to_calls(cond_node), inner, table_name
             )

@@ -109,6 +109,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -116,6 +117,12 @@ def minhash_lsh_pairs(
     docs sharing any band bucket become a candidate pair (id_a < id_b,
     distinct). The expensive part is a self-join per bucket — shuffled
     on the bucket key, never a global cross join.
+
+    ``cache_registry``: explicit cache lifecycle for long-lived sessions
+    (e.g. a foreachBatch loop) — the persisted intermediate frame is
+    appended to the list so the caller can ``.unpersist()`` it once the
+    result is materialized. Default (None) leaves the blocks to Spark's
+    ContextCleaner, which frees them when the plan is GC'd.
     """
     rows_per_band = num_hashes // bands
     # Signature via explode + groupBy-min, NOT num_hashes parallel
@@ -172,6 +179,8 @@ def minhash_lsh_pairs(
     from pyspark.storagelevel import StorageLevel
 
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -189,6 +198,7 @@ def near_dup_clusters(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: MinHash-LSH candidate pairs → connected
     components → one (doc, cluster_id) row per document, cluster_id =
@@ -204,7 +214,8 @@ def near_dup_clusters(
     from .graph import connected_components
 
     pairs = minhash_lsh_pairs(
-        df, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, cache_registry=cache_registry,
     )
     labels = connected_components(pairs)
     ids = df.select(F.col(id_col).cast("long").alias("doc"))

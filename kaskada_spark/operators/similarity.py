@@ -319,6 +319,7 @@ def cosine_near_dup_pairs(
     max_bucket_rows: int | None = None,
     target_bucket_rows: int = 256,
     n_rows: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: banded LSH self-join + exact
     cosine threshold. ``n_bits=None`` sizes buckets from the corpus
@@ -328,7 +329,12 @@ def cosine_near_dup_pairs(
     ``n_rows`` shortcut applies to ``lsh_knn``. ``max_bucket_rows``
     salts oversized (band, bucket) groups into sub-buckets so no join
     group exceeds the cap (cross-salt pairs in a pathological bucket
-    are dropped — documented recall trade)."""
+    are dropped — documented recall trade).
+
+    ``cache_registry``: explicit cache lifecycle — the persisted
+    bucketed frame is appended so long-lived callers (foreachBatch
+    loops) can ``.unpersist()`` after materializing; default None
+    leaves cleanup to the ContextCleaner."""
     if n_bits is None:
         n_bits = auto_n_bits(
             n_rows if n_rows is not None else corpus.count(), target_bucket_rows
@@ -361,6 +367,8 @@ def cosine_near_dup_pairs(
     from pyspark.storagelevel import StorageLevel
 
     b = b.persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(b)
     l, r = b.alias("l"), b.alias("r")
     cand = (
         l.join(r, on=join_keys)

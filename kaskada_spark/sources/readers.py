@@ -44,8 +44,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    # NB: plain `spark._jvm.org.apache.iceberg...` attribute access is NOT
+    # a valid probe — py4j resolves unknown paths to a lazy JavaPackage
+    # without raising. Class.forName actually hits the classloader.
     try:
-        spark._jvm.org.apache.iceberg.catalog.Catalog  # noqa: B018
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.catalog.Catalog")
         return True
     except Exception:
         return False
@@ -91,7 +94,9 @@ def read_inline_csv(spark: SparkSession, csv_text: str, **options) -> DataFrame:
     for col in pdf.columns:
         if pdf[col].dtype == object:
             try:
-                pdf[col] = pd.to_datetime(pdf[col])
+                # explicit ISO8601 format: no per-element inference
+                # warning, and non-timestamp strings raise -> left as-is
+                pdf[col] = pd.to_datetime(pdf[col], format="ISO8601")
             except (ValueError, TypeError):
                 pass
     return spark.createDataFrame(pdf)

@@ -545,7 +545,9 @@ def _make_tick_running_fn(specs, cal, kinds, payload, tick_aliases, comp_names):
                 if s.alias in tick_aliases:
                     wid, fired_end = tick_wid, tick_fired_end
                 elif s.since is not None:
-                    cond = comb[s.since].fillna(False).astype(bool)
+                    # nullable-boolean fillna avoids the pandas object-
+                    # downcasting FutureWarning (silent break on pandas 3)
+                    cond = comb[s.since].astype("boolean").fillna(False).astype(bool)
                     wid = cond.cumsum().shift(1, fill_value=0)
                     fired_end = bool(cond.iloc[-1])
                 else:

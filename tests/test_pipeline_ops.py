@@ -446,6 +446,99 @@ def test_ivf_knn_exhaustive_equals_brute_force(spark):
     assert all(v == 4 for v in cnt.values())
 
 
+def test_cache_registry_explicit_unpersist(spark, docs):
+    """cache_registry gives long-lived callers (foreachBatch loops) an
+    explicit persist lifecycle: the persisted branch frames are handed
+    back and unpersist() frees the blocks immediately (VERDICT r03
+    item #7 — no reliance on ContextCleaner GC timing)."""
+    from kaskada_spark.operators.dedup import minhash_lsh_pairs
+
+    reg: list = []
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", cache_registry=reg)
+    pairs.count()  # materialize while the cache is live
+    assert len(reg) == 1
+    assert reg[0].storageLevel.useMemory  # actually persisted
+    for f in reg:
+        f.unpersist(blocking=True)
+    assert not reg[0].storageLevel.useMemory
+
+    from kaskada_spark.operators.similarity import cosine_near_dup_pairs
+
+    reg2: list = []
+    vecs = _skewed_corpus(spark, n=60)
+    out = cosine_near_dup_pairs(
+        vecs, "vec_id", "embedding", n_bits=4, dim=8, cache_registry=reg2
+    )
+    out.count()
+    assert len(reg2) == 1 and reg2[0].storageLevel.useMemory
+    reg2[0].unpersist(blocking=True)
+    assert not reg2[0].storageLevel.useMemory
+
+
+def _clustered_corpus(spark, n_clusters=8, per_cluster=30, dim=16):
+    """Planted ANN ground truth: ``n_clusters`` well-separated unit
+    directions, ``per_cluster`` small deterministic perturbations each —
+    a vector's true top-k neighbors are its own cluster."""
+    import math
+
+    rows = []
+    for c in range(n_clusters):
+        # separated centers: strong weight on axis (2c, 2c+1)
+        center = [0.0] * dim
+        center[(2 * c) % dim] = 1.0
+        center[(2 * c + 1) % dim] = 0.5
+        for i in range(per_cluster):
+            vid = c * per_cluster + i
+            v = [
+                center[j] + 0.05 * math.sin(1.0 + vid * (j + 3))
+                for j in range(dim)
+            ]
+            rows.append((vid, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _recall_at_k(approx_df, exact_df, k):
+    """Mean fraction of exact top-k neighbors recovered per query."""
+    truth: dict[int, set] = {}
+    for r in exact_df.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got: dict[int, set] = {q: set() for q in truth}
+    for r in approx_df.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return sum(len(got[q] & truth[q]) / k for q in truth) / len(truth)
+
+
+def test_lsh_knn_recall_vs_brute_force(spark):
+    """ANN recall contract: multi-band LSH recovers >=0.9 of the exact
+    top-k on the planted clustered corpus (VERDICT r03 item #3)."""
+    from kaskada_spark.operators.similarity import brute_force_knn, lsh_knn
+
+    corpus = _clustered_corpus(spark)
+    qids = [0, 35, 70, 105, 140, 175, 210]
+    k = 5
+    exact = brute_force_knn(corpus, "vec_id", "embedding", qids, k=k)
+    approx = lsh_knn(
+        corpus, "vec_id", "embedding", qids, k=k,
+        n_bits=4, dim=16, n_bands=4,
+    )
+    assert _recall_at_k(approx, exact, k) >= 0.9
+
+
+def test_ivf_knn_recall_vs_brute_force(spark):
+    """ANN recall contract: pruned IVF probing (n_probe < n_cells)
+    recovers >=0.9 of the exact top-k on the planted corpus."""
+    from kaskada_spark.operators.similarity import brute_force_knn, ivf_knn
+
+    corpus = _clustered_corpus(spark)
+    qids = [0, 35, 70, 105, 140, 175, 210]
+    k = 5
+    exact = brute_force_knn(corpus, "vec_id", "embedding", qids, k=k)
+    approx = ivf_knn(
+        corpus, "vec_id", "embedding", qids, k=k, n_cells=8, n_probe=3
+    )
+    assert _recall_at_k(approx, exact, k) >= 0.9
+
+
 # ---------------------------------------------------------------------
 # training-data assembly: decontamination, PII scrub, sequence packing
 # ---------------------------------------------------------------------

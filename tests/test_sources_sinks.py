@@ -65,6 +65,41 @@ def test_avro_source_gated(spark, tmp_path):
         pass  # module present but path missing — also acceptable
 
 
+def test_iceberg_exactly_once_sink_gated(spark, tmp_path):
+    """REAL Iceberg round-trip for the exactly-once sink + bucketed
+    layout (the north rule's table format) — runs only when the Iceberg
+    runtime jar is on the classpath; otherwise skipped with the gate
+    named (no Iceberg jars in the sandbox image).
+
+    With the jar present: a micro-batch appends atomically with its
+    epoch id stamped into the snapshot summary, a REPLAYED epoch is a
+    no-op (exactly-once), and the table carries the bucket(entity)
+    hidden-partition spec."""
+    from kaskada_spark.sinks.exactly_once import IcebergExactlyOnceSink
+    from kaskada_spark.sources.readers import iceberg_available
+
+    if not iceberg_available(spark):
+        pytest.skip("iceberg-spark-runtime jar not on classpath")
+
+    spark.conf.set("spark.sql.catalog.it", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.it.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.it.warehouse", str(tmp_path / "wh"))
+    sink = IcebergExactlyOnceSink("it.db.events_out", bucket_col="_key")
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "A", 1.0), ("2024-01-01 00:01:00", "B", 2.0)],
+        "_time string, _key string, value double",
+    ).withColumn("_time", F.col("_time").cast("timestamp"))
+    sink(df, 0)
+    assert sink.read_output(spark).count() == 2
+    sink(df, 0)  # replayed epoch: atomic skip, no duplicates
+    assert sink.read_output(spark).count() == 2
+    sink(df, 1)  # new epoch appends
+    assert sink.read_output(spark).count() == 4
+    parts = spark.sql("DESCRIBE TABLE EXTENDED it.db.events_out").collect()
+    assert any("bucket" in str(r).lower() for r in parts)
+
+
 def test_kafka_source_gated(spark):
     """Kafka source (the reference's Pulsar-stream equivalent in Spark
     idiom): without the connector jar the call raises a RuntimeError
