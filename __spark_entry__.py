@@ -955,6 +955,26 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_mixture_split(spark, sf_dir):
+    """Deterministic data-mixing + split assignment
+    (operators/training.py mixture_sample / train_valid_split):
+    src0 dropped, src1 downsampled to 0.35, src2 upsampled 1.5x,
+    src3 replicated exactly 2x, everything else natural, then a stable
+    5% valid split. Both decisions are pure md5 functions of doc_id —
+    identical on any cluster size / engine / resumed run — and the
+    whole query is map-only (filter + generator explode, no shuffle)."""
+    from kaskada_spark.operators.training import mixture_sample, train_valid_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    rates = {"src0": 0.0, "src1": 0.35, "src2": 1.5, "src3": 2.0}
+    sampled = mixture_sample(
+        docs.select("doc_id", "source"), rates, id_col="doc_id"
+    )
+    return train_valid_split(sampled, valid_frac=0.05).select(
+        "doc_id", "source", F.col("copy").cast("long").alias("copy"), "split"
+    )
+
+
 # ----------------------------------------------------------------------
 # oracle SQL builders (shared DuckDB fragments)
 # ----------------------------------------------------------------------
@@ -1190,7 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries.  Positions 1-50 therefore carry one representative of EVERY
     # operator family (the 16 LLM-pipeline ops that had no r03 driver row come
     # first, led by the five that have never had a driver row in any round).
-    # Positions 51-66 are redundant variants only: each one is driver-green in
+    # Positions 51-67 are redundant variants only: each one is driver-green in
     # CORRECTNESS_r03.json AND its family keeps an in-window sibling
     # (e.g. select_when->fenl_when, merge_align->fenl_merge,
     # fenl_nested->fenl_nested_windowed, scalar_showcase->the sweeps).
@@ -1202,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "scrub_pii": q_scrub_pii,
         "pack_sequences": q_pack_sequences,
+        "mixture_split": q_mixture_split,
         # -- pipeline ops without an r03 driver row --
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1232,7 +1253,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shift_by": q_shift_by,
         "shift_until": q_shift_until,
         "sliding_rows": q_sliding_rows,
-        "sliding_minmax": q_sliding_minmax,
         "tick_daily": q_tick_daily,
         "final_last": q_final_last,
         "final_at": q_final_at,
@@ -1253,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_sweep_record_json": q_scalar_sweep_record_json,
         "scalar_sweep_hash": q_scalar_sweep_hash,
         # ---- position 51+: redundant variants, all r03-driver-green ----
+        "sliding_minmax": q_sliding_minmax,
         "select_when": q_select_when,
         "since_daily_sum": q_since_daily_sum,
         "sliding_cond": q_sliding_cond,
@@ -2363,5 +2384,32 @@ def _pipeline_oracles() -> dict[str, str]:
                    tokens_before // 512 AS pack_id,
                    tokens_before % 512 AS pack_offset
             FROM c
+        """,
+        # Mirror of operators/training.py mixture_sample +
+        # train_valid_split: md5('salt|doc_id') 28-bit hash -> uniform
+        # in [0,1) (division by 2^28 is exact in double), per-source
+        # rate with replication for rate > 1, then the 5% valid split.
+        "mixture_split": f"""
+            WITH r AS (
+              SELECT doc_id, source,
+                     {_sql_hash28("'mix|' || CAST(doc_id AS VARCHAR)")} / 268435456.0 AS u,
+                     CASE source WHEN 'src0' THEN 0.0 WHEN 'src1' THEN 0.35
+                                 WHEN 'src2' THEN 1.5 WHEN 'src3' THEN 2.0
+                                 ELSE 1.0 END AS rate
+              FROM documents
+            ), n AS (
+              SELECT doc_id, source,
+                     CAST(floor(rate) AS BIGINT)
+                       + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS n_copies
+              FROM r
+            ), ex AS (
+              SELECT doc_id, source,
+                     CAST(unnest(range(n_copies)) AS BIGINT) AS copy
+              FROM n WHERE n_copies > 0
+            )
+            SELECT doc_id, source, copy,
+                   CASE WHEN {_sql_hash28("'split|' || CAST(doc_id AS VARCHAR)")} / 268435456.0 < 0.05
+                        THEN 'valid' ELSE 'train' END AS split
+            FROM ex
         """,
     }

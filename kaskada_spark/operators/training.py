@@ -195,6 +195,68 @@ def pack_sequences_stream(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    rates: dict,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    default_rate: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-source mixture resampling — the step that turns
+    :func:`source_mixture_weights` into an actual training stream.
+
+    ``rates`` maps source -> sampling rate. rate <= 1 downsamples
+    (keep-probability); rate > 1 upsamples by replication: every row
+    yields ``floor(rate)`` copies plus one more where the row's hash
+    falls under the fractional part. Output adds ``copy`` (0-based
+    replica index), so downstream packing can interleave epochs.
+
+    Scale/determinism shape: the keep decision is a pure function of
+    ``md5(salt | doc_id)`` — no RNG state, no seed-per-partition
+    coupling, identical on any cluster size, any engine, and across
+    resumed runs (the property a 10^12-row resumable pipeline actually
+    needs; ``df.sample`` is seed+partition-layout dependent). Map-only:
+    a filter + generator explode, zero shuffles, fully pushdown-friendly.
+    """
+    h = _md5_hash28(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    u = h.cast("double") / F.lit(float(1 << 28))
+    rate = F.lit(float(default_rate))
+    for src, r in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == src, F.lit(float(r))).otherwise(rate)
+    n_copies = F.floor(rate).cast("long") + F.when(
+        u < rate - F.floor(rate), F.lit(1)
+    ).otherwise(F.lit(0)).cast("long")
+    out = df.withColumn("__n_copies", n_copies).filter(F.col("__n_copies") > 0)
+    return out.withColumn(
+        "copy", F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1))
+    ).drop("__n_copies")
+
+
+def train_valid_split(
+    df: DataFrame,
+    valid_frac: float = 0.01,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Stable train/valid assignment: ``split = 'valid'`` where
+    ``md5(salt | id)`` lands in the bottom ``valid_frac`` of hash space.
+
+    Hash-based (not random) so the assignment is a property of the ROW:
+    re-runs, backfills, and late-arriving shards of a 100 TB corpus all
+    agree on membership without coordination, and a document can never
+    leak between splits across pipeline versions. Map-only, no shuffle.
+    """
+    h = _md5_hash28(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    u = h.cast("double") / F.lit(float(1 << 28))
+    return df.withColumn(
+        "split",
+        F.when(u < F.lit(float(valid_frac)), F.lit("valid")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
 def token_histogram(
     df: DataFrame,
     tokens_col: str = "tokens",

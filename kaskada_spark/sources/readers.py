@@ -159,20 +159,58 @@ def read_kafka_stream(
 
 
 def read_avro(spark: SparkSession, path: str, **options) -> DataFrame:
-    """Avro source (the reference ingests Avro-schema'd streams from
-    Pulsar, streams/pulsar/schema.rs). Spark reads Avro through the
-    external spark-avro module; when it is not on the classpath this
-    raises with a pointer to the --packages flag rather than a cryptic
-    ClassNotFoundException."""
+    """Avro source (the reference ingests Avro-schema'd records from
+    Pulsar, streams/pulsar/schema.rs, and sniffs Avro container files in
+    raw_metadata.rs). Prefers the spark-avro native reader when the jar
+    is on the classpath; otherwise falls back to a from-scratch
+    pure-Python container-file decoder (``avro_codec.py``, public Avro
+    1.11 spec) run DISTRIBUTED: a binaryFile scan parallelizes over
+    files and each executor task decodes one file into Arrow batches via
+    mapInPandas. Avro is an ingestion format — at cluster scale convert
+    once to parquet/Iceberg (the reference's prepare step does the same,
+    prepare.rs:51-76) and scan the columnar copy."""
     reader = spark.read
     for k, v in options.items():
         reader = reader.option(k, v)
     try:
         return reader.format("avro").load(path)
     except Exception as e:  # AnalysisException: failed to find data source
-        if "avro" in str(e).lower():
-            raise RuntimeError(
-                "Avro support needs the spark-avro package on the classpath: "
-                "spark-submit --packages org.apache.spark:spark-avro_2.13:<spark-version>"
-            ) from e
-        raise
+        if "avro" not in str(e).lower():
+            raise
+    return _read_avro_pure(spark, path)
+
+
+def _read_avro_pure(spark: SparkSession, path: str) -> DataFrame:
+    """binaryFile scan + per-file pure-Python decode (no jars needed)."""
+    from pyspark.sql import types as T
+
+    from .avro_codec import (
+        read_container,
+        rows_to_pandas,
+        schema_of_avro_path,
+        to_spark_type,
+    )
+
+    avro_schema = schema_of_avro_path(path)
+    spark_type, _ = to_spark_type(avro_schema)
+    if not isinstance(spark_type, T.StructType):
+        spark_type = T.StructType([T.StructField("value", spark_type)])
+    out_schema = spark_type
+
+    def decode(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                schema, rows = read_container(bytes(content))
+                out = rows_to_pandas(schema, rows)
+                if list(out.columns) != [f.name for f in out_schema.fields]:
+                    out.columns = [f.name for f in out_schema.fields]
+                yield out
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+        if os.path.isdir(path)
+        else spark.read.format("binaryFile").load(path)
+    )
+    return files.select("content").mapInPandas(decode, schema=out_schema)

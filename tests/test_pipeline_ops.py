@@ -752,3 +752,47 @@ def test_vocabulary_drift(spark):
     assert set(got) == {t0 + m, t0 + 2 * m}  # first window has no prev
     assert got[t0 + m] == round(2 / 3, 6)
     assert got[t0 + 2 * m] == 2.0
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    """Per-source rates honored within hash-uniform tolerance; rate > 1
+    replicates with fractional top-up; output is a pure function of the
+    row (identical across invocations and partitionings)."""
+    from kaskada_spark.operators.training import mixture_sample
+
+    rows = [(i, ["a", "b", "c", "d"][i % 4]) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {"a": 0.0, "b": 0.4, "c": 1.0, "d": 2.5}
+    out = mixture_sample(df, rates)
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert "a" not in per                       # rate 0 drops everything
+    assert 130 <= per["b"] <= 270               # ~0.4 * 500
+    assert per["c"] == 500                      # rate 1 keeps all, once
+    assert 1130 <= per["d"] <= 1370             # ~2.5 * 500
+    # copy index is dense per row: rate<=1 rows have copy==0 only
+    assert out.filter((F.col("source") == "c") & (F.col("copy") != 0)).count() == 0
+    d_copies = out.filter(F.col("source") == "d").groupBy("doc_id").count()
+    assert {r["count"] for r in d_copies.collect()} <= {2, 3}
+    # determinism across partition layouts
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, mixture_sample(df.repartition(7), rates).collect()))
+    assert a == b
+
+
+def test_train_valid_split_stable_and_disjoint(spark):
+    from kaskada_spark.operators.training import train_valid_split
+
+    df = spark.createDataFrame([(i,) for i in range(4000)], "doc_id long")
+    out = train_valid_split(df, valid_frac=0.1)
+    n_valid = out.filter(F.col("split") == "valid").count()
+    assert 320 <= n_valid <= 480  # ~400, hash-uniform tolerance
+    # membership is a property of the row: same id -> same split, even
+    # from a differently-built frame
+    again = train_valid_split(
+        spark.createDataFrame([(i,) for i in range(3999, -1, -1)], "doc_id long"),
+        valid_frac=0.1,
+    )
+    assert (
+        sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    )

@@ -3401,3 +3401,43 @@ def test_materialize_pipeline_rekeyed_tick_outer(spark, tmp_path, win):
     missing = {k for k in exp if k not in got}
     for k in missing:
         assert k[1] >= max_t.replace(hour=0, minute=0, second=0), k
+
+
+def test_mixture_sample_streaming_parity(spark, tmp_path):
+    """mixture_sample is stateless (filter + generator explode over a
+    pure hash of the row), so it runs UNCHANGED on a stream in append
+    mode with no watermark/state — and, because the keep decision is a
+    function of the row rather than of RNG/partition layout, the
+    streamed output is row-identical to the batch run regardless of how
+    micro-batches slice the input."""
+    from kaskada_spark.operators.training import mixture_sample
+
+    rows = [(i, 100 + i, ["a", "b", "c"][i % 3]) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, _time long, source string")
+    rates = {"a": 0.5, "b": 2.0, "c": 1.0}
+    exp = sorted(
+        (r["doc_id"], r["source"], r["copy"])
+        for r in mixture_sample(df, rates).collect()
+    )
+
+    d = str(tmp_path / "in")
+    df.repartition(1).sortWithinPartitions("doc_id").write.parquet(d)
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        mixture_sample(stream, rates)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["doc_id"], r["source"], r["copy"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == exp
