@@ -166,3 +166,51 @@ def test_to_spark_type_mapping():
     assert isinstance(by_name["n_tok"].dataType, T.IntegerType)
     with pytest.raises(AvroError, match="union"):
         to_spark_type(["int", "string"])
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: random values under a fixed rich schema roundtrip exactly
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HAS_HYP = True
+except ImportError:  # pragma: no cover
+    _HAS_HYP = False
+
+if _HAS_HYP:
+    _FUZZ_SCHEMA = {
+        "type": "record",
+        "name": "Fuzz",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "i", "type": "long"},
+            {"name": "f", "type": "double"},
+            {"name": "b", "type": "bytes"},
+            {"name": "flag", "type": "boolean"},
+            {"name": "opt", "type": ["null", "long"]},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+        ],
+    }
+
+    _row = st.fixed_dictionaries(
+        {
+            "s": st.text(max_size=40),
+            "i": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            "f": st.floats(allow_nan=False),  # NaN != NaN under ==
+            "b": st.binary(max_size=40),
+            "flag": st.booleans(),
+            "opt": st.none() | st.integers(min_value=-(2**40), max_value=2**40),
+            "arr": st.lists(st.integers(min_value=-(2**31), max_value=2**31), max_size=8),
+            "m": st.dictionaries(st.text(max_size=8), st.text(max_size=8), max_size=4),
+        }
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(rows=st.lists(_row, max_size=25), codec=st.sampled_from(["null", "deflate", "snappy"]))
+    def test_fuzz_roundtrip(rows, codec):
+        blob = write_container(_FUZZ_SCHEMA, rows, codec=codec, block_rows=7)
+        schema, back = read_container(blob)
+        assert schema == _FUZZ_SCHEMA
+        assert back == rows
