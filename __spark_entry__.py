@@ -62,13 +62,23 @@ def q_running_sum(spark, sf_dir):
 
 
 def q_running_stats(spark, sf_dir):
+    """count/min/max plus first/last with a record-pushdown-style null
+    filter (the former running_first_last query, folded in so every
+    InstOp family keeps a row inside the driver's 50-query window)."""
+    pval = F.when(F.col("event_type") == "purchase", F.col("value"))
     tl = (
         _events(spark, sf_dir)
+        .extend(__p=pval)
         .count("value", alias="cnt_value")
         .min("value", alias="min_value")
         .max("value", alias="max_value")
+        .first("__p", alias="first_purchase")
+        .last("__p", alias="last_purchase")
     )
-    return tl.df.select("event_id", "user_id", "cnt_value", "min_value", "max_value")
+    return tl.df.select(
+        "event_id", "user_id", "cnt_value", "min_value", "max_value",
+        "first_purchase", "last_purchase",
+    )
 
 
 def q_running_mean_var(spark, sf_dir):
@@ -104,15 +114,25 @@ def q_running_countif_stddev(spark, sf_dir):
     return tl.df.select("event_id", "user_id", "n_clicks", sd.alias("sd_value"))
 
 
-def q_running_first_last(spark, sf_dir):
-    pval = F.when(F.col("event_type") == "purchase", F.col("value"))
-    tl = (
-        _events(spark, sf_dir)
-        .extend(__p=pval)
-        .first("__p", alias="first_purchase")
-        .last("__p", alias="last_purchase")
+def q_cep_funnel(spark, sf_dir):
+    """CEP sequence matching (north-rule "CEP engine"): per-user
+    first-occurrence funnel signup -> click -> purchase within 48h of
+    the first signup — one shuffle, chained running-min structs over a
+    single entity window (operators/cep.py; streaming twin in
+    streaming/cep.py, equivalence-tested)."""
+    tl = _events(spark, sf_dir)
+    return tl.funnel(
+        [
+            F.col("event_type") == "signup",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        within="48 hours",
+        step_names=["signup", "click", "purchase"],
+    ).select(
+        F.col(KEY).alias("user_id"),
+        "step_reached", "t_signup", "t_click", "t_purchase", "completed",
     )
-    return tl.df.select("event_id", "user_id", "first_purchase", "last_purchase")
 
 
 def q_lag(spark, sf_dir):
@@ -1246,7 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_sum": q_running_sum,
         "running_stats": q_running_stats,
         "running_mean_var": q_running_mean_var,
-        "running_first_last": q_running_first_last,
+        "cep_funnel": q_cep_funnel,
         "running_countif_stddev": q_running_countif_stddev,
         "lag": q_lag,
         "with_key": q_with_key,
@@ -1302,11 +1322,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "running_stats": f"""
+            WITH b AS (
+              SELECT event_id, user_id, ts, value,
+                     CASE WHEN event_type = 'purchase' THEN value END AS p
+              FROM events
+            )
             SELECT event_id, user_id,
                    COUNT(value) {_RUN} AS cnt_value,
                    MIN(value) {_RUN} AS min_value,
-                   MAX(value) {_RUN} AS max_value
-            FROM events
+                   MAX(value) {_RUN} AS max_value,
+                   FIRST_VALUE(p IGNORE NULLS) {_RUN} AS first_purchase,
+                   LAST_VALUE(p IGNORE NULLS) {_RUN} AS last_purchase
+            FROM b
         """,
         "running_mean_var": f"""
             WITH c AS (
@@ -1335,16 +1362,45 @@ def oracle_sql() -> dict[str, str]:
                         THEN sqrt(q / n - (s / n) * (s / n)) END AS sd_value
             FROM c
         """,
-        "running_first_last": f"""
-            WITH b AS (
-              SELECT event_id, user_id, ts,
-                     CASE WHEN event_type = 'purchase' THEN value END AS p
-              FROM events
-            )
-            SELECT event_id, user_id,
-                   FIRST_VALUE(p IGNORE NULLS) {_RUN} AS first_purchase,
-                   LAST_VALUE(p IGNORE NULLS) {_RUN} AS last_purchase
-            FROM b
+        "cep_funnel": """
+            WITH e AS (
+              SELECT user_id, ts, event_id, event_type FROM events
+              WHERE event_type IN ('signup','click','purchase')
+            ),
+            s1 AS (
+              SELECT user_id, min(struct_pack(t := ts, s := event_id)) AS m1
+              FROM e WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(struct_pack(t := e.ts, s := e.event_id)) AS m2
+              FROM e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click'
+                AND struct_pack(t := e.ts, s := e.event_id) > s1.m1
+                AND e.ts <= (s1.m1).t + INTERVAL 48 HOUR
+              GROUP BY e.user_id
+            ),
+            s3 AS (
+              SELECT e.user_id, min(struct_pack(t := e.ts, s := e.event_id)) AS m3
+              FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+              WHERE e.event_type = 'purchase'
+                AND struct_pack(t := e.ts, s := e.event_id) > s2.m2
+                AND e.ts <= (s1.m1).t + INTERVAL 48 HOUR
+              GROUP BY e.user_id
+            ),
+            base AS (SELECT DISTINCT user_id FROM e)
+            SELECT b.user_id,
+                   CAST(CASE WHEN m3 IS NOT NULL THEN 3
+                             WHEN m2 IS NOT NULL THEN 2
+                             WHEN m1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+                     AS step_reached,
+                   (s1.m1).t AS t_signup,
+                   (s2.m2).t AS t_click,
+                   (s3.m3).t AS t_purchase,
+                   m3 IS NOT NULL AS completed
+            FROM base b
+            LEFT JOIN s1 ON b.user_id = s1.user_id
+            LEFT JOIN s2 ON b.user_id = s2.user_id
+            LEFT JOIN s3 ON b.user_id = s3.user_id
         """,
         "lag": """
             WITH nn AS (

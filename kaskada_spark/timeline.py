@@ -448,6 +448,16 @@ class Timeline:
 
         return with_ticks(self, tick)
 
+    def funnel(
+        self,
+        steps: Sequence[Column],
+        within: str | None = None,
+        step_names: Sequence[str] | None = None,
+    ) -> DataFrame:
+        from kaskada_spark.operators.cep import match_funnel
+
+        return match_funnel(self, steps, within=within, step_names=step_names)
+
 
 # ----------------------------------------------------------------------
 # aggregation lowering helpers

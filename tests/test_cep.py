@@ -1,0 +1,252 @@
+"""CEP funnel matching: batch goldens, a brute-force reference fuzz,
+plan shape (single exchange), and batch ≡ streaming equivalence."""
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from kaskada_spark import Timeline
+from kaskada_spark.operators.cep import match_funnel
+from kaskada_spark.streaming.cep import funnel_stream
+
+from tests.test_streaming import _write_time_split
+
+
+def _tl(spark, rows):
+    """rows: (entity, t_seconds, subsort, step_label)"""
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(e, base + dt.timedelta(seconds=t), s, lbl) for e, t, s, lbl in rows],
+        "ent string, ts timestamp, sid long, lbl string",
+    )
+    return Timeline.from_events(df, "ts", "ent", "sid")
+
+
+def _steps():
+    # Column construction needs an active SparkContext — keep it lazy.
+    return [F.col("lbl") == "a", F.col("lbl") == "b", F.col("lbl") == "c"]
+
+
+def _run(spark, rows, within=None):
+    out = match_funnel(_tl(spark, rows), _steps(), within=within)
+    return {
+        r["_key"]: (r["step_reached"], r["completed"], r["t_step1"], r["t_step2"], r["t_step3"])
+        for r in out.collect()
+    }
+
+
+def test_funnel_basic_and_partials(spark):
+    got = _run(
+        spark,
+        [
+            # e1 completes a->b->c; the second 'a'/'b' are ignored
+            ("e1", 0, 0, "a"), ("e1", 1, 1, "a"), ("e1", 2, 2, "b"),
+            ("e1", 3, 3, "b"), ("e1", 4, 4, "c"),
+            # e2 stalls at b (no c)
+            ("e2", 0, 0, "a"), ("e2", 5, 1, "b"),
+            # e3 has b,c but never a -> step_reached 0 (rows still match a step)
+            ("e3", 0, 0, "b"), ("e3", 1, 1, "c"),
+            # e4: c before a doesn't count; b after a does
+            ("e4", 0, 0, "c"), ("e4", 1, 1, "a"), ("e4", 2, 2, "b"),
+        ],
+    )
+    base = dt.datetime(2024, 1, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)
+    assert got["e1"] == (3, True, t(0), t(2), t(4))
+    assert got["e2"] == (2, False, t(0), t(5), None)
+    assert got["e3"] == (0, False, None, None, None)
+    assert got["e4"] == (2, False, t(1), t(2), None)
+
+
+def test_funnel_within_expiry_and_first_occurrence(spark):
+    # first-occurrence: the horizon is anchored at the FIRST 'a', so a
+    # later in-horizon a->b->c run does not rescue the entity
+    got = _run(
+        spark,
+        [
+            ("e1", 0, 0, "a"), ("e1", 100, 1, "b"), ("e1", 101, 2, "c"),
+            ("e2", 0, 0, "a"), ("e2", 5, 1, "b"), ("e2", 100, 2, "c"),
+            ("e3", 0, 0, "a"), ("e3", 50, 1, "a"), ("e3", 55, 2, "b"), ("e3", 58, 3, "c"),
+        ],
+        within="10 seconds",
+    )
+    assert got["e1"][0] == 1 and not got["e1"][1]
+    assert got["e2"][0] == 2 and not got["e2"][1]
+    assert got["e3"][0] == 1 and not got["e3"][1]
+
+
+def test_funnel_same_row_cannot_satisfy_two_steps(spark):
+    # one row matching both 'a' and 'b' predicates may only serve one step
+    tl = _tl(spark, [("e1", 0, 0, "ab"), ("e1", 1, 1, "b"), ("e1", 2, 2, "c")])
+    out = match_funnel(
+        tl,
+        [F.col("lbl").contains("a"), F.col("lbl").contains("b"), F.col("lbl") == "c"],
+    )
+    r = out.collect()[0]
+    assert r["step_reached"] == 3
+    assert r["t_step1"] != r["t_step2"]
+
+
+def _brute_funnel(events, k, within=None):
+    """events: sorted [(t, s, flags)] for ONE entity; returns hit times."""
+    hits = []
+    for t, s, flags in events:
+        stage = len(hits)
+        if stage >= k:
+            break
+        if not flags[stage]:
+            continue
+        if stage > 0:
+            if (t, s) <= hits[-1][:2]:
+                continue
+            if within is not None and t > hits[0][0] + within:
+                continue
+        hits.append((t, s))
+    return hits
+
+
+def test_funnel_matches_bruteforce_random(spark):
+    rng = random.Random(7)
+    rows = []
+    for e in range(40):
+        for s in range(rng.randint(1, 30)):
+            rows.append((f"e{e}", rng.randint(0, 1000), s, rng.choice("abcx")))
+    got = _run(spark, rows, within="300 seconds")
+    base = dt.datetime(2024, 1, 1)
+    by_ent = {}
+    for e, t, s, lbl in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_ent.setdefault(e, []).append(
+            (t, s, (lbl == "a", lbl == "b", lbl == "c"))
+        )
+    n_checked = 0
+    for e, evs in by_ent.items():
+        if not any(any(f) for _, _, f in evs):
+            assert e not in got
+            continue
+        hits = _brute_funnel(evs, 3, within=300)
+        exp_t = [base + dt.timedelta(seconds=h[0]) for h in hits] + [None] * (3 - len(hits))
+        assert got[e] == (len(hits), len(hits) == 3, *exp_t), e
+        n_checked += 1
+    assert n_checked >= 30
+
+
+def test_funnel_plan_single_exchange(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tl = Timeline.from_events(df, "ts", "user_id", "event_id")
+    out = match_funnel(
+        tl,
+        [F.col("event_type") == "signup", F.col("event_type") == "click",
+         F.col("event_type") == "purchase"],
+        within="48 hours",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_stream_funnel_equals_batch(spark, sf_dir, tmp_path):
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tl = Timeline.from_events(df, "ts", "user_id", "event_id")
+    steps = [F.col("event_type") == "signup", F.col("event_type") == "click",
+             F.col("event_type") == "purchase"]
+    names = ["signup", "click", "purchase"]
+    batch = match_funnel(tl, steps, within="48 hours", step_names=names)
+    expected = {
+        r["_key"]: (r["t_signup"], r["t_click"], r["t_purchase"])
+        for r in batch.filter("completed").collect()
+    }
+    assert expected  # non-vacuous at sf0.001 with 48h
+
+    in_dir = _write_time_split(tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 4)
+    stream = (
+        spark.readStream.schema(tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = funnel_stream(stream, steps, within="48 hours", step_names=names)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_df = spark.read.parquet(str(tmp_path / "out"))
+    got = {
+        r["_key"]: (r["t_signup"], r["t_click"], r["t_purchase"])
+        for r in got_df.collect()
+    }
+    assert got == expected
+
+
+def test_stream_funnel_out_of_order_within_watermark(spark, tmp_path):
+    """Rows split across micro-batches NOT in time order: a generous
+    watermark lets the settle logic reorder them, so the match is still
+    the batch match."""
+    rows = [
+        ("e1", 0, 0, "a"), ("e1", 10, 1, "b"), ("e1", 20, 2, "c"),
+        ("e2", 5, 0, "a"), ("e2", 6, 1, "c"), ("e2", 7, 2, "b"), ("e2", 8, 3, "c"),
+    ]
+    tl = _tl(spark, rows)
+    batch = match_funnel(tl, _steps(), step_names=["a", "b", "c"])
+    expected = {
+        r["_key"]: (r["t_a"], r["t_b"], r["t_c"])
+        for r in batch.filter("completed").collect()
+    }
+    # reverse-time file order: later rows arrive first; a final far-future
+    # row on an unrelated entity pushes the watermark past everything so
+    # the buffered rows settle (with a 1h delay the availableNow final
+    # watermark would otherwise stay behind this 20-second data span)
+    import os
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir, exist_ok=True)
+    ordered = tl.df.orderBy(F.desc("_time")).collect()
+    flush = _tl(spark, [("e9", 100_000, 0, "a")]).df.collect()
+    _write_rows_as_files(spark, tl.df.schema, ordered + flush, in_dir, 3)
+    stream = (
+        spark.readStream.schema(tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = funnel_stream(
+        stream, _steps(), step_names=["a", "b", "c"], watermark="1 hour"
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["_key"]: (r["t_a"], r["t_b"], r["t_c"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == expected
+
+
+def _write_rows_as_files(spark, schema, rows, path, n_files):
+    import os
+    import shutil
+    import time
+
+    chunk = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if not part:
+            continue
+        fp = os.path.join(path, f"part-{i:03d}.parquet")
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(fp + ".dir")
+        src = [f for f in os.listdir(fp + ".dir") if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(fp + ".dir", src), fp)
+        shutil.rmtree(fp + ".dir")
+        os.utime(fp, (time.time() + i, time.time() + i))
