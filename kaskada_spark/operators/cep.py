@@ -51,6 +51,7 @@ def match_funnel(
     steps: Sequence[Column],
     within: str | None = None,
     step_names: Sequence[str] | None = None,
+    unless: Column | None = None,
 ) -> DataFrame:
     """Per-entity first-occurrence funnel over ``steps`` predicates.
 
@@ -58,6 +59,16 @@ def match_funnel(
     step: ``(_key, step_reached, t_<name> per step, completed)``.
     ``within`` is an SQL interval body (e.g. ``"48 hours"``) bounding
     steps 2..k relative to the step-1 instant.
+
+    ``unless`` is the CEP abort predicate ("A then B then C with no X
+    in between"): a row matching it strictly after the step-1 instant
+    kills the match — steps at-or-after the first abort row don't
+    count. Exactness without backtracking: first-occurrence matching is
+    greedy-minimal (each t_i is the earliest achievable given the
+    anchored t1), so a match avoiding the abort row exists iff the
+    greedy one does; the lowering just adds one more chained
+    running-min (the first abort row after t1) and voids hits at-or-
+    after it.
     """
     k = len(steps)
     if k < 2:
@@ -68,7 +79,11 @@ def match_funnel(
 
     flags = [F.coalesce(c.cast("boolean"), F.lit(False)) for c in steps]
     ord_struct = F.struct(F.col(TIME).alias("t"), F.col(SUBSORT).alias("s"))
-    df = tl.df.filter(reduce(lambda a, b: a | b, flags))
+    keep = reduce(lambda a, b: a | b, flags)
+    if unless is not None:
+        unless = F.coalesce(unless.cast("boolean"), F.lit(False))
+        keep = keep | unless
+    df = tl.df.filter(keep)
 
     w = (
         W.partitionBy(KEY)
@@ -84,10 +99,20 @@ def match_funnel(
                 cond = cond & (
                     F.col(TIME) <= F.col("__r0.t") + F.expr(f"INTERVAL {within}")
                 )
+            if unless is not None:
+                # candidate must precede the first abort row (a row that
+                # is both step-i and abort is killed: abort wins ties)
+                u = F.col("__u")
+                cond = cond & (u.isNull() | (ord_struct < u))
         # Chained running mins: each references the previous one, so the
         # Window operators stack on the SAME partitioning+sort (one
         # exchange for the whole chain).
         df = df.withColumn(f"__r{i}", F.min(F.when(cond, ord_struct)).over(w))
+        if i == 0 and unless is not None:
+            # first abort row strictly after the anchor (an anchor row
+            # that itself matches ``unless`` does not kill its own match)
+            ucond = unless & F.col("__r0").isNotNull() & (ord_struct > F.col("__r0"))
+            df = df.withColumn("__u", F.min(F.when(ucond, ord_struct)).over(w))
 
     g = df.groupBy(KEY).agg(
         *[F.max(f"__r{i}").alias(f"__m{i}") for i in range(k)]

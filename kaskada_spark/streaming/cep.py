@@ -47,11 +47,18 @@ def funnel_stream(
     within: str | None = None,
     step_names: Sequence[str] | None = None,
     watermark: str = "0 seconds",
+    unless: Column | None = None,
 ) -> DataFrame:
     """Streaming first-occurrence funnel over ``steps`` predicates.
 
     ``tdf`` is a streaming frame in the universal shape; emits one row
     per entity that completes all steps: ``(_key, t_<name>...)``.
+    ``unless`` is the abort predicate (see operators/cep.py). The abort
+    row needs no persistent state: rows settle in time order, so by the
+    end of the micro-batch in which the first post-anchor abort row
+    settles, the match has either already completed (every hit precedes
+    the abort) or can never complete (every future row follows it) —
+    the machine completes or tombstones within that invocation.
     """
     k = len(steps)
     if k < 2:
@@ -59,8 +66,8 @@ def funnel_stream(
     names = list(step_names) if step_names else [f"step{i + 1}" for i in range(k)]
     if len(names) != k:
         raise ValueError("step_names must match steps")
-    if k > 62:
-        raise ValueError("at most 62 steps (flag bitmask)")
+    if k > 61:
+        raise ValueError("at most 61 steps (flag bitmask + abort bit)")
     within_ns = int(pd.Timedelta(within).value) if within is not None else None
 
     tdf = tdf.withWatermark(TIME, watermark)
@@ -68,8 +75,13 @@ def funnel_stream(
         F.coalesce(c.cast("boolean"), F.lit(False)).alias(f"__p{i}")
         for i, c in enumerate(steps)
     ]
+    if unless is not None:
+        flag_cols.append(
+            F.coalesce(unless.cast("boolean"), F.lit(False)).alias(f"__p{k}")
+        )
+    n_flags = len(flag_cols)
     pre = tdf.select(F.col(TIME), F.col(SUBSORT), F.col(KEY), *flag_cols).filter(
-        reduce(lambda a, b: a | b, [F.col(f"__p{i}") for i in range(k)])
+        reduce(lambda a, b: a | b, [F.col(f"__p{i}") for i in range(n_flags)])
     )
 
     out_schema = T.StructType(
@@ -89,13 +101,16 @@ def funnel_stream(
             T.StructField("settled_s", T.LongType()),
         ]
     )
-    func = _make_funnel_fn(k, within_ns, names)
+    func = _make_funnel_fn(k, within_ns, names, has_unless=unless is not None)
     return pre.groupBy(KEY).applyInPandasWithState(
         func, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )
 
 
-def _make_funnel_fn(k: int, within_ns: int | None, names: list[str]):
+def _make_funnel_fn(
+    k: int, within_ns: int | None, names: list[str], has_unless: bool = False
+):
+    n_flags = k + 1 if has_unless else k
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -121,7 +136,7 @@ def _make_funnel_fn(k: int, within_ns: int | None, names: list[str]):
             if not fresh.any():
                 continue
             flags = np.zeros(len(pdf), dtype=np.int64)
-            for i in range(k):
+            for i in range(n_flags):
                 flags |= pdf[f"__p{i}"].to_numpy(dtype=np.int64) << i
             bt = np.concatenate([bt, t[fresh]])
             bs = np.concatenate([bs, s[fresh]])
@@ -136,14 +151,29 @@ def _make_funnel_fn(k: int, within_ns: int | None, names: list[str]):
             n_settled = int(settled.sum())
             if n_settled:
                 st_, ss_, sf_ = bt[:n_settled], bs[:n_settled], bf[:n_settled]
+                u_t = u_s = None
                 # stage-loop advance (vectorized per stage, never per row)
                 while stage < k:
+                    if has_unless and stage >= 1 and u_t is None:
+                        # first abort row strictly after the anchor; it
+                        # is pass-local (see funnel_stream docstring)
+                        au = ((sf_ >> k) & 1).astype(bool)
+                        au &= (st_ > hits_t[0]) | (
+                            (st_ == hits_t[0]) & (ss_ > hits_s[0])
+                        )
+                        aidx = np.flatnonzero(au)
+                        if len(aidx):
+                            u_t = int(st_[aidx[0]])
+                            u_s = int(ss_[aidx[0]])
                     cand = ((sf_ >> stage) & 1).astype(bool)
                     if stage > 0:
                         pt, ps = hits_t[-1], hits_s[-1]
                         cand &= (st_ > pt) | ((st_ == pt) & (ss_ > ps))
                         if within_ns is not None:
                             cand &= st_ <= hits_t[0] + within_ns
+                        if u_t is not None:
+                            # abort wins ties on the same row
+                            cand &= (st_ < u_t) | ((st_ == u_t) & (ss_ < u_s))
                     idx = np.flatnonzero(cand)
                     if not len(idx):
                         break
@@ -153,6 +183,10 @@ def _make_funnel_fn(k: int, within_ns: int | None, names: list[str]):
                 settled_t = int(st_[-1])
                 settled_s = int(ss_[-1])
                 bt, bs, bf = bt[n_settled:], bs[n_settled:], bf[n_settled:]
+                if has_unless and u_t is not None and stage < k:
+                    # a settled abort precedes every future row: dead
+                    done = True
+                    bt = bs = bf = np.empty(0, dtype=np.int64)
                 if stage == k:
                     done = True
                     bt = bs = bf = np.empty(0, dtype=np.int64)

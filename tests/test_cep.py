@@ -90,12 +90,17 @@ def test_funnel_same_row_cannot_satisfy_two_steps(spark):
 
 
 def _brute_funnel(events, k, within=None):
-    """events: sorted [(t, s, flags)] for ONE entity; returns hit times."""
+    """events: sorted [(t, s, step_flags)] or [(t, s, step_flags, abort)]
+    for ONE entity; returns hit times."""
     hits = []
-    for t, s, flags in events:
+    for ev in events:
+        t, s, flags = ev[0], ev[1], ev[2]
+        abort = ev[3] if len(ev) > 3 else False
         stage = len(hits)
         if stage >= k:
             break
+        if abort and hits and (t, s) > hits[0]:
+            break  # abort wins ties; later steps never count
         if not flags[stage]:
             continue
         if stage > 0:
@@ -132,6 +137,103 @@ def test_funnel_matches_bruteforce_random(spark):
     assert n_checked >= 30
 
 
+def test_funnel_unless_abort(spark):
+    got_rows = match_funnel(
+        _tl(
+            spark,
+            [
+                # e1: x between a and b kills the match (step_reached stays 1)
+                ("e1", 0, 0, "a"), ("e1", 1, 1, "x"), ("e1", 2, 2, "b"), ("e1", 3, 3, "c"),
+                # e2: x after completion is irrelevant
+                ("e2", 0, 0, "a"), ("e2", 1, 1, "b"), ("e2", 2, 2, "c"), ("e2", 3, 3, "x"),
+                # e3: x before the anchor is irrelevant
+                ("e3", 0, 0, "x"), ("e3", 1, 1, "a"), ("e3", 2, 2, "b"), ("e3", 3, 3, "c"),
+                # e4: b between a and the abort still counts (partial progress)
+                ("e4", 0, 0, "a"), ("e4", 1, 1, "b"), ("e4", 2, 2, "x"), ("e4", 3, 3, "c"),
+            ],
+        ),
+        _steps(),
+        unless=F.col("lbl") == "x",
+    ).collect()
+    got = {r["_key"]: (r["step_reached"], r["completed"]) for r in got_rows}
+    assert got == {
+        "e1": (1, False),
+        "e2": (3, True),
+        "e3": (3, True),
+        "e4": (2, False),
+    }
+
+
+def test_funnel_unless_matches_bruteforce_random(spark):
+    rng = random.Random(11)
+    rows = []
+    for e in range(40):
+        for s in range(rng.randint(1, 30)):
+            rows.append((f"e{e}", rng.randint(0, 1000), s, rng.choice("abcxy")))
+    out = match_funnel(
+        _tl(spark, rows), _steps(), within="300 seconds",
+        unless=F.col("lbl") == "x",
+    )
+    got = {
+        r["_key"]: (r["step_reached"], r["completed"])
+        for r in out.collect()
+    }
+    by_ent = {}
+    for e, t, s, lbl in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_ent.setdefault(e, []).append(
+            (t, s, (lbl == "a", lbl == "b", lbl == "c"), lbl == "x")
+        )
+    n_checked = 0
+    for e, evs in by_ent.items():
+        if not any(any(f) or a for _, _, f, a in evs):
+            assert e not in got
+            continue
+        hits = _brute_funnel(evs, 3, within=300)
+        assert got[e] == (len(hits), len(hits) == 3), e
+        n_checked += 1
+    assert n_checked >= 30
+
+
+def test_stream_funnel_unless_equals_batch(spark, sf_dir, tmp_path):
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tl = Timeline.from_events(df, "ts", "user_id", "event_id")
+    steps = [F.col("event_type") == "signup", F.col("event_type") == "click",
+             F.col("event_type") == "purchase"]
+    unless = F.col("event_type") == "error"
+    names = ["signup", "click", "purchase"]
+    batch = match_funnel(tl, steps, step_names=names, unless=unless)
+    expected = {
+        r["_key"]: (r["t_signup"], r["t_click"], r["t_purchase"])
+        for r in batch.filter("completed").collect()
+    }
+    # the abort must be non-vacuous: some entity completes WITHOUT the
+    # abort predicate but not with it
+    plain = match_funnel(tl, steps, step_names=names)
+    assert plain.filter("completed").count() > len(expected)
+
+    in_dir = _write_time_split(tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 4)
+    stream = (
+        spark.readStream.schema(tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = funnel_stream(stream, steps, step_names=names, unless=unless)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["_key"]: (r["t_signup"], r["t_click"], r["t_purchase"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == expected
+
+
 def test_funnel_plan_single_exchange(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     tl = Timeline.from_events(df, "ts", "user_id", "event_id")
@@ -140,6 +242,7 @@ def test_funnel_plan_single_exchange(spark, sf_dir):
         [F.col("event_type") == "signup", F.col("event_type") == "click",
          F.col("event_type") == "purchase"],
         within="48 hours",
+        unless=F.col("event_type") == "error",
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1, plan
