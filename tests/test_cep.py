@@ -335,6 +335,62 @@ def test_stream_funnel_out_of_order_within_watermark(spark, tmp_path):
     assert got == expected
 
 
+def test_stream_funnel_resume_from_checkpoint(spark, sf_dir, tmp_path):
+    """Run files 1-2, stop, DELETE file 1, add files 3-4, resume: the
+    combined emissions must equal the batch completed set (funnel state
+    — stage, hit times, settled high-water — survives the checkpoint;
+    the reference's resumeable_tests.rs pattern)."""
+    import os
+    import shutil
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tl = Timeline.from_events(df, "ts", "user_id", "event_id")
+    steps = [F.col("event_type") == "signup", F.col("event_type") == "click",
+             F.col("event_type") == "purchase"]
+    names = ["signup", "click", "purchase"]
+    expected = {
+        r["_key"]: (r["t_signup"], r["t_click"], r["t_purchase"])
+        for r in match_funnel(tl, steps, within="48 hours", step_names=names)
+        .filter("completed").collect()
+    }
+
+    full = _write_time_split(tl.df, ["_time", "_subsort"], str(tmp_path / "full"), 4)
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    files = sorted(os.listdir(full))
+
+    def run():
+        stream = (
+            spark.readStream.schema(tl.df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out = funnel_stream(stream, steps, within="48 hours", step_names=names)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for f in files[:2]:
+        shutil.copy2(os.path.join(full, f), os.path.join(in_dir, f))
+    run()
+    os.remove(os.path.join(in_dir, files[0]))  # early input gone
+    for f in files[2:]:
+        shutil.copy2(os.path.join(full, f), os.path.join(in_dir, f))
+    run()
+
+    got = {
+        r["_key"]: (r["t_signup"], r["t_click"], r["t_purchase"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == expected
+
+
 def _write_rows_as_files(spark, schema, rows, path, n_files):
     import os
     import shutil
