@@ -954,17 +954,39 @@ def q_scrub_pii(spark, sf_dir):
     )
 
 
+def _doc_time_bounds(sf_dir):
+    """Synthetic-event-time bounds for the tokenized documents table
+    from parquet FOOTER stats (no job): ``_time = epoch + doc_id
+    seconds`` (sources/tokens.py), so doc_id's min/max bound it. The
+    production analogue is an Iceberg per-column snapshot-stats lookup."""
+    from datetime import datetime, timedelta
+
+    from kaskada_spark.sources.readers import parquet_column_bounds
+
+    b = parquet_column_bounds(f"{sf_dir}/documents.parquet", "doc_id")
+    if b is None:
+        return None  # no stats -> pack_sequences runs its min/max job
+    epoch = datetime(1970, 1, 1)
+    return (epoch + timedelta(seconds=int(b[0])),
+            epoch + timedelta(seconds=int(b[1])))
+
+
 def q_pack_sequences(spark, sf_dir):
     """Fixed-budget sequence packing over the pre-tokenized table
     (north-rule input shape): concatenate per source in event order,
     cut every 512 tokens (operators/training.py pack_sequences,
-    range-partition segmented prefix sum — no per-group global stage;
-    n_segments above the shuffle default so every source group
-    straddles many range slices at sf)."""
+    value-bucket segmented prefix sum — no per-group global stage, ONE
+    wide exchange; n_segments above the shuffle default so every source
+    group straddles many segments at sf). seg_bounds comes from the
+    parquet footer stats (the Iceberg table-stats stand-in), so no
+    min/max job runs over the tokenize plan."""
     from kaskada_spark.operators.training import pack_sequences
 
     toks = tokenize_documents(spark, sf_dir)
-    packed = pack_sequences(toks, budget=512, segmented=True, n_segments=64)
+    packed = pack_sequences(
+        toks, budget=512, segmented=True, n_segments=64,
+        seg_bounds=_doc_time_bounds(sf_dir),
+    )
     return packed.select(
         "doc_id",
         "source",
@@ -1148,7 +1170,9 @@ def q_pipeline_e2e(spark, sf_dir):
         .filter(F.col("__q") >= 0.3)
         .select("doc_id", "text", "source")
     )
-    packed = pack_sequences(tokenize_df(kept), budget=2048)
+    packed = pack_sequences(
+        tokenize_df(kept), budget=2048, seg_bounds=_doc_time_bounds(sf_dir)
+    )
     return packed.select(
         "doc_id",
         "source",

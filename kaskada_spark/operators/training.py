@@ -24,7 +24,7 @@ per the driver's north rule, they do not mirror a reference operator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -78,6 +78,56 @@ def decontaminate(
     )
 
 
+def _seg_key_value(v) -> int:
+    """Driver-side bound -> the long key space ``_value_segment`` buckets
+    in (microseconds for timestamps, the value itself for integers)."""
+    from datetime import datetime, timedelta
+
+    if isinstance(v, datetime):
+        epoch = datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return (v - epoch) // timedelta(microseconds=1)
+    return int(v)
+
+
+def _value_segment(
+    df: DataFrame, order_col: str, n_segments: int, bounds: tuple | None
+) -> Column:
+    """Monotone fixed-width bucket of ``order_col`` into
+    ``[0, n_segments)`` — the segment id for distributed prefix sums.
+
+    Monotonicity in the order column is the only property the prefix
+    recombination needs; equal-width buckets over [lo, hi] provide it
+    with a map-only expression (no range-partitioner sampling pass).
+    ``bounds`` short-circuits the min/max job with a table-stats lookup
+    (Iceberg snapshot stats / parquet footers) — a SUPERSET range is
+    fine, values are clamped into the bucket domain. Nulls order first
+    in ascending sorts, so they land in bucket 0.
+    """
+    dtype = dict(df.dtypes).get(order_col, "")
+    c = F.col(order_col)
+    if dtype.startswith("timestamp"):
+        key = F.unix_micros(c)
+    elif dtype in ("tinyint", "smallint", "int", "bigint"):
+        key = c.cast("long")
+    else:
+        raise ValueError(
+            f"segmented packing needs a timestamp/integer leading order "
+            f"column, got {order_col}:{dtype}; use segmented=False"
+        )
+    if bounds is not None:
+        lo, hi = (_seg_key_value(b) for b in bounds)
+    else:
+        lo, hi = df.agg(F.min(key), F.max(key)).first()
+    if lo is None or hi is None:  # empty input
+        return F.lit(0).cast("long")
+    width = max(1, (int(hi) - int(lo)) // n_segments + 1)
+    seg = F.floor((key - F.lit(int(lo))) / F.lit(width)).cast("long")
+    return F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.lit(n_segments - 1).cast("long"), F.coalesce(seg, F.lit(0))),
+    )
+
+
 def pack_sequences(
     toks: DataFrame,
     budget: int = 2048,
@@ -86,6 +136,7 @@ def pack_sequences(
     n_tok_col: str = "n_tok",
     segmented: bool = True,
     n_segments: int | None = None,
+    seg_bounds: tuple | None = None,
 ) -> DataFrame:
     """Assign every pre-tokenized sequence its slot in the packed
     training stream: sequences are concatenated per ``group_col`` in
@@ -100,19 +151,32 @@ def pack_sequences(
     (default) the prefix sum is a true distributed two-pass scan with
     NO per-group global stage anywhere:
 
-    1. ``repartitionByRange`` on ``(group, *order)`` splits every group
-       into ordered range slices; ``spark_partition_id()`` is the
-       segment id (range partitions are ordered, so for rows of one
-       group, segment order == event order).
+    1. ``__seg`` = a fixed-width VALUE bucket of the leading order
+       column (``(v - lo) // width`` over ``n_segments`` equal-width
+       buckets of the column's [lo, hi] range). The bucket is monotone
+       in the order columns, so for rows of one group, segment order ==
+       event order — the property the prefix recombination needs.
     2. Each (segment, group) computes its local running sum in
-       parallel — a window bounded by the range-partition size, never
-       by group size.
-    3. Per-(segment, group) totals (``n_segments × n_groups`` rows —
-       tiny) get exclusive prefix offsets, broadcast-joined back.
+       parallel — ONE hash exchange on (segment, group); the window is
+       bounded by the bucket's row count, never by group size.
+    3. Per-(segment, group) totals (``<= n_segments × n_groups`` rows —
+       tiny; the same exchange is reused for the hash agg) get
+       exclusive prefix offsets, broadcast-joined back.
+
+    ``seg_bounds=(lo, hi)`` supplies the leading order column's min/max
+    (a table-stats lookup — Iceberg snapshot stats or parquet footer
+    min/max, see ``sources.readers.parquet_column_bounds``); when
+    omitted, one column-pruned ``agg(min, max)`` job derives it. A
+    value-derived bucket beats ``repartitionByRange`` here twice over:
+    no sampling pass (the range partitioner re-executes the upstream
+    plan to sample boundaries), and no second exchange (range
+    partitioning on (group, order) does not satisfy the window's hash
+    requirement on (segment, group)). Time-skewed data degrades only
+    the balance of segment sizes, never correctness.
 
     A group with 10^11 rows packs without any single task seeing more
-    than one range slice of it. Results are identical to the plain
-    window (integer math, no reordering). ``n_segments`` defaults to
+    than one bucket of it. Results are identical to the plain window
+    (integer math, no reordering). ``n_segments`` defaults to
     ``spark.sql.shuffle.partitions``.
     """
     order = [F.col(c) for c in order_cols]
@@ -130,13 +194,10 @@ def pack_sequences(
             n_segments = int(
                 toks.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
             )
-        # stage 1: ordered range slices; the partition id read AFTER
-        # the exchange is the segment id (spark_partition_id() is
-        # non-deterministic so Catalyst cannot hoist it above the
-        # exchange; AQE only coalesces ADJACENT range partitions, which
-        # preserves segment order)
-        df = toks.repartitionByRange(n_segments, F.col(group_col), *order)
-        df = df.withColumn("__seg", F.spark_partition_id())
+        df = toks.withColumn(
+            "__seg",
+            _value_segment(toks, order_cols[0], n_segments, seg_bounds),
+        )
         inner = (
             W.partitionBy("__seg", group_col)
             .orderBy(*order)

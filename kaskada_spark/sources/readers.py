@@ -43,6 +43,43 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def parquet_column_bounds(path: str, column: str) -> tuple | None:
+    """Min/max of ``column`` across a parquet file/directory from footer
+    statistics only — no Spark job, no row reads.
+
+    This is the sandbox stand-in for an Iceberg table-stats lookup
+    (Iceberg keeps per-column lower/upper bounds in each snapshot's
+    manifest entries); operators that need a value range to bucket on
+    (e.g. ``pack_sequences``'s segmented prefix sum) take these bounds
+    instead of running a min/max job over the upstream plan. Returns
+    None when no row group carries stats for the column.
+    """
+    import pyarrow.parquet as pq
+
+    files = []
+    if os.path.isdir(path):
+        for root, _dirs, names in os.walk(path):
+            files += [
+                os.path.join(root, n) for n in names if n.endswith(".parquet")
+            ]
+    else:
+        files = [path]
+    lo = hi = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        try:
+            idx = md.schema.names.index(column)
+        except ValueError:
+            continue
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(idx).statistics
+            if stats is None or not stats.has_min_max:
+                continue
+            lo = stats.min if lo is None else min(lo, stats.min)
+            hi = stats.max if hi is None else max(hi, stats.max)
+    return None if lo is None else (lo, hi)
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     # NB: plain `spark._jvm.org.apache.iceberg...` attribute access is NOT
     # a valid probe — py4j resolves unknown paths to a lazy JavaPackage

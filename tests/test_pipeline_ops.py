@@ -646,6 +646,63 @@ def test_pack_sequences_boundaries_and_segmented_equality(spark):
             cum += r["n_tok"]
 
 
+def test_pack_sequences_seg_bounds_and_skew(spark):
+    """The value-bucket segmented path with EXPLICIT table-stats bounds
+    (superset range, so values clamp into the bucket domain) matches the
+    plain window exactly — including heavily time-skewed input (90% of
+    rows in one narrow slice of the range, so most buckets are empty
+    and one is hot) and equal-time ties broken by _subsort."""
+    import pandas as pd
+    from kaskada_spark.operators.training import pack_sequences
+
+    rows = []
+    t0 = pd.Timestamp(2024, 1, 1)
+    for i in range(60):
+        # 90% of rows land inside one second; stragglers spread a day
+        ts = t0 + (pd.Timedelta(milliseconds=i) if i % 10 else pd.Timedelta(hours=i))
+        rows.append((f"d{i}", "s", 5 + i % 3, ts, i))
+    # equal-time ties: same timestamp, ordered by _subsort
+    rows += [(f"tie{k}", "s", 7, t0, 100 + k) for k in range(5)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "n_tok", "_time", "_subsort"])
+    )
+    plain = pack_sequences(df, budget=16, segmented=False)
+    # superset bounds (a whole-table stats range wider than this slice)
+    seg = pack_sequences(
+        df, budget=16, segmented=True, n_segments=8,
+        seg_bounds=(pd.Timestamp(2023, 12, 1), pd.Timestamp(2024, 3, 1)),
+    )
+    key = lambda r: r["doc_id"]
+    want = [(r["doc_id"], r["tokens_before"], r["pack_id"], r["pack_offset"])
+            for r in sorted(plain.collect(), key=key)]
+    got = [(r["doc_id"], r["tokens_before"], r["pack_id"], r["pack_offset"])
+           for r in sorted(seg.collect(), key=key)]
+    assert want == got
+
+
+def test_parquet_column_bounds_footer_stats(spark, tmp_path):
+    """parquet_column_bounds reads min/max from footers only (the
+    Iceberg snapshot-stats stand-in) across a multi-file directory."""
+    from kaskada_spark.sources.readers import parquet_column_bounds
+
+    p = str(tmp_path / "t.parquet")
+    # INT96 (Spark's legacy default) carries no footer min/max; modern
+    # writers (and the driver's testdata) use TIMESTAMP_MICROS
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        spark.range(100, 200).selectExpr(
+            "id", "timestamp_micros(cast(id * 1000000 as long)) as ts"
+        ).repartition(4).write.parquet(p)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    lo, hi = parquet_column_bounds(p, "id")
+    assert (lo, hi) == (100, 199)
+    tlo, thi = parquet_column_bounds(p, "ts")
+    assert (tlo.timestamp(), thi.timestamp()) == (100.0, 199.0)
+    assert parquet_column_bounds(p, "nope") is None
+
+
 def test_token_histogram(spark):
     from kaskada_spark.operators.training import token_histogram
 
