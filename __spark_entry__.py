@@ -732,10 +732,17 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    from kaskada_spark.operators.dedup import simhash16
+    """Staged form: the word-hash array is projected ONCE, then 16
+    scalar folds read the plain column (HOF lambdas are not CSE'd —
+    the single-expression form must rebuild a 16-wide array per word
+    instead, ~30% slower at sf0.1)."""
+    from kaskada_spark.operators.dedup import simhash16, word_hashes
 
     docs = read_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+    staged = docs.select("doc_id", word_hashes(F.col("text")).alias("__hv"))
+    return staged.select(
+        "doc_id", simhash16(hv=F.col("__hv")).alias("simhash")
+    )
 
 
 def q_ngram_jaccard(spark, sf_dir):

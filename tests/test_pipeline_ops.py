@@ -72,6 +72,24 @@ def test_simhash_similarity(spark, docs):
     assert ham_near < ham_far                         # near-dup closer than unrelated
 
 
+def test_simhash_staged_equals_unstaged(spark, docs):
+    """The staged 16-fold form (word_hashes projected once) is
+    bit-identical to the single-expression form — including empty and
+    null text rows."""
+    from kaskada_spark.operators.dedup import word_hashes
+
+    extra = spark.createDataFrame(
+        [(100, ""), (101, None), (102, "one")], ["doc_id", "text"]
+    )
+    frame = docs.select("doc_id", "text").unionByName(extra)
+    plain = {r["doc_id"]: r["sh"] for r in frame.select(
+        "doc_id", simhash16(F.col("text")).alias("sh")).collect()}
+    staged_df = frame.select("doc_id", word_hashes(F.col("text")).alias("__hv"))
+    staged = {r["doc_id"]: r["sh"] for r in staged_df.select(
+        "doc_id", simhash16(hv=F.col("__hv")).alias("sh")).collect()}
+    assert plain == staged
+
+
 def test_ngram_jaccard_adjacent(docs):
     out = {
         (r["id_a"], r["id_b"]): r["jaccard"]
