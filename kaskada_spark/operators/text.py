@@ -148,7 +148,11 @@ def _bigrams(text: Column) -> Column:
     """NON-distinct word bigrams (repetition analysis needs counts;
     dedup's shingles() dedups). Same zip_with-over-slices shape so the
     words() regexp runs a constant number of times, never per element."""
-    w = words(text)
+    return _bigrams_of(words(text))
+
+
+def _bigrams_of(w: Column) -> Column:
+    """Bigrams from an already-computed word array (staging form)."""
     n = F.greatest(F.size(w) - 1, F.lit(0))
     return F.zip_with(
         F.slice(w, 1, n), F.slice(w, 2, n), lambda a, b: F.concat_ws(" ", a, b)
@@ -205,16 +209,34 @@ def repetition_signals(df, id_col: str, text_col: str):
     adjacent-equality — O(L log L) per row, map-only, zero shuffle, so
     the operator pipelines into the scan at any corpus size. A SQL
     engine reproduces each number exactly (integer counts divided as
-    doubles)."""
+    doubles).
+
+    The heavy arrays are STAGED through projections (words -> bigrams
+    -> sorted lines) because every one of them is referenced several
+    times below and Catalyst's subexpression elimination skips any
+    expression containing a lambda — unstaged, the line array's
+    split+filter+sort ran ~6x per row (measured ~2x slower at sf0.1).
+    """
     text = F.col(text_col)
-    w = words(text)
+    # stage 1: one words() regexp + one line split/filter/sort per row
+    df = df.select(
+        F.col(id_col).alias("__id"),
+        words(text).alias("__w"),
+        F.array_sort(
+            F.filter(F.split(text, "\n"), lambda l: F.length(l) > 0)
+        ).alias("__ls"),
+    )
+    # stage 2: bigrams from the staged word array
+    df = df.select(
+        "__id", "__w", "__ls", F.array_sort(_bigrams_of(F.col("__w"))).alias("__bg")
+    )
+    w = F.col("__w")
     wc = F.size(w)
     uniq = F.size(F.array_distinct(w))
-    bg = F.array_sort(_bigrams(text))
+    bg = F.col("__bg")
     n_bg = F.size(bg)
 
-    lines = F.filter(F.split(text, "\n"), lambda l: F.length(l) > 0)
-    ls = F.array_sort(lines)
+    ls = F.col("__ls")
     n_lines = F.size(ls)
     uniq_lines = F.size(F.array_distinct(ls))
     nl1 = F.greatest(n_lines - 1, F.lit(0))
@@ -233,7 +255,7 @@ def repetition_signals(df, id_col: str, text_col: str):
     total_chars = F.aggregate(ls, F.lit(0), lambda acc, l: acc + F.length(l))
 
     return df.select(
-        F.col(id_col).cast("long").alias("doc"),
+        F.col("__id").cast("long").alias("doc"),
         wc.cast("long").alias("n_words"),
         uniq.cast("long").alias("uniq_words"),
         F.when(wc > 0, (wc - uniq).cast("double") / wc.cast("double")).alias(
