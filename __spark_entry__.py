@@ -708,6 +708,18 @@ def q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3)
 
 
+def q_dup_spans(spark, sf_dir):
+    """Token-span exact-substring dedup (ExactSubstr, Lee et al. 2021)
+    via winnowing fingerprints (Schleimer et al. 2003) over the
+    pre-tokenized sequence table: every cross-document repeated run of
+    >= window + w - 1 = 32 tokens is guaranteed to surface as a shared
+    fingerprint group. Pure Catalyst map + ONE hash-agg exchange."""
+    from kaskada_spark.operators.spans import dup_span_groups
+
+    toks = tokenize_documents(spark, sf_dir)
+    return dup_span_groups(toks, w=8, window=25)
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals (operators/text.py).
     Word/bigram repetition is the live signal on this corpus (word-soup
@@ -1280,7 +1292,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_knn": q_embed_knn,
         "embed_knn_lsh": q_embed_knn_lsh,
         "cosine_near_dup": q_cosine_near_dup,
-        "cosine_near_dup_banded": q_cosine_near_dup_banded,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "token_counts": q_token_counts,
@@ -1289,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- dedup + token-analytics family representatives --
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
+        "dup_spans": q_dup_spans,
         "dedup_clusters": q_dedup_clusters,
         "tokens_windowed": q_tokens_windowed,
         "len_quantiles": q_len_quantiles,
@@ -1324,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_sweep_record_json": q_scalar_sweep_record_json,
         "scalar_sweep_hash": q_scalar_sweep_hash,
         # ---- position 51+: redundant variants, all r03-driver-green ----
+        "cosine_near_dup_banded": q_cosine_near_dup_banded,
         "sliding_minmax": q_sliding_minmax,
         "select_when": q_select_when,
         "since_daily_sum": q_since_daily_sum,
@@ -2080,6 +2093,41 @@ def _pipeline_oracles() -> dict[str, str]:
         "minhash_lsh": f"""
             WITH {_sql_minhash_pairs_ctes()}
             SELECT id_a, id_b FROM pairs
+        """,
+        "dup_spans": f"""
+            WITH {TOKENS_ORACLE_CTE.strip()},
+            kh AS (
+              SELECT doc_id, tokens,
+                list_transform(range(1, len(tokens) - 8 + 2), i ->
+                  list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                                 list_transform(tokens[i : i + 7],
+                                                t -> CAST(t AS BIGINT))),
+                    (a, t) -> (a * 1000003 + t) % 2147483647)
+                ) AS kh
+              FROM tokens_tbl WHERE len(tokens) >= 8
+            ),
+            sel AS (
+              SELECT doc_id, tokens,
+                list_distinct(list_transform(
+                  range(1, greatest(len(kh) - 25 + 1, 1) + 1), j ->
+                    j - 1 + list_position(kh[j : j + 24],
+                                          list_min(kh[j : j + 24]))
+                )) AS sel
+              FROM kh
+            ),
+            fps AS (
+              SELECT doc_id,
+                md5(array_to_string(
+                  list_transform(tokens[p : p + 7], t -> CAST(t AS VARCHAR)),
+                  ' ')) AS fp
+              FROM sel, UNNEST(sel) AS u(p)
+            )
+            SELECT fp,
+                   COUNT(DISTINCT doc_id) AS n_docs,
+                   COUNT(*) AS n_occ,
+                   MIN(doc_id) AS first_doc
+            FROM fps GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
         """,
         "repetition": """
             WITH base AS (

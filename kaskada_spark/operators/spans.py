@@ -1,0 +1,192 @@
+"""Token-span exact-substring deduplication via winnowing fingerprints.
+
+Finds runs of >= ``window + w - 1`` tokens that repeat across documents
+of the pre-tokenized sequence table (the north-rule input shape) — the
+ExactSubstr dedup step of LLM corpus preparation (Lee et al. 2021,
+"Deduplicating Training Data Makes Language Models Better", which uses
+a suffix array; suffix arrays don't distribute, winnowing does).
+
+Algorithm (Schleimer/Wilkerson/Aiken 2003, "Winnowing: Local Algorithms
+for Document Fingerprinting", SIGMOD):
+
+1. hash every w-token gram with a polynomial rolling hash (31-bit
+   modulus so the fold stays inside BIGINT under ANSI mode),
+2. slide a window of ``window`` consecutive gram hashes over each
+   document and select the leftmost minimum of each window,
+3. fingerprint each selected position with md5 over the actual w-gram
+   (the cheap poly hash only steers *selection*; the md5 re-hash makes
+   grouping collision-free and SQL-reproducible),
+4. group by fingerprint: any fingerprint held by >= 2 documents marks
+   an exactly-repeated token span.
+
+The selection is content-defined, so two documents sharing a token run
+select the *same* positions inside it — the winnowing guarantee: every
+shared run of at least ``window + w - 1`` tokens contributes at least
+one common fingerprint (proof: the run contains a full window of
+shared gram hashes; both documents pick that window's minimum).
+
+Scale posture (100 TB): steps 1–3 are a pure per-row Catalyst map
+(O(n_tok * (w + window)) work per document, zero Python, pipelined into
+the scan); only ~2/(window+1) of gram positions survive selection
+(winnowing's expected density), so the exploded fingerprint table is a
+small fraction of the token count, and step 4 is one hash aggregation
+with map-side partials. No self-join, no n^2 anywhere. Compare
+reference prepare-stage hashing: sparrow-runtime/src/prepare.rs
+(per-row hash kernels feeding a grouped merge).
+
+The per-gram / per-window arrays are STAGED through projections
+(tokens -> gram hashes -> selected positions) because Catalyst skips
+common-subexpression elimination for any expression containing a
+lambda (see repetition_signals in text.py for the measured cost).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: polynomial rolling-hash parameters. acc < MOD (~2^31), BASE ~2^20,
+#: token ids < 2^28 -> acc*BASE + t < 2^52: no BIGINT overflow (ANSI
+#: mode raises on overflow rather than wrapping).
+BASE = 1_000_003
+MOD = 2_147_483_647  # 2^31 - 1
+
+
+def _poly_hash(sl: Column) -> Column:
+    """Deterministic fold both engines reproduce bit-for-bit (DuckDB:
+    list_reduce with a prepended 0, same (a*B + t) % M step)."""
+    return F.aggregate(
+        sl,
+        F.lit(0).cast("long"),
+        lambda a, t: (a * F.lit(BASE) + t.cast("long")) % F.lit(MOD),
+    )
+
+
+def winnow_fingerprints(
+    toks: DataFrame,
+    w: int = 8,
+    window: int = 25,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """One row per selected fingerprint: (id_col, pos, fp).
+
+    ``pos`` is the 0-based token offset of the fingerprinted w-gram;
+    ``fp`` is md5 over the space-joined token ids of that gram.
+    Documents shorter than ``w`` tokens produce no fingerprints; a
+    document with fewer than ``window`` grams is treated as a single
+    window (its global minimum is selected), so every document with
+    >= w tokens carries at least one fingerprint.
+    """
+    n = F.size(F.col(tokens_col))
+    m = n - (w - 1)  # number of w-grams
+    staged = toks.filter(n >= w).select(
+        F.col(id_col),
+        F.col(tokens_col).alias("__t"),
+        # gram hashes, 1-based array: __kh[i] = poly(tokens[i..i+w-1])
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: _poly_hash(F.slice(F.col(tokens_col), i, w)),
+        ).alias("__kh"),
+    )
+    kh = F.col("__kh")
+    nwin = F.greatest(F.size(kh) - (window - 1), F.lit(1))
+    sel = staged.select(
+        id_col,
+        "__t",
+        # leftmost min of each hash window, deduplicated; stays 1-based
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), nwin),
+                lambda j: j
+                - 1
+                + F.array_position(
+                    F.slice(kh, j, window), F.array_min(F.slice(kh, j, window))
+                ),
+            )
+        ).alias("__sel"),
+    )
+    # explode_OUTER, deliberately: plain explode triggers the
+    # InferFiltersFromGenerate rule, which synthesizes `size(__sel) > 0`
+    # and pushes it through every staged projection down to the scan —
+    # inlining the whole gram-hash + selection pipeline into a per-row
+    # Filter (measured 30x slower). __sel is never empty here (any doc
+    # with >= w tokens selects at least one window minimum), so outer
+    # explode emits exactly the same rows without the inferred filter.
+    return sel.select(
+        id_col,
+        F.explode_outer("__sel").alias("__p"),
+        F.col("__t"),
+    ).select(
+        id_col,
+        (F.col("__p") - 1).cast("int").alias("pos"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("__t"), F.col("__p"), w),
+                    lambda t: t.cast("string"),
+                ),
+                " ",
+            )
+        ).alias("fp"),
+    )
+
+
+def dup_span_groups(
+    toks: DataFrame,
+    w: int = 8,
+    window: int = 25,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Exactly-repeated cross-document token spans: one row per
+    fingerprint seen in >= 2 distinct documents, with its document
+    count, total occurrence count, and first (min) document id.
+
+    One exchange: the fingerprint hash-agg (map-side partials)."""
+    fps = winnow_fingerprints(toks, w, window, id_col, tokens_col)
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(id_col).alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def span_dup_rate(
+    toks: DataFrame,
+    w: int = 8,
+    window: int = 25,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Per-document duplicated-span exposure: of the document's
+    selected fingerprints, the fraction that also occur in at least
+    one OTHER document — the score an ExactSubstr-style corpus filter
+    thresholds on (drop/trim documents whose content mostly exists
+    elsewhere).
+
+    Two exchanges end to end: the fingerprint aggregation that finds
+    cross-document fingerprints, and the per-document rollup. The
+    join back is on ``fp`` — same key the first aggregation already
+    shuffled on, so it co-partitions without a third exchange.
+    """
+    fps = winnow_fingerprints(toks, w, window, id_col, tokens_col)
+    dup_fp = (
+        fps.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("fp")
+    )
+    flagged = fps.join(dup_fp.withColumn("__dup", F.lit(1)), "fp", "left")
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp"),
+        F.sum(F.coalesce(F.col("__dup"), F.lit(0))).cast("long").alias("n_dup_fp"),
+        (
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0)))
+            / F.count(F.lit(1))
+        ).alias("dup_rate"),
+    )

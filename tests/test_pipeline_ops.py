@@ -871,3 +871,68 @@ def test_train_valid_split_stable_and_disjoint(spark):
     assert (
         sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
     )
+
+
+# ---------------------------------------------------------------------------
+# token-span exact-substring dedup (winnowing fingerprints)
+
+
+def _tok_frame(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+
+
+def test_winnow_guarantee_planted_span(spark):
+    """The winnowing guarantee: any cross-document repeated run of
+    >= window + w - 1 tokens yields a shared fingerprint, regardless of
+    where the run sits in each document (selection is content-defined,
+    so alignment doesn't matter)."""
+    from kaskada_spark.operators.spans import dup_span_groups, winnow_fingerprints
+
+    span = [1000 + i for i in range(32)]  # exactly the guarantee length
+    for offset in (0, 7, 40):  # different alignments in doc b
+        a = [2 * i + 1 for i in range(50)] + span + [9000 + i for i in range(20)]
+        b = [3 * i + 2000 for i in range(offset)] + span + [7000 + i for i in range(35)]
+        c = [5 * i + 40000 for i in range(80)]  # shares no 8-gram with anyone
+        df = _tok_frame(spark, [("a", a), ("b", b), ("c", c)])
+        groups = dup_span_groups(df, w=8, window=25).collect()
+        assert groups, f"offset {offset}: planted 32-token span not found"
+        assert all(g["n_docs"] == 2 for g in groups)
+        # the shared fingerprints really belong to both a and b
+        fps = winnow_fingerprints(df, w=8, window=25)
+        dup_fp = {g["fp"] for g in groups}
+        holders = {
+            r["doc_id"]
+            for r in fps.collect()
+            if r["fp"] in dup_fp
+        }
+        assert holders == {"a", "b"}
+
+
+def test_winnow_short_doc_edges(spark):
+    """Docs shorter than w produce no fingerprints; a doc of exactly w
+    tokens produces one; two identical w-token docs form a group."""
+    from kaskada_spark.operators.spans import dup_span_groups, winnow_fingerprints
+
+    g8 = list(range(8))
+    df = _tok_frame(spark, [("x", g8), ("y", g8), ("tiny", g8[:7])])
+    fps = winnow_fingerprints(df, w=8, window=25).collect()
+    assert {r["doc_id"] for r in fps} == {"x", "y"}
+    assert all(r["pos"] == 0 for r in fps)
+    groups = dup_span_groups(df, w=8, window=25).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["n_occ"] == 2
+    assert groups[0]["first_doc"] == "x"
+
+
+def test_span_dup_rate_bounds(spark):
+    """Identical docs score dup_rate 1.0; a disjoint doc scores 0."""
+    from kaskada_spark.operators.spans import span_dup_rate
+
+    a = [11 * i + 3 for i in range(60)]
+    c = [7 * i + 90000 for i in range(60)]
+    df = _tok_frame(spark, [("a1", a), ("a2", a), ("c", c)])
+    rates = {r["doc_id"]: r for r in span_dup_rate(df, w=8, window=25).collect()}
+    assert rates["a1"]["dup_rate"] == 1.0
+    assert rates["a2"]["dup_rate"] == 1.0
+    assert rates["c"]["dup_rate"] == 0.0 and rates["c"]["n_dup_fp"] == 0
+    assert rates["a1"]["n_fp"] == rates["a2"]["n_fp"] >= 1

@@ -101,3 +101,23 @@ def test_entry_contract_smoke(spark):
     assert len(df.columns) >= 1
     plan = _plan(df)
     assert "BatchEvalPython" not in plan
+
+
+def test_winnow_no_inferred_filter_blowup(spark, sf_dir):
+    """dup_spans uses explode_outer specifically so that
+    InferFiltersFromGenerate cannot synthesize `size(__sel) > 0` and
+    push the whole gram-hash + selection pipeline into a per-row scan
+    Filter (measured 30x slower). Guard: the tokenizer expression may
+    appear at most twice in the optimized plan (the n_tok >= w filter
+    pushed to the scan + the staging projection), never the ~8 copies
+    the inferred-filter inlining produces."""
+    from kaskada_spark.operators.spans import winnow_fingerprints
+    from kaskada_spark.sources.tokens import tokenize_documents
+
+    fp = winnow_fingerprints(tokenize_documents(spark, sf_dir))
+    plan = fp._jdf.queryExecution().optimizedPlan().toString()
+    n_tok_evals = plan.count("regexp_extract_all")
+    assert 1 <= n_tok_evals <= 2, (
+        f"tokenizer inlined {n_tok_evals}x into the winnow plan — "
+        "an optimizer rule is duplicating the staged pipeline"
+    )
