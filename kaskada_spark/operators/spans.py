@@ -68,20 +68,25 @@ def winnow_fingerprints(
     window: int = 25,
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """One row per selected fingerprint: (id_col, pos, fp).
+    """One row per selected fingerprint: (id_col, *passthrough, pos, fp).
 
     ``pos`` is the 0-based token offset of the fingerprinted w-gram;
     ``fp`` is md5 over the space-joined token ids of that gram.
     Documents shorter than ``w`` tokens produce no fingerprints; a
     document with fewer than ``window`` grams is treated as a single
     window (its global minimum is selected), so every document with
-    >= w tokens carries at least one fingerprint.
+    >= w tokens carries at least one fingerprint. ``passthrough``
+    columns ride along unchanged (e.g. the event-time column a
+    streaming consumer orders arrivals by).
     """
+    pt = list(passthrough)
     n = F.size(F.col(tokens_col))
     m = n - (w - 1)  # number of w-grams
     staged = toks.filter(n >= w).select(
         F.col(id_col),
+        *pt,
         F.col(tokens_col).alias("__t"),
         # gram hashes, 1-based array: __kh[i] = poly(tokens[i..i+w-1])
         F.transform(
@@ -93,6 +98,7 @@ def winnow_fingerprints(
     nwin = F.greatest(F.size(kh) - (window - 1), F.lit(1))
     sel = staged.select(
         id_col,
+        *pt,
         "__t",
         # leftmost min of each hash window, deduplicated; stays 1-based
         F.array_distinct(
@@ -115,10 +121,12 @@ def winnow_fingerprints(
     # explode emits exactly the same rows without the inferred filter.
     return sel.select(
         id_col,
+        *pt,
         F.explode_outer("__sel").alias("__p"),
         F.col("__t"),
     ).select(
         id_col,
+        *pt,
         (F.col("__p") - 1).cast("int").alias("pos"),
         F.md5(
             F.array_join(

@@ -25,6 +25,25 @@ from pyspark.sql import functions as F
 CONTENT_HASH = "content_hash"
 
 
+def read_versioned_snapshot(
+    spark, state_dir: str, batch_id: int, schema: str
+) -> DataFrame:
+    """Newest ``state_dir/batch_id=<epoch>/`` snapshot strictly BEFORE
+    this epoch — snapshot isolation for foreachBatch state: a REPLAYED
+    epoch (crash-restart) re-reads its original pre-state and
+    overwrites its own output + snapshot, making the whole pipeline
+    exactly-once with no external transaction log. Empty frame with
+    ``schema`` when no prior snapshot exists."""
+    prior = [
+        int(d.split("=", 1)[1])
+        for d in (os.listdir(state_dir) if os.path.isdir(state_dir) else [])
+        if d.startswith("batch_id=") and int(d.split("=", 1)[1]) < batch_id
+    ]
+    if not prior:
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(f"{state_dir}/batch_id={max(prior)}")
+
+
 def exact_dedup_stream(
     stream: DataFrame,
     text_col: str = "text",
@@ -190,19 +209,8 @@ class BandedNearDedup:
     )
 
     def _read_state(self, spark, batch_id: int) -> DataFrame:
-        """Newest snapshot strictly BEFORE this epoch (snapshot
-        isolation: a replayed epoch re-reads its original pre-state)."""
-        prior = [
-            int(d.split("=", 1)[1])
-            for d in (
-                os.listdir(self.state_dir) if os.path.isdir(self.state_dir) else []
-            )
-            if d.startswith("batch_id=") and int(d.split("=", 1)[1]) < batch_id
-        ]
-        if not prior:
-            return spark.createDataFrame([], self._STATE_SCHEMA)
-        return spark.read.parquet(
-            f"{self.state_dir}/batch_id={max(prior)}"
+        return read_versioned_snapshot(
+            spark, self.state_dir, batch_id, self._STATE_SCHEMA
         ).select("band", "bucket", "first_time", "last_time")
 
     def _banded(self, df: DataFrame) -> DataFrame:

@@ -3441,3 +3441,102 @@ def test_mixture_sample_streaming_parity(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     )
     assert got == exp
+
+
+def test_streaming_span_dup_filter(spark, tmp_path):
+    """Online ExactSubstr annotator (streaming/spans.py): first arrival
+    scores 0, an exact copy scores 1.0, a half-shared doc scores
+    strictly between, a sub-w doc scores null, and a copy arriving
+    beyond the horizon scores 0 again (snapshot state expired). Replay
+    is idempotent, and a one-batch run over the in-horizon prefix
+    matches the micro-batch replay (arrival-order determinism)."""
+    import datetime as dt
+
+    from kaskada_spark.streaming.spans import SpanDupFilter
+
+    t0 = dt.datetime(2024, 1, 1)
+    a = [100 + i for i in range(60)]
+    rows = [
+        ("d1", a, t0),
+        ("d2", [5000 + i for i in range(60)], t0 + dt.timedelta(minutes=1)),
+        ("d3", a, t0 + dt.timedelta(minutes=2)),                 # exact copy
+        ("d4", a[:40] + [9000 + i for i in range(40)],
+         t0 + dt.timedelta(minutes=3)),                          # half shared
+        ("d5", [1, 2, 3, 4, 5], t0 + dt.timedelta(minutes=4)),   # < w tokens
+        ("d7", [70000 + i for i in range(80)],
+         t0 + dt.timedelta(minutes=40)),                         # rolls horizon
+        ("d6", a, t0 + dt.timedelta(minutes=70)),                # expired copy
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, _time timestamp"
+    )
+    in_dir = _write_time_split(df, ["_time"], str(tmp_path / "in"), 4)
+    filt = SpanDupFilter(
+        str(tmp_path / "out"), str(tmp_path / "state"), horizon="10 minutes"
+    )
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream.writeStream.option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(filt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["doc_id"]: r for r in filt.read_output(spark).collect()}
+    assert len(got) == 7
+    assert got["d1"]["dup_rate"] == 0.0
+    assert got["d2"]["dup_rate"] == 0.0
+    assert got["d3"]["dup_rate"] == 1.0                     # every fp seen
+    assert 0.0 < got["d4"]["dup_rate"] < 1.0                # shared 40-run
+    assert got["d4"]["n_dup_fp"] >= 1                       # winnow guarantee
+    assert got["d5"]["n_fp"] == 0 and got["d5"]["dup_rate"] is None
+    assert got["d7"]["dup_rate"] == 0.0
+    assert got["d6"]["dup_rate"] == 0.0                     # state expired
+
+    # one-batch run over the in-horizon prefix == micro-batch replay
+    prefix = df.filter(F.col("doc_id").isin("d1", "d2", "d3", "d4", "d5"))
+    one = SpanDupFilter(
+        str(tmp_path / "one_out"), str(tmp_path / "one_state"),
+        horizon="10 minutes",
+    )
+    one(prefix, 0)
+    one_got = {r["doc_id"]: r for r in one.read_output(spark).collect()}
+    for d in ("d1", "d2", "d3", "d4", "d5"):
+        assert one_got[d]["dup_rate"] == got[d]["dup_rate"], d
+        assert one_got[d]["n_fp"] == got[d]["n_fp"], d
+
+    # replay idempotence: re-running epoch 0 from the same pre-state
+    one(prefix, 0)
+    again = {r["doc_id"]: r for r in one.read_output(spark).collect()}
+    assert len(again) == 5
+    assert again["d3"]["dup_rate"] == 1.0
+
+
+def test_streaming_span_dup_drop_at(spark, tmp_path):
+    """drop_at: rows at/above the threshold are filtered out of the
+    sink instead of annotated (null-rate rows always pass)."""
+    import datetime as dt
+
+    from kaskada_spark.streaming.spans import SpanDupFilter
+
+    t0 = dt.datetime(2024, 1, 1)
+    a = [100 + i for i in range(60)]
+    df = spark.createDataFrame(
+        [
+            ("d1", a, t0),
+            ("d3", a, t0 + dt.timedelta(minutes=2)),
+            ("d5", [1, 2, 3], t0 + dt.timedelta(minutes=3)),
+        ],
+        "doc_id string, tokens array<int>, _time timestamp",
+    )
+    filt = SpanDupFilter(
+        str(tmp_path / "out"), str(tmp_path / "state"),
+        horizon="1 hour", drop_at=0.5,
+    )
+    filt(df, 0)
+    kept = {r["doc_id"] for r in filt.read_output(spark).collect()}
+    assert kept == {"d1", "d5"}
