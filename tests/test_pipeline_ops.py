@@ -936,3 +936,62 @@ def test_span_dup_rate_bounds(spark):
     assert rates["a2"]["dup_rate"] == 1.0
     assert rates["c"]["dup_rate"] == 0.0 and rates["c"]["n_dup_fp"] == 0
     assert rates["a1"]["n_fp"] == rates["a2"]["n_fp"] >= 1
+
+
+def _py_winnow(tokens: list[int], w: int = 8, window: int = 25):
+    """Pure-Python reference model of winnow_fingerprints (independent
+    implementation: direct per-position hashing + per-window leftmost
+    argmin). Returns the set of selected 0-based positions and each
+    position's fingerprint string."""
+    import hashlib
+
+    if len(tokens) < w:
+        return {}
+    kh = []
+    for i in range(len(tokens) - w + 1):
+        acc = 0
+        for t in tokens[i : i + w]:
+            acc = (acc * 1_000_003 + t) % 2_147_483_647
+        kh.append(acc)
+    nwin = max(len(kh) - window + 1, 1)
+    sel = set()
+    for j in range(nwin):
+        win = kh[j : j + window]
+        sel.add(j + win.index(min(win)))
+    return {
+        p: hashlib.md5(
+            " ".join(str(t) for t in tokens[p : p + w]).encode()
+        ).hexdigest()
+        for p in sel
+    }
+
+
+def test_winnow_matches_python_model_randomized(spark):
+    """Spark winnow_fingerprints == an independent pure-Python model on
+    a randomized corpus (seeded): random lengths incl. < w and < window
+    edges, small alphabet (forces gram-hash ties -> exercises leftmost
+    tie-breaking), and planted cross-doc spans. One Spark job for all
+    docs."""
+    import random
+
+    from kaskada_spark.operators.spans import winnow_fingerprints
+
+    rng = random.Random(20240819)
+    span = [rng.randrange(1 << 20) for _ in range(40)]
+    docs = []
+    for i in range(40):
+        n = rng.choice([3, 7, 8, 9, 20, 24, 25, 26, 31, 32, 60, 200])
+        toks = [rng.randrange(6) for _ in range(n)]  # tiny alphabet: ties
+        if i % 5 == 0 and n >= 40:
+            at = rng.randrange(0, n - 39)
+            toks[at : at + 40] = span
+        docs.append((f"doc{i:02d}", toks))
+    df = spark.createDataFrame(docs, "doc_id string, tokens array<int>")
+    expected = {
+        d: _py_winnow(toks) for d, toks in docs if len(toks) >= 8
+    }
+    for impl in ("arrow", "catalyst"):
+        got = {}
+        for r in winnow_fingerprints(df, w=8, window=25, impl=impl).collect():
+            got.setdefault(r["doc_id"], {})[r["pos"]] = r["fp"]
+        assert got == expected, impl

@@ -114,7 +114,7 @@ def test_winnow_no_inferred_filter_blowup(spark, sf_dir):
     from kaskada_spark.operators.spans import winnow_fingerprints
     from kaskada_spark.sources.tokens import tokenize_documents
 
-    fp = winnow_fingerprints(tokenize_documents(spark, sf_dir))
+    fp = winnow_fingerprints(tokenize_documents(spark, sf_dir), impl="catalyst")
     plan = fp._jdf.queryExecution().optimizedPlan().toString()
     n_tok_evals = plan.count("regexp_extract_all")
     assert 1 <= n_tok_evals <= 2, (
