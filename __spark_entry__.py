@@ -177,9 +177,11 @@ def q_since_daily_sum(spark, sf_dir):
 
 
 def q_sliding_rows(spark, sf_dir):
-    # sliding(3, <every row>) == last-3-rows window
+    # sliding(3, <every row>) == last-3-rows window; condition=None
+    # takes the rolling-frame fast path (one window pass — the generic
+    # per-window-id lowering degenerates to a group per row here)
     tl = _events(spark, sf_dir).sum(
-        _dec(), window=Sliding(3, F.lit(True)), alias="__s"
+        _dec(), window=Sliding(3, None), alias="__s"
     )
     return tl.df.select(
         "event_id", "user_id", F.col("__s").cast("double").alias("sum_last3")

@@ -340,6 +340,31 @@ class Timeline:
         aggregate adds columns, never exchanges.
         """
         n = window.n
+        if window.condition is None:
+            # every-row windows (Sliding(n, None)): the generic lowering
+            # below degenerates to one window-id GROUP PER ROW (per-row
+            # hash-agg groups + a range combine + a join back). The
+            # last-n-closed-windows semantics collapse to a rolling
+            # last-n-ROWS frame, one window pass on the entity shuffle.
+            # Values stay identical to the generic path: the same
+            # decomposed components feed the same merge, with the
+            # closed-window side empty (equivalence-tested vs
+            # F.lit(True) in test_temporal_ops.py).
+            frame = (
+                W.partitionBy(KEY)
+                .orderBy(F.col(TIME), F.col(SUBSORT))
+                .rowsBetween(-(n - 1), W.currentRow)
+            )
+            out = self._df
+            for op, col, alias in specs:
+                comps = _components(op)
+                cur = {
+                    name: _agg_over(cop, cexpr(col), frame)
+                    for name, (cop, cexpr) in comps.items()
+                }
+                prev = {name: F.lit(None) for name in comps}
+                out = out.withColumn(alias, _merge_components(op, prev, cur))
+            return Timeline(out)
         df, _, _ = self._window_id(window.condition)
         cur_frame = (
             W.partitionBy(KEY, _WID)

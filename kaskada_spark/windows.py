@@ -34,7 +34,7 @@ boundary to the nanosecond.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Union
+from typing import Optional, Union
 
 from pyspark.sql import Column
 
@@ -95,10 +95,17 @@ class Since:
 
 @dataclass(frozen=True)
 class Sliding:
-    """Aggregate over the last ``n`` condition-demarcated windows."""
+    """Aggregate over the last ``n`` condition-demarcated windows.
+
+    ``condition=None`` declares the every-row window (each row closes
+    its own window — `sliding(n, is_valid(Input))`-style rolling
+    last-n-rows): semantically identical to ``F.lit(True)`` but lowered
+    as ONE frame-bounded window pass instead of the generic
+    per-window-id decomposition, which degenerates to a group per row
+    for this shape (measured 8x at sf0.1)."""
 
     n: int
-    condition: Condition
+    condition: Optional[Condition]
 
     def __post_init__(self) -> None:
         if self.n < 1:

@@ -147,3 +147,33 @@ def test_sliding_aggs_fused_equals_sequential(rows, n):
     got = {r["seq"]: (r["s"], r["c"], r["lo"], r["m"]) for r in fused}
     exp = {r["seq"]: (r["s"], r["c"], r["lo"], r["m"]) for r in seq_tl}
     assert got == exp
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(ROW, min_size=1, max_size=20), st.integers(1, 3))
+def test_sliding_every_row_fast_path_equals_generic(rows, n):
+    """Sliding(n, None) — the rolling last-n-rows fast path — returns
+    exactly what the generic per-window-id lowering returns for
+    Sliding(n, F.lit(True)) (every row closes its own window), across
+    sum/count/min/max/mean/first/last/variance with nulls in play."""
+    pdf = _frame(rows)
+    tl = Timeline.from_events(
+        _SPARK.createDataFrame(pdf), time_col="t", key_col="e", subsort_col="seq"
+    )
+    specs = [
+        ("sum", "v", "s"), ("count", "v", "c"), ("min", "v", "lo"),
+        ("max", "v", "hi"), ("mean", "v", "m"), ("first", "v", "f"),
+        ("last", "v", "l"), ("variance", "v", "var"),
+    ]
+    cols = [a for _, _, a in specs]
+    fast = tl.sliding_aggs(specs, Sliding(n, None)).df.collect()
+    generic = tl.sliding_aggs(specs, Sliding(n, F.lit(True))).df.collect()
+    got = {r["seq"]: tuple(r[c] for c in cols) for r in fast}
+    exp = {r["seq"]: tuple(r[c] for c in cols) for r in generic}
+    for seq, e_val in exp.items():
+        g = got[seq]
+        for gv, ev, cname in zip(g, e_val, cols):
+            if ev is None:
+                assert gv is None, (seq, cname, gv)
+            else:
+                assert gv == pytest.approx(ev, abs=1e-9), (seq, cname)
