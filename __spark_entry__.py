@@ -1275,10 +1275,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries.  Positions 1-50 therefore carry one representative of EVERY
     # operator family (the 16 LLM-pipeline ops that had no r03 driver row come
     # first, led by the five that have never had a driver row in any round).
-    # Positions 51-67 are redundant variants only: each one is driver-green in
-    # CORRECTNESS_r03.json AND its family keeps an in-window sibling
-    # (e.g. select_when->fenl_when, merge_align->fenl_merge,
-    # fenl_nested->fenl_nested_windowed, scalar_showcase->the sweeps).
+    # Positions 51+ are redundant variants only: each one is driver-green in a
+    # prior round (CORRECTNESS_r03.json; cosine_near_dup_banded in r02) AND
+    # its family keeps an in-window sibling (e.g. select_when->fenl_when,
+    # merge_align->fenl_merge, fenl_nested->fenl_nested_windowed,
+    # cosine_near_dup_banded->cosine_near_dup, scalar_showcase->the sweeps).
     # Every entry keeps its oracle regardless of position.
     return {
         # -- never driver-checked before round 4 --

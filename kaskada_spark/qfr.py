@@ -147,3 +147,66 @@ def write_flight_record(
         "spill_bytes": _total("spillSize"),
         "peak_memory_bytes": _total("peakMemory"),
     }
+
+
+def streaming_flight_record(query, request_id: str | None = None) -> list[dict]:
+    """Flight record of a Structured Streaming query's LAST micro-batch:
+    header + one activity per physical operator of the batch's
+    IncrementalExecution plan, including the stateful operators'
+    store metrics (rows updated/removed, state memory, commit time) the
+    reference's flight recorder tracks per operation
+    (sparrow-qfr/src/recorder.rs; compute_store.rs store_to/
+    restore_from timings). Call after at least one batch completed —
+    e.g. from a StreamingQueryListener.onQueryProgress hook, or after
+    an availableNow run terminates (the last execution stays readable
+    until the query object is dropped). Returns [] when no batch has
+    run yet.
+
+    Together with the per-batch JSONL in `streaming/metrics.py`
+    (progress-level: rows/sec, watermark, state totals) this is the
+    streaming counterpart of `flight_record` — progress rows answer
+    "how is the stream keeping up", this answers "which operator in the
+    micro-batch plan spent the time / held the state"."""
+    # unwrap StreamingQueryWrapper -> MicroBatchExecution; lastExecution
+    # is the retained IncrementalExecution of the newest batch. NOTE:
+    # with no-data micro-batches enabled (default), an availableNow run
+    # ends on a watermark-commit batch whose inputs are empty — set
+    # `spark.sql.streaming.noDataMicroBatches.enabled=false` (or record
+    # from a progress listener per batch) to capture the data batch.
+    exec_j = query._jsq.streamingQuery().lastExecution()
+    if exec_j is None:
+        return []
+    header = {
+        "type": "header",
+        "qfr_version": QFR_VERSION,
+        "request_id": request_id or uuid.uuid4().hex,
+        "recorded_at_ms": int(time.time() * 1000),
+        "stream_run_id": str(query.runId),
+        "stream_batch_id": exec_j.currentBatchId(),
+    }
+    records: list[dict] = []
+    _walk(exec_j.executedPlan(), None, records)
+    header["activities"] = sorted({r["label"] for r in records})
+    return [header] + records
+
+
+def write_streaming_flight_record(
+    query, path: str, request_id: str | None = None
+) -> dict:
+    """`streaming_flight_record` to JSONL; returns the index summary."""
+    records = streaming_flight_record(query, request_id=request_id)
+    with open(path, "w") as fh:
+        for rec in records:
+            fh.write(json.dumps(rec, default=str) + "\n")
+    activities = [r for r in records if r["type"] == "activity"]
+    state_rows = sum(
+        int(a["metrics"]["numUpdatedStateRows"]["value"])
+        for a in activities
+        if "numUpdatedStateRows" in a["metrics"]
+    )
+    return {
+        "path": path,
+        "n_operators": len(activities),
+        "batch_id": records[0]["stream_batch_id"] if records else None,
+        "updated_state_rows": state_rows,
+    }

@@ -93,3 +93,63 @@ def test_flight_record_broadcast_join_visible(spark, sf_dir):
     labels = {r["label"] for r in records[1:]}
     assert "BroadcastHashJoin" in labels
     assert "BroadcastExchange" in labels
+
+
+def test_streaming_flight_record_last_batch(spark, sf_dir, tmp_path):
+    """Streaming counterpart: after an availableNow windowed-agg run,
+    the last micro-batch's IncrementalExecution plan is recorded with
+    parent-linked operators, a stateful operator present, and real
+    state metrics (updated state rows >= emitted groups)."""
+    from kaskada_spark.qfr import (
+        streaming_flight_record,
+        write_streaming_flight_record,
+    )
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    in_dir = str(tmp_path / "in")
+    src.coalesce(1).write.parquet(in_dir)
+    stream = spark.readStream.schema(src.schema).parquet(in_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    # keep the DATA batch as lastExecution (a trailing no-data
+    # watermark-commit batch would otherwise be the retained one)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    records = streaming_flight_record(q, request_id="sreq-1")
+    assert records, "no batch recorded"
+    header, activities = records[0], records[1:]
+    assert header["type"] == "header"
+    assert header["stream_batch_id"] >= 0
+    labels = {a["label"] for a in activities}
+    assert any("StateStore" in l for l in labels), labels
+    roots = [a for a in activities if a["parent_activity_id"] is None]
+    assert len(roots) == 1
+    state_updates = sum(
+        int(a["metrics"]["numUpdatedStateRows"]["value"])
+        for a in activities
+        if "numUpdatedStateRows" in a["metrics"]
+    )
+    assert state_updates > 0
+
+    out = write_streaming_flight_record(q, str(tmp_path / "sfr.jsonl"))
+    assert out["n_operators"] == len(activities)
+    assert out["updated_state_rows"] == state_updates
+    with open(out["path"]) as fh:
+        lines = [json.loads(l) for l in fh]
+    assert lines[0]["type"] == "header"
+    assert len(lines) == len(records)
