@@ -642,3 +642,34 @@ def schema_of_avro_path(path: str):
         head = fh.read(1 << 20)  # header is tiny; 1 MiB covers any schema
     schema, _codec, _sync = _read_header(_Decoder(head))
     return schema
+
+
+# ---------------------------------------------------------------------------
+# single-datum codec (message payloads)
+
+
+def decode_datum(schema, data: bytes):
+    """Decode ONE schema'd Avro datum (no container framing) — the
+    payload shape stream messages carry: a Pulsar message body under an
+    Avro schema (streams/pulsar/schema.rs deserializes exactly this),
+    or a Kafka value sans the 5-byte Confluent registry prefix."""
+    names: dict = {}
+    _register_named(schema, names)
+    dec = _Decoder(data)
+    value = _read_value(dec, schema, names)
+    if not dec.at_end():
+        raise AvroError(
+            f"{len(dec.buf) - dec.pos} trailing bytes after datum "
+            "(framed/container payload? use read_container)"
+        )
+    return value
+
+
+def encode_datum(schema, value) -> bytes:
+    """Encode ONE datum to its schema'd Avro bytes (fixture writer for
+    message-payload tests — the sandbox has no Avro library)."""
+    names: dict = {}
+    _register_named(schema, names)
+    enc = _Encoder()
+    _write_value(enc, schema, value, names)
+    return enc.getvalue()

@@ -249,3 +249,75 @@ def test_bucketed_layout_removes_entity_shuffles(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_decode_avro_messages_batch_and_stream(spark, tmp_path):
+    """Message-payload Avro decode (the Pulsar/Kafka per-message shape,
+    no container framing): binary value column -> typed columns, with
+    metadata passthrough, identical batch and streaming (stateless map,
+    watermark passes through)."""
+    import datetime as dt
+    import json
+
+    from kaskada_spark.sources.avro_codec import decode_datum, encode_datum
+    from kaskada_spark.sources.readers import decode_avro_messages
+
+    schema = {
+        "type": "record",
+        "name": "Seq",
+        "fields": [
+            {"name": "doc_id", "type": "string"},
+            {"name": "tokens", "type": {"type": "array", "items": "int"}},
+            {"name": "n_tok", "type": "int"},
+            {"name": "source", "type": ["null", "string"]},
+        ],
+    }
+    recs = [
+        {"doc_id": "a", "tokens": [1, 2, 3], "n_tok": 3, "source": "web"},
+        {"doc_id": "b", "tokens": [], "n_tok": 0, "source": None},
+        {"doc_id": "c", "tokens": [7, 7], "n_tok": 2, "source": "books"},
+    ]
+    t0 = dt.datetime(2024, 1, 1)
+    msgs = [
+        (f"k{i}", t0 + dt.timedelta(seconds=i), encode_datum(schema, r))
+        for i, r in enumerate(recs)
+    ]
+    df = spark.createDataFrame(
+        msgs, "key string, ts timestamp, value binary"
+    )
+    # payloads really are bare datums (roundtrip through the codec)
+    assert decode_datum(schema, msgs[1][2]) == recs[1]
+
+    out = decode_avro_messages(
+        df, json.dumps(schema), passthrough=("key", "ts")
+    )
+    assert out.columns == ["key", "ts", "doc_id", "tokens", "n_tok", "source"]
+    got = {r["doc_id"]: r for r in out.collect()}
+    for i, r in enumerate(recs):
+        g = got[r["doc_id"]]
+        assert list(g["tokens"] or []) == r["tokens"]
+        assert g["n_tok"] == r["n_tok"]
+        assert g["source"] == r["source"]
+        assert g["key"] == f"k{i}"
+
+    # streaming: same decode on a readStream frame, windowed downstream
+    in_dir = str(tmp_path / "msgs")
+    df.coalesce(1).write.parquet(in_dir)
+    stream = spark.readStream.schema(df.schema).parquet(in_dir)
+    dec = decode_avro_messages(stream, json.dumps(schema), passthrough=("ts",))
+    agg = (
+        dec.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.sum("n_tok").alias("tok"), F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("avro_msgs")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select tok, n from avro_msgs").collect()
+    assert [(r["tok"], r["n"]) for r in rows] == [(5, 3)]
