@@ -1038,6 +1038,50 @@ def q_mixture_split(spark, sf_dir):
     )
 
 
+def q_chunk_sequences(spark, sf_dir):
+    """Fixed-length context chunking with overlap over the pre-tokenized
+    table (operators/training.py chunk_sequences): stride-24 windows of
+    max 32 tokens (overlap 8) — the causal-LM preprocessing complement
+    of pack_sequences. Pure map-side: generator offsets + array slice,
+    ZERO shuffles; scalar digests (first/last/sum) instead of raw
+    arrays keep the driver hash engine-portable."""
+    from kaskada_spark.operators.training import chunk_sequences
+
+    toks = tokenize_documents(spark, sf_dir)
+    ch = chunk_sequences(toks, max_len=32, overlap=8)
+    return ch.select(
+        "doc_id",
+        "source",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("chunk_off").cast("long").alias("chunk_off"),
+        F.col("chunk_len").cast("long").alias("chunk_len"),
+        F.element_at("tokens", 1).alias("tok_first"),
+        F.element_at("tokens", -1).alias("tok_last"),
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("tok_sum"),
+    )
+
+
+def q_epoch_shuffle(spark, sf_dir):
+    """Seeded deterministic epoch shuffle (operators/training.py
+    epoch_shuffle): every document gets a (shard, pos) slot in a global
+    training-order permutation — shard via md5(seed|id) % 16, pos via a
+    per-shard rank on the full hash. ONE shard-keyed exchange whose
+    per-shard sort is rows/n_shards-bounded; pure function of (seed,
+    id) so any engine / cluster size / resumed run agrees."""
+    from kaskada_spark.operators.training import epoch_shuffle
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = epoch_shuffle(docs, n_shards=16, seed="ep1")
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("pos").cast("long").alias("pos"),
+    )
+
+
 # ----------------------------------------------------------------------
 # oracle SQL builders (shared DuckDB fragments)
 # ----------------------------------------------------------------------
@@ -1289,6 +1333,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "pack_sequences": q_pack_sequences,
         "mixture_split": q_mixture_split,
+        # -- new in round 4: chunking + epoch shuffle --
+        "chunk_sequences": q_chunk_sequences,
+        "epoch_shuffle": q_epoch_shuffle,
         # -- pipeline ops without an r03 driver row --
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1337,8 +1384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_sweep_logic": q_scalar_sweep_logic,
         "scalar_sweep_string_time": q_scalar_sweep_string_time,
         "scalar_sweep_record_json": q_scalar_sweep_record_json,
+        # ---- position 51+: redundant variants, all driver-green in a
+        # prior round (scalar_sweep_hash r03; cosine_near_dup_banded r02) ----
         "scalar_sweep_hash": q_scalar_sweep_hash,
-        # ---- position 51+: redundant variants, all r03-driver-green ----
         "cosine_near_dup_banded": q_cosine_near_dup_banded,
         "sliding_minmax": q_sliding_minmax,
         "select_when": q_select_when,
@@ -2522,6 +2570,50 @@ def _pipeline_oracles() -> dict[str, str]:
                    tokens_before // 512 AS pack_id,
                    tokens_before % 512 AS pack_offset
             FROM c
+        """,
+        # Mirror of operators/training.py chunk_sequences(32, overlap=8):
+        # stride-24 offsets over each non-empty token array, slice of at
+        # most 32 tokens per chunk. range(0, n, 24) == Spark
+        # sequence(0, n-1, 24) for n > 0; list_slice clamps like
+        # F.slice. Digests mirror q_tokens_table's conventions.
+        "chunk_sequences": f"""
+            WITH {TOKENS_ORACLE_CTE.strip()}, nz AS (
+              SELECT doc_id, source, tokens, len(tokens) AS n_tok
+              FROM tokens_tbl WHERE len(tokens) > 0
+            )
+            SELECT doc_id, source, chunk_id, chunk_off, chunk_len,
+                   sl[1] AS tok_first,
+                   sl[len(sl)] AS tok_last,
+                   CAST(list_aggregate(
+                     list_transform(sl, t -> CAST(t AS BIGINT)), 'sum'
+                   ) AS BIGINT) AS tok_sum
+            FROM (
+              SELECT doc_id, source,
+                     CAST(u.off // 24 AS BIGINT) AS chunk_id,
+                     CAST(u.off AS BIGINT) AS chunk_off,
+                     CAST(LEAST(32, n_tok - u.off) AS BIGINT) AS chunk_len,
+                     list_slice(tokens, u.off + 1, u.off + 32) AS sl
+              FROM nz, UNNEST(range(0, n_tok, 24)) AS u(off)
+            )
+        """,
+        # Mirror of operators/training.py epoch_shuffle(16, seed='ep1'):
+        # shard = md5('ep1|' || id) first-7-hex % 16, pos = 0-based rank
+        # of the full md5 hex (ties by id) within the shard.
+        "epoch_shuffle": """
+            WITH h AS (
+              SELECT doc_id, source,
+                     md5('ep1|' || CAST(doc_id AS VARCHAR)) AS hh
+              FROM documents
+            ), s AS (
+              SELECT doc_id, source, hh,
+                     CAST(('0x' || substr(hh, 1, 7)) AS BIGINT) % 16 AS shard
+              FROM h
+            )
+            SELECT doc_id, source, shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY shard ORDER BY hh, doc_id
+                   ) - 1 AS BIGINT) AS pos
+            FROM s
         """,
         # Mirror of operators/training.py mixture_sample +
         # train_valid_split: md5('salt|doc_id') 28-bit hash -> uniform

@@ -539,3 +539,94 @@ def vocabulary_drift(
             6,
         ).alias("l1_drift"),
     )
+
+
+def chunk_sequences(
+    toks: DataFrame,
+    max_len: int,
+    overlap: int = 0,
+    tokens_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+) -> DataFrame:
+    """Split long token sequences into fixed-length training windows
+    with optional overlap — the complement of :func:`pack_sequences`
+    (that packs SHORT sequences into a budget; this strides LONG ones
+    into model-context-sized chunks, the standard causal-LM
+    preprocessing step).
+
+    Chunk ``i`` starts at offset ``i * (max_len - overlap)``; offsets
+    run while they land inside the sequence, so the final chunk may be
+    short (it still carries >= 1 previously-uncovered token because the
+    stride is positive). Rows with zero tokens produce no chunks.
+
+    Output adds ``chunk_id`` (0-based), ``chunk_off``, ``chunk_len``
+    and replaces ``tokens``/``n_tok`` with the chunk's slice.
+
+    Scale shape: pure map-side — the offset list is a generator
+    (``posexplode_outer`` over ``sequence``; _outer_ because the array
+    is provably non-empty once ``n_tok > 0`` rows are selected, and
+    plain ``explode`` would let InferFiltersFromGenerate inline staged
+    upstream projections into a per-row filter), the slice is a
+    whole-stage-codegen array op, and nothing shuffles. A 10^12-row
+    table chunks at scan speed with zero exchanges.
+    """
+    if not 0 <= overlap < max_len:
+        raise ValueError(f"overlap must be in [0, {max_len}), got {overlap}")
+    step = max_len - overlap
+    n_tok = F.col(n_tok_col)
+    nz = toks.filter(n_tok > 0)
+    exploded = nz.select(
+        "*",
+        F.posexplode_outer(
+            F.sequence(F.lit(0), n_tok - 1, F.lit(step))
+        ).alias("chunk_id", "chunk_off"),
+    )
+    out = (
+        exploded.withColumn(
+            "chunk_len",
+            F.least(F.lit(max_len), n_tok - F.col("chunk_off")).cast("int"),
+        )
+        .withColumn(
+            tokens_col, F.slice(tokens_col, F.col("chunk_off") + 1, max_len)
+        )
+        .withColumn(n_tok_col, F.col("chunk_len"))
+    )
+    return out
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    seed: str = "0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order permutation: every row gets
+    a ``(shard, pos)`` slot in a seeded epoch shuffle, without a global
+    sort.
+
+    ``shard = md5-hash(seed | id) % n_shards`` spreads rows uniformly;
+    ``pos`` ranks the row inside its shard by the full md5 hex (ties by
+    id). A trainer reads shards in any fixed order and rows by ``pos``
+    within each — equivalent to one draw of a uniform permutation, and
+    a new ``seed`` is a fresh epoch order.
+
+    Scale shape: the shard assignment is map-only; the only exchange is
+    ONE hash partition on ``shard`` whose per-shard sort is bounded by
+    ``rows / n_shards`` (pick ``n_shards`` so a shard is ~10^7 rows: a
+    10^12-row corpus shuffles as 10^5 independent task-sized sorts, no
+    range-sampling pass, no driver involvement). Determinism shape:
+    a pure function of (seed, id) — identical on any cluster size,
+    any engine, and across resumed runs, the property `orderBy(rand())`
+    fundamentally lacks.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")))
+    out = df.withColumn("__h", h).withColumn(
+        "shard",
+        (F.conv(F.substring("__h", 1, 7), 16, 10).cast("long") % n_shards),
+    )
+    w = W.partitionBy("shard").orderBy("__h", id_col)
+    return out.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("long")
+    ).drop("__h")

@@ -995,3 +995,93 @@ def test_winnow_matches_python_model_randomized(spark):
         for r in winnow_fingerprints(df, w=8, window=25, impl=impl).collect():
             got.setdefault(r["doc_id"], {})[r["pos"]] = r["fp"]
         assert got == expected, impl
+
+
+def test_chunk_sequences_matches_python_model(spark):
+    """chunk_sequences == a pure-Python striding model: every offset
+    0, step, 2*step, ... < n_tok yields a chunk of at most max_len
+    tokens; zero-token rows yield nothing; tail chunks are short."""
+    from kaskada_spark.operators.training import chunk_sequences
+
+    rows = [
+        ("d0", []),                       # no chunks
+        ("d1", [1]),                      # one short chunk
+        ("d2", list(range(8))),           # exactly max_len
+        ("d3", list(range(9))),           # max_len + 1 -> tail of 4
+        ("d4", list(range(23))),          # several + short tail
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    df = df.withColumn("n_tok", F.size("tokens"))
+    max_len, overlap = 8, 3
+    step = max_len - overlap
+    expected = {}
+    for d, toks in rows:
+        for i, off in enumerate(range(0, len(toks), step)):
+            expected[(d, i)] = (off, toks[off : off + max_len])
+    got = {}
+    for r in chunk_sequences(df, max_len=max_len, overlap=overlap).collect():
+        got[(r["doc_id"], r["chunk_id"])] = (r["chunk_off"], list(r["tokens"]))
+        assert r["chunk_len"] == len(r["tokens"])
+        assert r["n_tok"] == r["chunk_len"]
+    assert got == expected
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_sequences(df, max_len=8, overlap=8)
+    with _pytest.raises(ValueError):
+        chunk_sequences(df, max_len=8, overlap=-1)
+
+
+def test_chunk_sequences_covers_all_tokens(spark):
+    """Union of chunks covers every token position exactly once when
+    overlap=0 (disjoint partition of each sequence)."""
+    from kaskada_spark.operators.training import chunk_sequences
+
+    df = spark.createDataFrame(
+        [(f"d{i}", list(range(i * 7 % 50 + 1))) for i in range(30)],
+        "doc_id string, tokens array<int>",
+    ).withColumn("n_tok", F.size("tokens"))
+    out = (
+        chunk_sequences(df, max_len=16, overlap=0)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("chunk_len").alias("covered"),
+            F.flatten(F.collect_list("tokens")).alias("cat"),
+        )
+        .collect()
+    )
+    assert len(out) == 30
+    for r in out:
+        n = int(r["doc_id"][1:]) * 7 % 50 + 1
+        assert r["covered"] == n
+        assert sorted(r["cat"]) == sorted(range(n))
+
+
+def test_epoch_shuffle_permutation_and_determinism(spark):
+    """epoch_shuffle: shards partition the rows, pos is 0..count-1
+    inside each shard (a permutation), the assignment is identical
+    across runs, and a different seed yields a different order."""
+    from kaskada_spark.operators.training import epoch_shuffle
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = epoch_shuffle(df, n_shards=8, seed="e1").collect()
+    b = epoch_shuffle(df, n_shards=8, seed="e1").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_shard = {}
+    for r in a:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert sum(len(v) for v in by_shard.values()) == 500
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+    # every shard is populated at 500 rows / 8 shards
+    assert len(by_shard) == 8
+
+    c = epoch_shuffle(df, n_shards=8, seed="e2").collect()
+    assert sorted(map(tuple, c)) != sorted(map(tuple, a))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        epoch_shuffle(df, n_shards=0)
