@@ -84,3 +84,33 @@ def stop_spark() -> None:
         active.stop()
     # Spark caches the JVM gateway; a fresh builder after stop() creates a
     # new context with the new master.
+
+
+#: Session conf that moves every stateful streaming operator onto the
+#: RocksDB state store (bundled with Spark; rocksdbjni ships in jars/).
+#: The default HDFSBackedStateStoreProvider keeps each partition's state
+#: as an in-heap hashmap + full-snapshot checkpoints — fine while state
+#: fits executor heaps, but the 100 TB posture for state that scales
+#: with the corpus (streaming near-dedup band registries, as-of lookup
+#: latches over 10^9 entities) is RocksDB: off-heap + spill-to-disk
+#: state bounded by local SSD not heap, incremental (changelog)
+#: checkpoints instead of full snapshots, and bounded memory via write
+#: buffers. Read at STREAMING QUERY START: set these before .start()
+#: (get_spark(extra_conf=ROCKSDB_STATE_CONF), or conf.set per query);
+#: running queries keep their provider, and a checkpoint written by one
+#: provider must not be resumed under another.
+ROCKSDB_STATE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    # incremental commits: upload changelog per batch, compact snapshots
+    # in the background — turns per-batch checkpoint cost O(state) into
+    # O(delta), the difference that matters at TB state
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
+    # bound RocksDB native memory usage per executor (write buffers +
+    # block cache share one cap instead of growing per-partition)
+    "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
+}

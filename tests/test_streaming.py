@@ -13,6 +13,7 @@
 import os
 import shutil
 import time
+from contextlib import contextmanager
 
 import pytest
 from pyspark.sql import functions as F
@@ -3540,3 +3541,85 @@ def test_streaming_span_dup_drop_at(spark, tmp_path):
     filt(df, 0)
     kept = {r["doc_id"] for r in filt.read_output(spark).collect()}
     assert kept == {"d1", "d5"}
+
+
+@contextmanager
+def _session_conf(spark, conf):
+    """Temporarily set session confs (streaming providers are read at
+    query START, so setting before .start() is sufficient)."""
+    old = {}
+    for k, v in conf.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_rocksdb_state_store_running_agg_equals_batch(spark, events_tl, tmp_path):
+    """The per-key state machines run UNCHANGED on the RocksDB state
+    store (session.ROCKSDB_STATE_CONF — the TB-scale state backend:
+    off-heap state, changelog checkpoints) and produce the same rows as
+    the batch engine. Exercises applyInPandasWithState under the
+    RocksDB provider end to end, incl. checkpoint commit per batch."""
+    from kaskada_spark.session import ROCKSDB_STATE_CONF
+
+    in_dir = _write_time_split(
+        events_tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 3
+    )
+    with _session_conf(spark, ROCKSDB_STATE_CONF):
+        sink = _run_stream(
+            spark,
+            in_dir,
+            events_tl.df.schema,
+            SPECS,
+            str(tmp_path / "ck"),
+            str(tmp_path / "out"),
+        )
+    _assert_matches_batch(sink, spark, _batch_expected(events_tl))
+
+
+def test_rocksdb_state_store_exact_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state also lives happily in
+    RocksDB: first-arrival dedup keeps the same representatives as the
+    batch operator across micro-batches."""
+    import datetime as dt
+
+    from kaskada_spark.operators.dedup import exact_dedup
+    from kaskada_spark.session import ROCKSDB_STATE_CONF
+    from kaskada_spark.streaming.dedup import exact_dedup_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, f"content {i % 7}", t0 + dt.timedelta(minutes=i)) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, _time timestamp")
+    reps = {r["rep_id"] for r in exact_dedup(df, "doc_id", "text").collect()}
+
+    in_dir = _write_time_split(df, ["_time"], str(tmp_path / "in"), 3)
+    with _session_conf(spark, ROCKSDB_STATE_CONF):
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out = exact_dedup_stream(stream, text_col="text", watermark="3 hours")
+        sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="_time")
+        q = (
+            out.writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = {r["doc_id"] for r in sink.read_output(spark).collect()}
+    assert got == reps == set(range(7))
