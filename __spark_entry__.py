@@ -821,11 +821,13 @@ def q_cosine_near_dup(spark, sf_dir):
     which keeps the DuckDB oracle exact without replicating xxhash64."""
     from kaskada_spark.operators.similarity import cosine_near_dup_pairs
 
+    from kaskada_spark.sources.readers import parquet_row_count
+
     emb = read_table(spark, sf_dir, "embeddings")
-    # cardinality for auto-sizing comes from the BASE table's parquet
-    # metadata count + the 20 planted rows — at warehouse scale this is
-    # a table-stats lookup, never a scan of the union plan
-    n_rows = emb.count() + 20
+    # cardinality for auto-sizing is a parquet-footer metadata read
+    # (the Iceberg total-records stand-in) + the 20 planted rows — no
+    # count job over the union plan, no scan at all
+    n_rows = parquet_row_count(f"{sf_dir}/embeddings.parquet") + 20
     return cosine_near_dup_pairs(
         _near_dup_corpus(emb), "vec_id", "embedding",
         threshold=0.8, n_bits=None, dim=64, max_bucket_rows=512,

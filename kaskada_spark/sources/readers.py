@@ -80,6 +80,27 @@ def parquet_column_bounds(path: str, column: str) -> tuple | None:
     return None if lo is None else (lo, hi)
 
 
+def parquet_row_count(path: str) -> int:
+    """Total row count of a parquet file/directory from footer metadata
+    only — no Spark job, no row reads. The sandbox stand-in for an
+    Iceberg snapshot's ``total-records`` summary property; operators
+    that size themselves from table cardinality (e.g. LSH bucket-count
+    auto-sizing) take this instead of running ``df.count()`` over the
+    upstream plan.
+    """
+    import pyarrow.parquet as pq
+
+    files = []
+    if os.path.isdir(path):
+        for root, _dirs, names in os.walk(path):
+            files += [
+                os.path.join(root, n) for n in names if n.endswith(".parquet")
+            ]
+    else:
+        files = [path]
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     # NB: plain `spark._jvm.org.apache.iceberg...` attribute access is NOT
     # a valid probe — py4j resolves unknown paths to a lazy JavaPackage

@@ -721,6 +721,16 @@ def test_parquet_column_bounds_footer_stats(spark, tmp_path):
     assert parquet_column_bounds(p, "nope") is None
 
 
+def test_parquet_row_count_footer_only(spark, tmp_path):
+    """parquet_row_count sums footer num_rows across a multi-file
+    directory (the Iceberg total-records stand-in) — no row reads."""
+    from kaskada_spark.sources.readers import parquet_row_count
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(0, 1234).repartition(5).write.parquet(p)
+    assert parquet_row_count(p) == 1234
+
+
 def test_token_histogram(spark):
     from kaskada_spark.operators.training import token_histogram
 
