@@ -234,7 +234,11 @@ def q_sliding_daily_tick(spark, sf_dir):
     Integer-floored sum keeps the oracle bit-exact in any fold order."""
     from kaskada_spark.operators.tick import TICK_COL
 
-    tl = _events(spark, sf_dir).with_ticks(daily())
+    # project to the one value column BEFORE ticking: persist()
+    # materializes every column of the ticked frame, so an unprojected
+    # timeline would pin the unused props JSON blob + event_type in
+    # memory across all three window passes
+    tl = _events(spark, sf_dir).select_fields("value").with_ticks(daily())
     # the ticked frame feeds the sliding lowering's three window passes
     # (each would otherwise re-derive the tick-grid union subtree — 14
     # exchanges observed); at warehouse scale the prepared+ticked table
@@ -276,12 +280,20 @@ def q_fenl_with_key(spark, sf_dir):
 
 
 def q_final_last(spark, sf_dir):
-    fin = _events(spark, sf_dir).final()
+    # project BEFORE final(): max_by carries a struct of every Timeline
+    # column, and an unprojected timeline would drag the unused props
+    # JSON blob + event_type through the aggregation buffers (verified:
+    # ReadSchema shrinks from all 6 columns to the 3 used)
+    fin = _events(spark, sf_dir).select_fields("event_id", "user_id", "value").final()
     return fin.select("event_id", "user_id", "value")
 
 
 def q_final_at(spark, sf_dir):
-    fin = _events(spark, sf_dir).final_at("2024-06-01 00:00:00")
+    fin = (
+        _events(spark, sf_dir)
+        .select_fields("event_id", "user_id", "value")
+        .final_at("2024-06-01 00:00:00")
+    )
     return fin.select("event_id", "user_id", "value")
 
 

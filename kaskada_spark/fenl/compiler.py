@@ -1915,6 +1915,7 @@ def compile_fenl(
             parsed_formulas[n] = parse(s)
         except Exception as exc:  # noqa: BLE001 — re-raised on reference
             parsed_formulas[n] = exc
+    tables = _prune_tables(node, parsed_formulas, tables)
     referenced = _referenced_tables(node, parsed_formulas, tables)
     primary = referenced[0] if referenced else _primary_table(node, parsed_formulas, tables)
     ticks = _tick_units(node, parsed_formulas)
@@ -2081,6 +2082,89 @@ def _referenced_tables(
 
     walk(node, dict(formulas))
     return found
+
+
+#: bare-table calls that read no value fields: row count / row time come
+#: from the timeline metadata, not the record's columns
+_NO_FIELD_CALLS = frozenset({"count", "time_of"})
+
+
+def _used_table_fields(
+    node: A.Node, formulas: dict[str, A.Node], tables: dict[str, Timeline]
+) -> dict[str, set | None]:
+    """Per-table field-usage analysis for FRONTEND column pruning.
+
+    Returns ``{table: set(fields)}`` for tables whose usage is provably
+    limited to direct ``Table.field`` accesses (plus ``count(Table)`` /
+    ``time_of(Table)``, which read row validity/time, not value
+    columns). A table used bare in any other position (whole-record
+    latch, implicit ``$input`` fill via pipe, ``extend``, …) maps to
+    ``None`` — every column may be needed.
+
+    The reference prunes at the DFG level (sparrow-compiler's
+    used-column analysis feeding TableConfig's projected columns); here
+    the same information lets the Spark plan's parquet scan skip unused
+    columns that would otherwise ride through pruning-blocking
+    operators (``max_by`` row structs, persisted tick frames). Walks
+    every formula body eagerly — an over-approximation of the lazily
+    chased reference set, which can only keep extra columns, never drop
+    a needed one.
+    """
+    used: dict[str, set | None] = {t: set() for t in tables}
+
+    def walk(n) -> None:
+        if isinstance(n, Exception) or not isinstance(n, A.Node):
+            return
+        if (
+            isinstance(n, A.FieldRef)
+            and isinstance(n.base, A.Ref)
+            and n.base.name in used
+        ):
+            s = used[n.base.name]
+            if s is not None:
+                s.add(n.field)
+            return
+        if isinstance(n, A.Call):
+            skip: set[int] = set()
+            if n.func in _NO_FIELD_CALLS:
+                for a in n.args:
+                    if isinstance(a, A.Ref) and a.name in used:
+                        skip.add(id(a))
+            for c in _child_nodes(n):
+                if id(c) not in skip:
+                    walk(c)
+            return
+        if isinstance(n, A.Ref):
+            if n.name in used:
+                used[n.name] = None
+            return
+        for c in _child_nodes(n):
+            walk(c)
+
+    walk(node)
+    for body in formulas.values():
+        walk(body)
+    return used
+
+
+def _prune_tables(
+    node: A.Node, formulas: dict[str, A.Node], tables: dict[str, Timeline]
+) -> dict[str, Timeline]:
+    """Project each input timeline down to the fields the query can
+    touch (see :func:`_used_table_fields`). Unknown field names are
+    left to compilation's own diagnostics — pruning only ever drops
+    columns that exist and are provably unreferenced."""
+    usage = _used_table_fields(node, formulas, tables)
+    out: dict[str, Timeline] = {}
+    for name, tl in tables.items():
+        u = usage.get(name)
+        if u is not None:
+            have = tl.value_columns
+            need = [c for c in have if c in u]
+            if need and len(need) < len(have):
+                tl = tl.select_fields(*need)
+        out[name] = tl
+    return out
 
 
 def _primary_table(

@@ -1969,3 +1969,46 @@ def test_e2e_math_exp_powf_f64(spark):
     assert [got[i]["zmin"] for i in range(6)] == [
         5.2, 3.9, 6.2, None, None, None
     ]
+
+
+# ----------------------------------------------------------------------
+# frontend column pruning
+# ----------------------------------------------------------------------
+def test_frontend_column_pruning(spark):
+    """compile_fenl projects input tables to the referenced fields (the
+    reference's DFG used-column analysis feeding TableConfig): a query
+    touching only Input.a compiles against a timeline without b/c; a
+    bare-table use (whole-record latch) keeps every column;
+    count(Table)/time_of(Table) read no value fields."""
+    from kaskada_spark.fenl.compiler import _used_table_fields
+
+    csv = """time,key,a,b,c
+2024-01-01T00:00:00,k,1,10,x
+2024-01-02T00:00:00,k,2,20,y
+"""
+    tl = _tl(spark, csv)
+    tables = {"Input": tl}
+
+    u = _used_table_fields(parse("sum(Input.a)"), {}, tables)
+    assert u["Input"] == {"a"}
+    u = _used_table_fields(parse("{ n: count(Input), t: time_of(Input) }"), {}, tables)
+    assert u["Input"] == set()
+    u = _used_table_fields(parse("last(Input)"), {}, tables)
+    assert u["Input"] is None
+    u = _used_table_fields(parse("Input | count()"), {}, tables)
+    assert u["Input"] is None  # implicit $input fill = bare use
+    # formula bodies count toward usage
+    u = _used_table_fields(parse("sum(F)"), {"F": parse("Input.b")}, tables)
+    assert u["Input"] == {"b"}
+
+    # end-to-end: the pruned compile produces identical results and its
+    # plan never mentions the unused columns
+    out = fenl("{ s: sum(Input.a) }", tables)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "b#" not in plan and "c#" not in plan
+    rows = {(r["_key"], r["s"]) for r in out.select("_key", "s").collect()}
+    assert rows == {("k", 1), ("k", 3)}
+
+    # bare use keeps all fields and still compiles
+    out2 = fenl("last(Input)", tables)
+    assert {"a", "b", "c"} <= set(out2.columns)

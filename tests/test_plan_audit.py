@@ -93,6 +93,30 @@ def test_scans_are_column_pruned(spark, sf_dir):
                 f"token_counts documents scan reads unused column "
                 f"{unused!r}: {schema}"
             )
+    # frontend pruning (compile_fenl._prune_tables): fenl_finished
+    # touches only event_type — the events scans must not read the
+    # props JSON blob or value (max_by row structs block Catalyst's own
+    # pruning, so this regression only holds while the frontend prunes)
+    plan = _plan(qs["fenl_finished"](spark, sf_dir))
+    ev_schemas = _read_schemas(plan, "events")
+    assert ev_schemas, "fenl_finished must scan the events table"
+    for schema in ev_schemas:
+        for unused in ("props", "value"):
+            assert unused not in schema, (
+                f"fenl_finished events scan reads unused column "
+                f"{unused!r}: {schema}"
+            )
+    # final_last projects before the max_by row struct: props/event_type
+    # must stay out of the scan
+    plan = _plan(qs["final_last"](spark, sf_dir))
+    ev_schemas = _read_schemas(plan, "events")
+    assert ev_schemas, "final_last must scan the events table"
+    for schema in ev_schemas:
+        for unused in ("props", "event_type"):
+            assert unused not in schema, (
+                f"final_last events scan reads unused column "
+                f"{unused!r}: {schema}"
+            )
 
 
 def test_entry_contract_smoke(spark):
