@@ -103,6 +103,8 @@ def training_data_pipeline_stream(
     stream: DataFrame,
     budget: int = 2048,
     dedup_watermark: str = "10 minutes",
+    chunk_max_len: int | None = None,
+    chunk_overlap: int = 0,
 ) -> DataFrame:
     """The assembled training-data pipeline LIVE: first-arrival exact
     dedup (watermark-bounded state) -> quality gate (stateless
@@ -117,6 +119,14 @@ def training_data_pipeline_stream(
     an ordered replay (equivalence test), and inherits each stage's
     scale posture: dedup state ~ (arrival rate x horizon), packing
     state = one long per source.
+
+    ``chunk_max_len`` inserts the stateless context-chunking stage
+    (operators/training.chunk_sequences) between tokenize and packing:
+    long sequences stride into model-context windows and the PACK
+    stream is over chunks. Chunk rows extend ``_subsort`` as
+    ``_subsort * 1024 + chunk_id`` so intra-document chunk order stays
+    total and deterministic on both engines (documented bound: < 1024
+    chunks per document, i.e. ``n_tok < 1024 * (max_len - overlap)``).
     """
     from pyspark.sql import functions as F
 
@@ -137,8 +147,17 @@ def training_data_pipeline_stream(
         .filter(F.col("__q") >= 0.3)
         .select("doc_id", "text", "source", "_time")
     )
+    toks = tokenize_df(kept)
+    if chunk_max_len is not None:
+        from kaskada_spark.operators.training import chunk_sequences
+
+        toks = chunk_sequences(
+            toks, max_len=chunk_max_len, overlap=chunk_overlap
+        ).withColumn(
+            "_subsort", F.col("_subsort") * 1024 + F.col("chunk_id")
+        )
     # watermark=None: the dedup stage's watermark governs the whole query
-    return pack_sequences_stream(tokenize_df(kept), budget=budget, watermark=None)
+    return pack_sequences_stream(toks, budget=budget, watermark=None)
 
 
 def windowed_token_histogram(

@@ -3623,3 +3623,72 @@ def test_rocksdb_state_store_exact_dedup(spark, tmp_path):
         q.awaitTermination()
     got = {r["doc_id"] for r in sink.read_output(spark).collect()}
     assert got == reps == set(range(7))
+
+
+def test_streaming_training_pipeline_chunked_equals_batch(spark, sf_dir, tmp_path):
+    """The pipeline with the context-chunking stage inserted (dedup ->
+    quality -> tokenize -> CHUNK -> pack): streaming pack assignments
+    over chunk rows match the batch composition of the same operators
+    on an ordered replay. Chunk rows extend _subsort deterministically,
+    so both engines see one total order."""
+    from kaskada_spark.operators.dedup import exact_dedup
+    from kaskada_spark.operators.text import quality_features, quality_score, words
+    from kaskada_spark.operators.training import chunk_sequences, pack_sequences
+    from kaskada_spark.sources.tokens import tokenize_df
+    from kaskada_spark.streaming.pipeline import training_data_pipeline_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source",
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_dt_interval(secs=F.col("doc_id").cast("double"))).alias("_time"),
+    )
+
+    # batch twin, stage for stage
+    reps = exact_dedup(docs, "doc_id", "text").select(F.col("rep_id").alias("doc_id"))
+    deduped = docs.join(reps, "doc_id", "left_semi")
+    staged = deduped.select(
+        "doc_id", "text", "source", "_time", words(F.col("text")).alias("__w")
+    )
+    feats = quality_features(F.col("text"), w=F.col("__w"))
+    kept = (
+        staged.withColumn("__q", quality_score(F.col("text"), feats=feats))
+        .filter(F.col("__q") >= 0.3)
+        .select("doc_id", "text", "source", "_time")
+    )
+    chunked = chunk_sequences(tokenize_df(kept), max_len=64, overlap=16).withColumn(
+        "_subsort", F.col("_subsort") * 1024 + F.col("chunk_id")
+    )
+    packed = pack_sequences(chunked, budget=256, segmented=False)
+    exp = {
+        (r["doc_id"], r["chunk_id"]): (r["source"], r["n_tok"], r["tokens_before"],
+                                       r["pack_id"], r["pack_offset"])
+        for r in packed.collect()
+    }
+    assert len(exp) > 50
+    assert any(cid > 0 for _, cid in exp)  # chunking actually split docs
+
+    in_dir = _write_time_split(docs, ["_time"], str(tmp_path / "in"), 3)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = training_data_pipeline_stream(
+        stream, budget=256, chunk_max_len=64, chunk_overlap=16
+    )
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="_time")
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["source"], int(r["n_tok"]), r["tokens_before"],
+                                       r["pack_id"], r["pack_offset"])
+        for r in sink.read_output(spark).collect()
+    }
+    exp_cast = {k: (v[0], int(v[1]), v[2], v[3], v[4]) for k, v in exp.items()}
+    assert got == exp_cast
