@@ -1077,6 +1077,18 @@ def q_chunk_sequences(spark, sf_dir):
     )
 
 
+def q_bpe_pairs(spark, sf_dir):
+    """Top-100 adjacent token pairs (operators/training.py
+    token_pair_counts) — the BPE merge-counting kernel. In-row
+    zip_with pairing (no self-join), generator explode, map-side
+    partial counts, per-partition top-k heap — shuffle bounded by
+    |pair vocab|, never corpus size."""
+    from kaskada_spark.operators.training import token_pair_counts
+
+    toks = tokenize_documents(spark, sf_dir)
+    return token_pair_counts(toks, k=100)
+
+
 def q_epoch_shuffle(spark, sf_dir):
     """Seeded deterministic epoch shuffle (operators/training.py
     epoch_shuffle): every document gets a (shard, pos) slot in a global
@@ -1347,9 +1359,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "pack_sequences": q_pack_sequences,
         "mixture_split": q_mixture_split,
-        # -- new in round 4: chunking + epoch shuffle --
+        # -- new in round 4: chunking + epoch shuffle + BPE pair counts --
         "chunk_sequences": q_chunk_sequences,
         "epoch_shuffle": q_epoch_shuffle,
+        "bpe_pairs": q_bpe_pairs,
         # -- pipeline ops without an r03 driver row --
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2609,6 +2622,21 @@ def _pipeline_oracles() -> dict[str, str]:
                      list_slice(tokens, u.off + 1, u.off + 32) AS sl
               FROM nz, UNNEST(range(0, n_tok, 24)) AS u(off)
             )
+        """,
+        # Mirror of operators/training.py token_pair_counts(k=100):
+        # adjacent pairs via 1-based positional lookup, count, top-100
+        # with the same deterministic tie-break (cnt desc, t1, t2).
+        "bpe_pairs": f"""
+            WITH {TOKENS_ORACLE_CTE.strip()}, p AS (
+              SELECT tokens[i] AS t1, tokens[i + 1] AS t2
+              FROM tokens_tbl, UNNEST(range(1, len(tokens))) AS u(i)
+              WHERE len(tokens) >= 2
+            )
+            SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM p
+            GROUP BY t1, t2
+            ORDER BY cnt DESC, t1, t2
+            LIMIT 100
         """,
         # Mirror of operators/training.py epoch_shuffle(16, seed='ep1'):
         # shard = md5('ep1|' || id) first-7-hex % 16, pos = 0-based rank

@@ -630,3 +630,44 @@ def epoch_shuffle(
     return out.withColumn(
         "pos", (F.row_number().over(w) - 1).cast("long")
     ).drop("__h")
+
+
+def token_pair_counts(
+    toks: DataFrame,
+    k: int = 100,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Top-k adjacent token-pair frequencies across the corpus — the
+    counting kernel of BPE vocabulary induction (each merge round picks
+    the most frequent adjacent pair) and of tokenizer drift analysis.
+
+    ``zip_with`` pairs each token with its successor in-row (no
+    self-join, no positional explode of two copies), the pair explode
+    is a generator, and the count's partial aggregation runs map-side —
+    the shuffle carries at most |observed pair vocab| rows per
+    partition regardless of corpus size. Top-k is Spark's
+    per-partition heap + driver merge of k rows
+    (TakeOrderedAndProject), never a full sort. Deterministic
+    tie-break: count desc, then (t1, t2) asc.
+    """
+    arr = F.col(tokens_col)
+    n = F.size(arr)
+    pairs = (
+        toks.filter(n >= 2)
+        .select(
+            F.explode_outer(
+                F.zip_with(
+                    F.slice(arr, 1, n - 1),
+                    F.slice(arr, 2, n - 1),
+                    lambda a, b: F.struct(a.alias("t1"), b.alias("t2")),
+                )
+            ).alias("p")
+        )
+        .select("p.t1", "p.t2")
+    )
+    return (
+        pairs.groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("t1").asc(), F.col("t2").asc())
+        .limit(k)
+    )

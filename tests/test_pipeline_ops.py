@@ -1095,3 +1095,30 @@ def test_epoch_shuffle_permutation_and_determinism(spark):
 
     with _pytest.raises(ValueError):
         epoch_shuffle(df, n_shards=0)
+
+
+def test_token_pair_counts_matches_python_model(spark):
+    """token_pair_counts == a pure-Python bigram counter, including the
+    deterministic tie-break at the top-k boundary and rows with < 2
+    tokens contributing nothing."""
+    from collections import Counter
+
+    from kaskada_spark.operators.training import token_pair_counts
+
+    rows = [
+        ("d0", []),
+        ("d1", [5]),
+        ("d2", [1, 2, 1, 2, 3]),
+        ("d3", [2, 3, 2, 3]),
+        ("d4", [1, 2]),
+        ("d5", [9, 9, 9, 9]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    cnt = Counter()
+    for _, toks in rows:
+        for a, b in zip(toks, toks[1:]):
+            cnt[(a, b)] += 1
+    k = 4
+    expected = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    got = [((r["t1"], r["t2"]), r["cnt"]) for r in token_pair_counts(df, k=k).collect()]
+    assert got == expected
