@@ -105,23 +105,31 @@ def run_queries(spark) -> dict[str, float]:
     if qfr_dir:
         os.makedirs(qfr_dir, exist_ok=True)
 
-    # Each query is timed as BEST-OF-2: the first execution of a shape
-    # pays one-time costs (whole-stage codegen compile, that plan's
-    # Python worker spin-up, shuffle-service setup) that measured 2-4x
-    # the steady-state time on spot checks — noise that swamped
-    # round-over-round comparisons. Production executors amortize those
-    # to zero; the sustained number is the metric.
+    # Each query is timed as BEST-OF-2, PASS-MAJOR: run the whole suite
+    # once, then run it again and keep each query's min. A first
+    # execution pays one-time costs (whole-stage codegen compile, that
+    # plan's Python worker spin-up, shuffle-service setup) measured at
+    # 2-4x steady state — and back-to-back repeats of the SAME query
+    # don't fix the head of the suite, because the JVM itself (C2 JIT
+    # over Spark's own classes) is still cold for the first few complex
+    # plans wherever they sit in the order (observed: the same query
+    # measures 4.8 s at position 2 and ~1 s late in the suite). The
+    # second pass runs against a globally warm JVM, so position stops
+    # mattering. Production executors amortize all of this to zero; the
+    # sustained number is the metric.
     times: dict[str, float] = {}
-    for name, fn in entry_mod.queries().items():
-        best = float("inf")
-        for _ in range(2):
+    for _pass in range(2):
+        for name, fn in entry_mod.queries().items():
             t0 = time.time()
             _force(fn(spark, SF_DIR))
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
-        if qfr_dir:
-            from kaskada_spark.qfr import write_flight_record
+            dt = time.time() - t0
+            if dt < times.get(name, float("inf")):
+                times[name] = dt
+    times = {n: round(t, 3) for n, t in times.items()}
+    if qfr_dir:
+        from kaskada_spark.qfr import write_flight_record
 
+        for name, fn in entry_mod.queries().items():
             write_flight_record(
                 fn(spark, SF_DIR),
                 os.path.join(qfr_dir, f"{name}.jsonl"),
