@@ -1997,6 +1997,13 @@ def test_frontend_column_pruning(spark):
     assert u["Input"] is None
     u = _used_table_fields(parse("Input | count()"), {}, tables)
     assert u["Input"] is None  # implicit $input fill = bare use
+    # fields used only inside window= kwargs / lookup value subtrees
+    # still count (the lookup foreign table keeps only its used field)
+    u = _used_table_fields(parse("sum(Input.v, window=since(Input.flag))"), {}, tables)
+    assert u["Input"] == {"v", "flag"}
+    both = dict(tables, Foreign=tl)
+    u = _used_table_fields(parse("lookup(Input.k, sum(Foreign.v))"), {}, both)
+    assert u["Input"] == {"k"} and u["Foreign"] == {"v"}
     # formula bodies count toward usage
     u = _used_table_fields(parse("sum(F)"), {"F": parse("Input.b")}, tables)
     assert u["Input"] == {"b"}
