@@ -160,6 +160,49 @@ def training_data_pipeline_stream(
     return pack_sequences_stream(toks, budget=budget, watermark=None)
 
 
+def windowed_pair_counts(
+    stream: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"
+) -> DataFrame:
+    """Per-(tumbling window, adjacent token pair) frequencies over the
+    live sequence stream — the streaming telemetry twin of
+    operators/training.token_pair_counts (BPE merge counting /
+    tokenizer-drift monitoring per ingest window).
+
+    Same scale shape as the batch kernel: in-row zip_with pairing (no
+    self-join), generator explode, map-side partial counts — the
+    shuffle and the window state are bounded by |observed pair vocab|
+    per open window, never by arrival volume; the watermark expires
+    closed windows. Identical on a static frame (equivalence test).
+    Top-k belongs downstream on the (tiny) closed-window output.
+    """
+    arr = F.col("tokens")
+    n = F.size(arr)
+    pairs = (
+        stream.withWatermark("_time", watermark)
+        .filter(n >= 2)
+        .select(
+            "_time",
+            F.explode_outer(
+                F.zip_with(
+                    F.slice(arr, 1, n - 1),
+                    F.slice(arr, 2, n - 1),
+                    lambda a, b: F.struct(a.alias("t1"), b.alias("t2")),
+                )
+            ).alias("p"),
+        )
+    )
+    return (
+        pairs.groupBy(F.window("_time", window).alias("win"), "p.t1", "p.t2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "t1",
+            "t2",
+            "cnt",
+        )
+    )
+
+
 def windowed_token_histogram(
     stream: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"
 ) -> DataFrame:

