@@ -1,4 +1,5 @@
-"""CEP sequence matching: first-occurrence funnels per entity.
+"""CEP sequence matching: first-occurrence funnels and quantified
+patterns per entity.
 
 The north rule names a "structured-streaming / CEP engine"; sessions,
 windows and stateful joins cover most of that surface, and this module
@@ -37,6 +38,7 @@ output on ordered replay (tests/test_cep.py).
 from __future__ import annotations
 
 from collections.abc import Sequence
+from dataclasses import dataclass, field
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window as W
@@ -44,6 +46,36 @@ from pyspark.sql import functions as F
 
 from kaskada_spark.prepare import KEY, SUBSORT, TIME
 from kaskada_spark.timeline import Timeline
+
+
+@dataclass
+class PatternStep:
+    """One step of a quantified CEP pattern (see :func:`match_pattern`).
+
+    ``quant``:
+    - ``"1"`` — exactly one event (a plain funnel step);
+    - ``"+"`` — one-or-more (MATCH_RECOGNIZE ``B+`` in its reluctant /
+      minimal-match reading, the funnel-analytics form): the step
+      matches at its FIRST occurrence and *consumes* every further
+      event matching its predicate until the next required step's
+      matched instant (or the horizon / entity end for the last step);
+    - ``"?"`` — optional observer (``B?``): never gates the required
+      chain; records the first matching event strictly between the
+      surrounding required steps' instants (or up to the horizon when
+      the following required step is unmatched / absent).
+
+    ``aggs`` — per-step aggregates over the step's consumed events,
+    as ``(out_name, fn, col)`` with ``fn`` in {sum, min, max}; a
+    ``n_<name>`` consumed-event count is always emitted for ``+``
+    steps. Only ``+`` steps may carry aggregates (a ``"1"`` step
+    consumes exactly its one matched row — project it upstream
+    instead).
+    """
+
+    name: str
+    pred: Column
+    quant: str = "1"
+    aggs: Sequence[tuple[str, str, str]] = field(default_factory=tuple)
 
 
 def match_funnel(
@@ -127,3 +159,157 @@ def match_funnel(
         *[F.col(f"__m{i}.t").alias(f"t_{names[i]}") for i in range(k)],
         F.col(f"__m{k - 1}").isNotNull().alias("completed"),
     )
+
+
+def match_pattern(
+    tl: Timeline,
+    steps: Sequence[PatternStep],
+    within: str | None = None,
+) -> DataFrame:
+    """Quantified per-entity pattern matching — MATCH_RECOGNIZE-style
+    ``A B+ C?`` sequences with per-step aggregates, generalizing
+    :func:`match_funnel` (which keeps the plain-funnel + ``unless``
+    surface).
+
+    Semantics (first-occurrence / reluctant quantifiers — greedy-minimal
+    matching, so no backtracking exists and the lowering stays a single
+    window chain):
+
+    - The REQUIRED chain is the ``"1"``/``"+"`` steps in order: t_i is
+      the entity's first event matching step i strictly after
+      (t_{i-1}, subsort_{i-1}), bounded (steps 2..k) by
+      ``t_1 + within`` when a horizon is given. ``completed`` means all
+      required steps matched; ``step_reached`` counts matched required
+      steps.
+    - A ``"+"`` step additionally CONSUMES every event matching its
+      predicate from its matched instant (inclusive) up to the next
+      required step's matched instant (exclusive); for the last
+      required step — or when the next required step is unmatched —
+      consumption runs to the horizon (inclusive) / entity end. Its
+      ``n_<name>`` count (>= 1 whenever matched) and ``aggs`` are
+      computed over the consumed events.
+    - A ``"?"`` step observes: ``t_<name>`` is the first event matching
+      its predicate strictly between the previous required step's
+      instant and the next required step's instant (or horizon when
+      that is unmatched / absent). Observers never gate the chain and
+      may be null on completed entities. A pattern cannot START with an
+      observer (the anchor must be a required step).
+
+    Returns one row per entity having >= 1 event matching any step:
+    ``(_key, step_reached, t_<name> per step, n_<name> + aggs per "+"
+    step, completed)``.
+
+    Scale posture — identical to :func:`match_funnel`: ONE shuffle.
+    The chained running-min structs share one
+    ``partitionBy(_key).orderBy(_time,_subsort)`` exchange+sort; the
+    per-step FINAL instants are full-partition-frame windows over the
+    same sort (a running min is constant once set, so its partition max
+    IS its final value — no join-back needed); consumption masks are
+    per-row predicates over those finals, folded into the same
+    per-entity hash aggregate the exchange already satisfies. State per
+    row stays k small structs — no per-entity event buffering.
+
+    Reference: sparrow has no quantified-pattern operator; this extends
+    the funnel per the north rule's CEP term. Streaming twin:
+    streaming/cep.py::pattern_stream (equivalence-tested).
+    """
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("a pattern needs at least two steps")
+    names = [s.name for s in steps]
+    if len(set(names)) != len(names):
+        raise ValueError(f"step names must be unique, got {names}")
+    for s in steps:
+        if s.quant not in ("1", "+", "?"):
+            raise ValueError(f"step {s.name!r}: quant must be '1', '+' or '?'")
+        if s.aggs and s.quant != "+":
+            raise ValueError(f"step {s.name!r}: aggregates need quant '+'")
+        for out, fn, _col in s.aggs:
+            if fn not in ("sum", "min", "max"):
+                raise ValueError(f"step {s.name!r}: agg fn {fn!r} not in sum/min/max")
+    if steps[0].quant == "?":
+        raise ValueError("a pattern cannot start with an optional step")
+    req = [i for i, s in enumerate(steps) if s.quant != "?"]
+    k = len(req)
+    if k < 1:
+        raise ValueError("a pattern needs at least one required step")
+    # required-chain rank of step i; for observers, the rank of the
+    # nearest PRECEDING required step (the anchor)
+    rank_of = {}
+    r = -1
+    for i, s in enumerate(steps):
+        if s.quant != "?":
+            r += 1
+        rank_of[i] = r
+
+    flags = [F.coalesce(s.pred.cast("boolean"), F.lit(False)) for s in steps]
+    ord_struct = F.struct(F.col(TIME).alias("t"), F.col(SUBSORT).alias("s"))
+    df = tl.df.filter(reduce(lambda a, b: a | b, flags))
+
+    w_run = (
+        W.partitionBy(KEY)
+        .orderBy(TIME, SUBSORT)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = (
+        W.partitionBy(KEY)
+        .orderBy(TIME, SUBSORT)
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    for rr, i in enumerate(req):
+        cond = flags[i]
+        if rr > 0:
+            prev = F.col(f"__r{rr - 1}")
+            cond = cond & prev.isNotNull() & (ord_struct > prev)
+            if within is not None:
+                cond = cond & (
+                    F.col(TIME) <= F.col("__r0.t") + F.expr(f"INTERVAL {within}")
+                )
+        df = df.withColumn(f"__r{rr}", F.min(F.when(cond, ord_struct)).over(w_run))
+    for rr in range(k):
+        df = df.withColumn(f"__f{rr}", F.max(F.col(f"__r{rr}")).over(w_all))
+
+    horizon_ok = (
+        F.col(TIME) <= F.col("__f0.t") + F.expr(f"INTERVAL {within}")
+        if within is not None
+        else F.lit(True)
+    )
+
+    def upper_bound(rr: int) -> Column:
+        """Consumption/observation upper bound after required rank rr:
+        strictly before the next required instant; to the horizon when
+        that is unmatched or absent."""
+        if rr + 1 < k:
+            nxt = F.col(f"__f{rr + 1}")
+            return F.when(nxt.isNotNull(), ord_struct < nxt).otherwise(horizon_ok)
+        return horizon_ok
+
+    aggs = [F.max(F.col(f"__r{rr}")).alias(f"__m{rr}") for rr in range(k)]
+    for i, s in enumerate(steps):
+        rr = rank_of[i]
+        if s.quant == "+":
+            lower = F.col(f"__f{rr}").isNotNull() & (ord_struct >= F.col(f"__f{rr}"))
+            c = flags[i] & lower & upper_bound(rr)
+            aggs.append(F.count(F.when(c, F.lit(1))).alias(f"n_{s.name}"))
+            for out, fn, col in s.aggs:
+                aggs.append(getattr(F, fn)(F.when(c, F.col(col))).alias(out))
+        elif s.quant == "?":
+            anchor = F.col(f"__f{rr}")
+            c = flags[i] & anchor.isNotNull() & (ord_struct > anchor) & upper_bound(rr)
+            aggs.append(F.min(F.when(c, ord_struct)).alias(f"__o{i}"))
+
+    g = df.groupBy(KEY).agg(*aggs)
+    step_reached = reduce(
+        lambda a, b: a + b,
+        [F.when(F.col(f"__m{rr}").isNotNull(), 1).otherwise(0) for rr in range(k)],
+    )
+    out_cols = [KEY, step_reached.cast("int").alias("step_reached")]
+    for i, s in enumerate(steps):
+        src = f"__o{i}" if s.quant == "?" else f"__m{rank_of[i]}"
+        out_cols.append(F.col(f"{src}.t").alias(f"t_{s.name}"))
+    for s in steps:
+        if s.quant == "+":
+            out_cols.append(F.col(f"n_{s.name}"))
+            out_cols.extend(F.col(out) for out, _fn, _c in s.aggs)
+    out_cols.append(F.col(f"__m{k - 1}").isNotNull().alias("completed"))
+    return g.select(*out_cols)

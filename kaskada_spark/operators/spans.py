@@ -170,10 +170,27 @@ def _winnow_arrow(
     passthrough: tuple[str, ...],
 ) -> DataFrame:
     """Arrow/numpy form of the winnow map — same fingerprints, byte for
-    byte. Per document: one strided fold (w vectorized passes) for the
-    gram hashes, one sliding_window_view argmin (leftmost, matching
-    array_position/list_position first-match) for the selection, md5
-    only at the ~2/(window+1) selected positions."""
+    byte, computed with BATCH-level vectorization (no per-document
+    numpy dispatch, which dominated per-doc cost in the earlier
+    per-row-loop form):
+
+    - all documents of an Arrow chunk are concatenated into ONE token
+      array; the polynomial gram-hash fold runs as w vectorized passes
+      over the whole batch (gram hashes never cross a document boundary
+      — a hash is a function of exactly its w tokens);
+    - selection for documents with > ``window`` grams is one global
+      ``sliding_window_view(...).argmin(axis=1)`` (leftmost min, the
+      array_position first-match rule) read at each document's window
+      starts — boundary-crossing windows are simply never read, and
+      cross-doc duplicate positions cannot exist, so one ``np.unique``
+      dedups and orders the whole batch;
+    - documents with <= ``window`` grams take their single global
+      argmin in a tiny per-doc loop (bounded work: <= window+w-1
+      tokens each);
+    - fingerprints: one fancy-index gather of the selected (n_sel, w)
+      gram matrix, then a single tight bytes->md5 pass (identical
+      bytes to the per-gram " ".join(str(t)) the Catalyst twin hashes).
+    """
     import hashlib
 
     import numpy as np
@@ -190,47 +207,69 @@ def _winnow_arrow(
     out_schema = f"{schema_fields}, pos int, fp string"
 
     def emit(batches):
+        offsets = np.arange(w)
+        empty = np.empty(0, dtype=np.int64)
         for pdf in batches:
-            out_ids: list = []
-            out_pt: dict[str, list] = {c: [] for c in pt}
-            out_pos: list[int] = []
-            out_fp: list[str] = []
-            pt_vals = [pdf[c].tolist() for c in pt]
-            for i, (did, toks_v) in enumerate(
-                zip(pdf[id_col].tolist(), pdf[tokens_col].tolist())
-            ):
-                a = np.asarray(toks_v, dtype=np.int64)
-                m = a.size - w + 1
-                if m < 1:
-                    continue
-                acc = np.zeros(m, dtype=np.int64)
+            cells = [np.asarray(c, dtype=np.int64) for c in pdf[tokens_col].tolist()]
+            lens = np.fromiter((c.size for c in cells), dtype=np.int64, count=len(cells))
+            T = np.concatenate(cells) if cells else empty
+            starts = np.zeros(lens.size + 1, dtype=np.int64)
+            np.cumsum(lens, out=starts[1:])
+            m_doc = lens - (w - 1)  # grams per doc (<= 0: none)
+            m_glob = T.size - (w - 1)
+            sel_parts = []
+            if m_glob >= 1:
+                acc = np.zeros(m_glob, dtype=np.int64)
                 for j in range(w):
-                    acc = (acc * BASE + a[j : j + m]) % MOD
-                if m <= window:
-                    sel = [int(acc.argmin())]
-                else:
+                    acc = (acc * BASE + T[j : j + m_glob]) % MOD
+                big = np.flatnonzero(m_doc > window)
+                if big.size:
+                    # one argmin over ALL windows; rows at boundary-
+                    # crossing window starts exist but are never read
                     sw = np.lib.stride_tricks.sliding_window_view(acc, window)
-                    sel = np.unique(
-                        sw.argmin(axis=1) + np.arange(m - window + 1)
-                    ).tolist()
-                for p in sel:
-                    out_ids.append(did)
-                    out_pos.append(p)
-                    out_fp.append(
-                        hashlib.md5(
-                            " ".join(str(int(t)) for t in a[p : p + w]).encode()
-                        ).hexdigest()
+                    wmin = sw.argmin(axis=1)
+                    nb = m_doc[big] - (window - 1)  # windows per big doc
+                    cum = np.zeros(big.size, dtype=np.int64)
+                    np.cumsum(nb[:-1], out=cum[1:])
+                    q = np.repeat(starts[big], nb) + (
+                        np.arange(int(nb.sum())) - np.repeat(cum, nb)
                     )
-                    for k, c in enumerate(pt):
-                        out_pt[c].append(pt_vals[k][i])
+                    sel_parts.append(q + wmin[q])
+                small = np.flatnonzero((m_doc >= 1) & (m_doc <= window))
+                if small.size:
+                    sel_parts.append(
+                        np.fromiter(
+                            (
+                                s + acc[s : s + m].argmin()
+                                for s, m in zip(starts[small], m_doc[small])
+                            ),
+                            dtype=np.int64,
+                            count=small.size,
+                        )
+                    )
+            if sel_parts:
+                # positions are globally unique per (doc, offset) and doc
+                # segments are ordered, so one unique call dedups AND
+                # restores (doc, pos) output order for the whole batch
+                sel = np.unique(np.concatenate(sel_parts))
+                ridx = np.searchsorted(starts, sel, side="right") - 1
+                pos = sel - starts[ridx]
+                grams = T[sel[:, None] + offsets]
+                fps = [
+                    hashlib.md5(" ".join(map(str, g)).encode()).hexdigest()
+                    for g in grams.tolist()
+                ]
+            else:
+                pos = ridx = empty
+                fps = []
             yield pd.DataFrame(
                 {
-                    id_col: pd.Series(out_ids, dtype=pdf[id_col].dtype),
+                    id_col: pdf[id_col].iloc[ridx].reset_index(drop=True),
                     **{
-                        c: pd.Series(out_pt[c], dtype=pdf[c].dtype) for c in pt
+                        c: pdf[c].iloc[ridx].reset_index(drop=True) for c in pt
                     },
-                    "pos": pd.Series(out_pos, dtype="int32"),
-                    "fp": pd.Series(out_fp, dtype="object"),
+                    "pos": pd.Series(pos, dtype="int32"),
+                    "fp": pd.Series(fps, dtype="object"),
                 }
             )
 

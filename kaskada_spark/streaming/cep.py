@@ -1,4 +1,5 @@
-"""Streaming CEP funnel: per-entity first-occurrence sequence matching.
+"""Streaming CEP: per-entity first-occurrence funnels and quantified
+patterns.
 
 Streaming twin of operators/cep.py::match_funnel. Each entity's state
 carries (stage, per-stage hit instants) plus a small buffer of
@@ -230,6 +231,354 @@ def _make_funnel_fn(
             state.setTimeoutTimestamp(
                 max(int(bt.min()) // 10**6 - 1, state.getCurrentWatermarkMs() + 1)
             )
+        if rows is not None:
+            yield rows
+
+    return update
+
+
+def pattern_stream(
+    tdf: DataFrame,
+    steps,
+    within: str | None = None,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming twin of operators/cep.py::match_pattern — quantified
+    ``A B+ C?`` patterns with per-step aggregates.
+
+    Emits ONE row per entity that completes all required steps, once no
+    consumption window remains open: ``(_key, t_<name> per step,
+    n_<name> + aggs per "+" step)``. When the pattern TRAILS with an
+    open window (last required step is ``"+"``, or an observer is
+    anchored at the last required step), ``within`` is mandatory — the
+    window then closes (and the row emits) when the watermark passes
+    the anchor's horizon; otherwise the row emits the micro-batch in
+    which the completing step settles.
+
+    Same settle-at-watermark discipline as funnel_stream: rows buffer
+    until the watermark passes them, settle in (time, subsort) order,
+    and stragglers at-or-behind the settled high-water are dropped.
+    Per-pass consumption with CURRENT knowledge is exact: rows settle
+    in order, so a row accumulated while the next required step was
+    unmatched necessarily precedes that step's (later-settling) matched
+    instant — the same bound the batch mask applies.
+
+    State per entity: required hit instants, one (count, accumulators)
+    slot per "+" step, one instant per observer, plus the in-flight
+    buffer — O(watermark window), never the entity's history.
+    Aggregate accumulators are float64 (exact for integer inputs up to
+    2^53); batch ``match_pattern`` keeps the column's own sum type.
+    """
+    steps = list(steps)
+    names = [s.name for s in steps]
+    req = [i for i, s in enumerate(steps) if s.quant != "?"]
+    k = len(req)
+    if k < 1 or steps[0].quant == "?":
+        raise ValueError("pattern must start with a required step")
+    if len(steps) > 62:
+        raise ValueError("at most 62 steps (flag bitmask)")
+    rank_of, r = {}, -1
+    for i, s in enumerate(steps):
+        if s.quant != "?":
+            r += 1
+        rank_of[i] = r
+    trailing_open = steps[req[-1]].quant == "+" or any(
+        s.quant == "?" and rank_of[i] == k - 1 for i, s in enumerate(steps)
+    )
+    if trailing_open and within is None:
+        raise ValueError(
+            "a trailing-open pattern (last required step '+', or an "
+            "observer after it) needs `within` to close in streaming"
+        )
+    within_ns = int(pd.Timedelta(within).value) if within is not None else None
+
+    # distinct aggregate input columns -> __v{j} slots (cast to double)
+    vcols: list[str] = []
+    for s in steps:
+        for _out, _fn, col in s.aggs:
+            if col not in vcols:
+                vcols.append(col)
+    vidx = {c: j for j, c in enumerate(vcols)}
+    plus_steps = [i for i, s in enumerate(steps) if s.quant == "+"]
+    obs_steps = [i for i, s in enumerate(steps) if s.quant == "?"]
+    # flattened accumulator layout: per '+' step, its aggs in order
+    acc_layout = []  # (plus_idx, fn, vcol_idx)
+    for pi, i in enumerate(plus_steps):
+        for _out, fn, col in steps[i].aggs:
+            acc_layout.append((pi, fn, vidx[col]))
+
+    tdf = tdf.withWatermark(TIME, watermark)
+    sel = [F.col(TIME), F.col(SUBSORT), F.col(KEY)]
+    sel += [
+        F.coalesce(s.pred.cast("boolean"), F.lit(False)).alias(f"__p{i}")
+        for i, s in enumerate(steps)
+    ]
+    sel += [F.col(c).cast("double").alias(f"__v{j}") for c, j in vidx.items()]
+    pre = tdf.select(*sel).filter(
+        reduce(lambda a, b: a | b, [F.col(f"__p{i}") for i in range(len(steps))])
+    )
+
+    out_fields = [T.StructField(KEY, tdf.schema[KEY].dataType)]
+    out_fields += [T.StructField(f"t_{n}", T.TimestampType()) for n in names]
+    for i in plus_steps:
+        out_fields.append(T.StructField(f"n_{steps[i].name}", T.LongType()))
+        out_fields += [
+            T.StructField(out, T.DoubleType()) for out, _fn, _c in steps[i].aggs
+        ]
+    out_schema = T.StructType(out_fields)
+    state_schema = T.StructType(
+        [
+            T.StructField("stage", T.IntegerType()),
+            T.StructField("done", T.BooleanType()),
+            T.StructField("emitted", T.BooleanType()),
+            T.StructField("hits_t", T.ArrayType(T.LongType())),
+            T.StructField("hits_s", T.ArrayType(T.LongType())),
+            T.StructField("obs_t", T.ArrayType(T.LongType())),
+            T.StructField("obs_s", T.ArrayType(T.LongType())),
+            T.StructField("plus_cnt", T.ArrayType(T.LongType())),
+            T.StructField("plus_acc", T.ArrayType(T.DoubleType())),
+            T.StructField("bt", T.ArrayType(T.LongType())),
+            T.StructField("bs", T.ArrayType(T.LongType())),
+            T.StructField("bf", T.ArrayType(T.LongType())),
+            T.StructField("bv", T.ArrayType(T.DoubleType())),
+            T.StructField("settled_t", T.LongType()),
+            T.StructField("settled_s", T.LongType()),
+        ]
+    )
+    spec = {
+        "k": k,
+        "n_steps": len(steps),
+        "req": req,
+        "rank_of": rank_of,
+        "names": names,
+        "quants": [s.quant for s in steps],
+        "plus_steps": plus_steps,
+        "obs_steps": obs_steps,
+        "n_v": len(vcols),
+        "acc_layout": acc_layout,
+        "within_ns": within_ns,
+        "trailing_open": trailing_open,
+        "agg_outs": {
+            i: [(out, fn, vidx[col]) for out, fn, col in steps[i].aggs]
+            for i in plus_steps
+        },
+    }
+    func = _make_pattern_fn(spec)
+    return pre.groupBy(KEY).applyInPandasWithState(
+        func, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+def _make_pattern_fn(spec: dict):
+    k = spec["k"]
+    req = spec["req"]
+    rank_of = spec["rank_of"]
+    names = spec["names"]
+    quants = spec["quants"]
+    plus_steps = spec["plus_steps"]
+    obs_steps = spec["obs_steps"]
+    n_v = spec["n_v"]
+    acc_layout = spec["acc_layout"]
+    within_ns = spec["within_ns"]
+    trailing_open = spec["trailing_open"]
+    agg_outs = spec["agg_outs"]
+    n_steps = spec["n_steps"]
+    plus_pos = {i: pi for pi, i in enumerate(plus_steps)}
+    obs_pos = {i: oi for oi, i in enumerate(obs_steps)}
+    acc_init = [
+        0.0 if fn == "sum" else (np.inf if fn == "min" else -np.inf)
+        for _pi, fn, _vj in acc_layout
+    ]
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            (stage, done, emitted, hits_t, hits_s, obs_t, obs_s, plus_cnt,
+             plus_acc, bt, bs, bf, bv, settled_t, settled_s) = state.get
+            hits_t, hits_s = list(hits_t), list(hits_s)
+            obs_t, obs_s = list(obs_t), list(obs_s)
+            plus_cnt, plus_acc = list(plus_cnt), list(plus_acc)
+            bt = np.asarray(bt, dtype=np.int64)
+            bs = np.asarray(bs, dtype=np.int64)
+            bf = np.asarray(bf, dtype=np.int64)
+            bv = np.asarray(bv, dtype=np.float64).reshape(-1, n_v) if n_v else np.empty((len(bt), 0))
+        else:
+            stage, done, emitted = 0, False, False
+            hits_t, hits_s = [], []
+            obs_t = [_NEG] * len(obs_steps)
+            obs_s = [_NEG] * len(obs_steps)
+            plus_cnt = [0] * len(plus_steps)
+            plus_acc = list(acc_init)
+            bt = bs = bf = np.empty(0, dtype=np.int64)
+            bv = np.empty((0, n_v))
+            settled_t, settled_s = _NEG, _NEG
+
+        for pdf in pdfs:
+            if done or pdf.empty:
+                continue
+            t = pdf[TIME].astype("int64").to_numpy()
+            s = pdf[SUBSORT].to_numpy(dtype=np.int64)
+            fresh = (t > settled_t) | ((t == settled_t) & (s > settled_s))
+            if not fresh.any():
+                continue
+            flags = np.zeros(len(pdf), dtype=np.int64)
+            for i in range(n_steps):
+                flags |= pdf[f"__p{i}"].to_numpy(dtype=np.int64) << i
+            v = (
+                np.column_stack([pdf[f"__v{j}"].to_numpy(dtype=np.float64) for j in range(n_v)])
+                if n_v else np.empty((len(pdf), 0))
+            )
+            bt = np.concatenate([bt, t[fresh]])
+            bs = np.concatenate([bs, s[fresh]])
+            bf = np.concatenate([bf, flags[fresh]])
+            bv = np.concatenate([bv, v[fresh]])
+
+        rows = None
+        wm_ns = state.getCurrentWatermarkMs() * 10**6
+        if not done and len(bt):
+            order = np.lexsort((bs, bt))
+            bt, bs, bf, bv = bt[order], bs[order], bf[order], bv[order]
+            settled = bt <= wm_ns
+            n_settled = int(settled.sum())
+            if n_settled:
+                st_, ss_, sf_ = bt[:n_settled], bs[:n_settled], bf[:n_settled]
+                sv_ = bv[:n_settled]
+                # 1. advance the required chain (vectorized per stage)
+                while stage < k:
+                    i = req[stage]
+                    cand = ((sf_ >> i) & 1).astype(bool)
+                    if stage > 0:
+                        pt, ps = hits_t[-1], hits_s[-1]
+                        cand &= (st_ > pt) | ((st_ == pt) & (ss_ > ps))
+                        if within_ns is not None:
+                            cand &= st_ <= hits_t[0] + within_ns
+                    idx = np.flatnonzero(cand)
+                    if not len(idx):
+                        break
+                    hits_t.append(int(st_[idx[0]]))
+                    hits_s.append(int(ss_[idx[0]]))
+                    stage += 1
+
+                def upper_mask(rr):
+                    # strictly before the next required hit when known;
+                    # else the horizon (exact under in-order settling —
+                    # see docstring)
+                    if rr + 1 < k and rr + 1 < stage:
+                        nt, ns_ = hits_t[rr + 1], hits_s[rr + 1]
+                        return (st_ < nt) | ((st_ == nt) & (ss_ < ns_))
+                    if within_ns is not None:
+                        return st_ <= hits_t[0] + within_ns
+                    return np.ones(len(st_), dtype=bool)
+
+                # 2. '+' consumption for matched '+' steps
+                for i in plus_steps:
+                    rr = rank_of[i]
+                    if rr >= stage:
+                        continue
+                    ht, hs = hits_t[rr], hits_s[rr]
+                    m = ((sf_ >> i) & 1).astype(bool)
+                    m &= (st_ > ht) | ((st_ == ht) & (ss_ >= hs))
+                    m &= upper_mask(rr)
+                    nsel = int(m.sum())
+                    if nsel:
+                        pi = plus_pos[i]
+                        plus_cnt[pi] += nsel
+                        for aj, (api, fn, vj) in enumerate(acc_layout):
+                            if api != pi:
+                                continue
+                            vals = sv_[m, vj]
+                            if fn == "sum":
+                                plus_acc[aj] += float(vals.sum())
+                            elif fn == "min":
+                                plus_acc[aj] = min(plus_acc[aj], float(vals.min()))
+                            else:
+                                plus_acc[aj] = max(plus_acc[aj], float(vals.max()))
+                # 3. observers: first match inside their window
+                for i in obs_steps:
+                    oi = obs_pos[i]
+                    if obs_t[oi] != _NEG:
+                        continue
+                    rr = rank_of[i]
+                    if rr >= stage:
+                        continue
+                    ht, hs = hits_t[rr], hits_s[rr]
+                    m = ((sf_ >> i) & 1).astype(bool)
+                    m &= (st_ > ht) | ((st_ == ht) & (ss_ > hs))
+                    m &= upper_mask(rr)
+                    idx = np.flatnonzero(m)
+                    if len(idx):
+                        obs_t[oi] = int(st_[idx[0]])
+                        obs_s[oi] = int(ss_[idx[0]])
+                settled_t = int(st_[-1])
+                settled_s = int(ss_[-1])
+                bt, bs, bf, bv = (
+                    bt[n_settled:], bs[n_settled:], bf[n_settled:], bv[n_settled:],
+                )
+
+        def build_row():
+            vals = {KEY: [key[0]]}
+            for i, n in enumerate(names):
+                if quants[i] == "?":
+                    ot = obs_t[obs_pos[i]]
+                    vals[f"t_{n}"] = [pd.Timestamp(ot) if ot != _NEG else pd.NaT]
+                else:
+                    rr = rank_of[i]
+                    vals[f"t_{n}"] = [pd.Timestamp(hits_t[rr])]
+            aj = 0
+            for i in plus_steps:
+                pi = plus_pos[i]
+                vals[f"n_{names[i]}"] = [plus_cnt[pi]]
+                # acc_layout is flat in (plus step, agg) declaration
+                # order, so the running cursor IS the slot index
+                for out, _fn, _vj in agg_outs[i]:
+                    vals[out] = [plus_acc[aj] if plus_cnt[pi] else None]
+                    aj += 1
+            return pd.DataFrame(vals)
+
+        if not done and stage == k:
+            if not trailing_open:
+                done, rows = True, build_row()
+                bt = bs = bf = np.empty(0, dtype=np.int64)
+                bv = np.empty((0, n_v))
+            elif wm_ns > hits_t[0] + within_ns:
+                # horizon closed: every in-window row has settled
+                done, rows = True, build_row()
+                bt = bs = bf = np.empty(0, dtype=np.int64)
+                bv = np.empty((0, n_v))
+        # dead entity: horizon passed without completing
+        if (
+            not done
+            and within_ns is not None
+            and stage >= 1
+            and stage < k
+            and wm_ns > hits_t[0] + within_ns
+        ):
+            done = True
+            bt = bs = bf = np.empty(0, dtype=np.int64)
+            bv = np.empty((0, n_v))
+
+        state.update(
+            (
+                int(stage), bool(done), bool(rows is not None or emitted),
+                [int(x) for x in hits_t], [int(x) for x in hits_s],
+                [int(x) for x in obs_t], [int(x) for x in obs_s],
+                [int(x) for x in plus_cnt], [float(x) for x in plus_acc],
+                [int(x) for x in bt], [int(x) for x in bs],
+                [int(x) for x in bf], [float(x) for x in bv.ravel()],
+                int(settled_t), int(settled_s),
+            )
+        )
+        if not done:
+            cands = []
+            if len(bt):
+                cands.append(int(bt.min()) // 10**6 - 1)
+            if stage == k and trailing_open:
+                cands.append((hits_t[0] + within_ns) // 10**6)
+            elif stage >= 1 and within_ns is not None:
+                cands.append((hits_t[0] + within_ns) // 10**6)
+            if cands:
+                state.setTimeoutTimestamp(
+                    max(min(cands), state.getCurrentWatermarkMs() + 1)
+                )
         if rows is not None:
             yield rows
 

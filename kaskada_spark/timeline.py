@@ -483,6 +483,13 @@ class Timeline:
 
         return match_funnel(self, steps, within=within, step_names=step_names)
 
+    def pattern(self, steps, within: str | None = None) -> DataFrame:
+        """Quantified CEP pattern (``A B+ C?`` with per-step aggregates)
+        — see operators/cep.py::match_pattern."""
+        from kaskada_spark.operators.cep import match_pattern
+
+        return match_pattern(self, steps, within=within)
+
 
 # ----------------------------------------------------------------------
 # aggregation lowering helpers

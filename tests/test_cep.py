@@ -391,6 +391,342 @@ def test_stream_funnel_resume_from_checkpoint(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+# ----------------------------------------------------------------------
+# quantified patterns: A B+ C? with per-step aggregates (match_pattern)
+# ----------------------------------------------------------------------
+def _pattern_steps():
+    from kaskada_spark.operators.cep import PatternStep
+
+    return [
+        PatternStep("a", F.col("lbl") == "a"),
+        PatternStep(
+            "b",
+            F.col("lbl") == "b",
+            "+",
+            aggs=[("b_sum", "sum", "val"), ("b_max", "max", "val")],
+        ),
+        PatternStep("d", F.col("lbl") == "d", "?"),
+        PatternStep("c", F.col("lbl") == "c"),
+    ]
+
+
+def _tlv(spark, rows):
+    """rows: (entity, t_seconds, subsort, step_label, value)"""
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(e, base + dt.timedelta(seconds=t), s, lbl, v) for e, t, s, lbl, v in rows],
+        "ent string, ts timestamp, sid long, lbl string, val long",
+    )
+    return Timeline.from_events(df, "ts", "ent", "sid")
+
+
+def _run_pattern(spark, rows, within=None):
+    from kaskada_spark.operators.cep import match_pattern
+
+    out = match_pattern(_tlv(spark, rows), _pattern_steps(), within=within)
+    return {
+        r["_key"]: (
+            r["step_reached"], r["completed"], r["t_a"], r["t_b"], r["t_d"],
+            r["t_c"], r["n_b"], r["b_sum"], r["b_max"],
+        )
+        for r in out.collect()
+    }
+
+
+def test_pattern_plus_consumption_and_observer(spark):
+    base = dt.datetime(2024, 1, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)
+    got = _run_pattern(
+        spark,
+        [
+            # e1: a, then 3 b's (10+20+30) consumed until c; d observed
+            # between the b anchor and c; the post-c b is NOT consumed.
+            # e2: no c -> b+ consumes to entity end; d after b observed.
+            # e3: d before b's instant is NOT observed (observer window
+            # opens at the b anchor, exclusive).
+            ("e1", 0, 0, "a", 0), ("e1", 1, 1, "b", 10), ("e1", 2, 2, "b", 20),
+            ("e1", 3, 3, "d", 0), ("e1", 4, 4, "b", 30), ("e1", 5, 5, "c", 0),
+            ("e1", 6, 6, "b", 99),
+            ("e2", 0, 0, "a", 0), ("e2", 1, 1, "b", 7), ("e2", 2, 2, "d", 0),
+            ("e2", 3, 3, "b", 8),
+            ("e3", 0, 0, "a", 0), ("e3", 1, 1, "d", 0), ("e3", 2, 2, "b", 5),
+            ("e3", 3, 3, "c", 0),
+        ],
+    )
+    assert got["e1"] == (3, True, t(0), t(1), t(3), t(5), 3, 60, 30)
+    assert got["e2"] == (2, False, t(0), t(1), t(2), None, 2, 15, 8)
+    assert got["e3"] == (3, True, t(0), t(2), None, t(3), 1, 5, 5)
+
+
+def test_pattern_within_bounds_trailing_consumption(spark):
+    # horizon: b+ without a following c consumes only to t_a + within
+    base = dt.datetime(2024, 1, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)
+    got = _run_pattern(
+        spark,
+        [
+            ("e1", 0, 0, "a", 0), ("e1", 5, 1, "b", 1), ("e1", 9, 2, "b", 2),
+            ("e1", 10, 3, "b", 4), ("e1", 11, 4, "b", 8),
+        ],
+        within="10 seconds",
+    )
+    # rows at t=5,9,10 are inside t_a+10s (inclusive); t=11 is out
+    assert got["e1"] == (2, False, t(0), t(5), None, None, 3, 7, 4)
+
+
+def test_pattern_validation(spark):
+    from kaskada_spark.operators.cep import PatternStep, match_pattern
+
+    tl = _tlv(spark, [("e", 0, 0, "a", 1)])
+    with pytest.raises(ValueError, match="optional"):
+        match_pattern(tl, [PatternStep("x", F.col("lbl") == "a", "?"),
+                           PatternStep("y", F.col("lbl") == "b")])
+    with pytest.raises(ValueError, match="unique"):
+        match_pattern(tl, [PatternStep("x", F.col("lbl") == "a"),
+                           PatternStep("x", F.col("lbl") == "b")])
+    with pytest.raises(ValueError, match="quant '\\+'"):
+        match_pattern(tl, [PatternStep("x", F.col("lbl") == "a",
+                                       aggs=[("s", "sum", "val")]),
+                           PatternStep("y", F.col("lbl") == "b")])
+
+
+def _brute_pattern(events, steps, within=None):
+    """Independent reference model. events: sorted [(t, s, flags, val)]
+    for ONE entity; steps: [(name, quant)]; returns the match_pattern
+    output tuple shape (times as seconds)."""
+    req = [i for i, (_n, q) in enumerate(steps) if q != "?"]
+    hits = {}
+    last = anchor_t = None
+    for rr, i in enumerate(req):
+        found = None
+        for t, s, fl, _v in events:
+            if not fl[i]:
+                continue
+            if rr > 0:
+                if (t, s) <= last:
+                    continue
+                if within is not None and t > anchor_t + within:
+                    continue
+            found = (t, s)
+            break
+        if found is None:
+            break
+        hits[i] = found
+        last = found
+        if rr == 0:
+            anchor_t = found[0]
+
+    def upper_ok(rr, t, s):
+        nxt = req[rr + 1] if rr + 1 < len(req) else None
+        if nxt is not None and nxt in hits:
+            return (t, s) < hits[nxt]
+        return within is None or t <= anchor_t + within
+
+    out = {"step_reached": len(hits), "completed": req[-1] in hits}
+    rank = -1
+    for i, (name, q) in enumerate(steps):
+        if q != "?":
+            rank += 1
+            out[f"t_{name}"] = hits[i][0] if i in hits else None
+            if q == "+":
+                if i in hits:
+                    consumed = [
+                        v for t, s, fl, v in events
+                        if fl[i] and (t, s) >= hits[i] and upper_ok(rank, t, s)
+                    ]
+                else:
+                    consumed = []
+                out[f"n_{name}"] = len(consumed)
+                out[f"sum_{name}"] = sum(consumed) if consumed else None
+                out[f"max_{name}"] = max(consumed) if consumed else None
+        else:
+            cand = [
+                (t, s) for t, s, fl, _v in events
+                if fl[i] and req[rank] in hits and (t, s) > hits[req[rank]]
+                and upper_ok(rank, t, s)
+            ]
+            out[f"t_{name}"] = min(cand)[0] if cand else None
+    return out
+
+
+def test_pattern_matches_bruteforce_random(spark):
+    rng = random.Random(13)
+    rows = []
+    for e in range(50):
+        for s in range(rng.randint(1, 35)):
+            rows.append(
+                (f"e{e}", rng.randint(0, 1000), s, rng.choice("abcdx"),
+                 rng.randint(1, 100))
+            )
+    got = _run_pattern(spark, rows, within="300 seconds")
+    base = dt.datetime(2024, 1, 1)
+    by_ent = {}
+    for e, t, s, lbl, v in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_ent.setdefault(e, []).append(
+            (t, s, (lbl == "a", lbl == "b", lbl == "d", lbl == "c"), v)
+        )
+    spec = [("a", "1"), ("b", "+"), ("d", "?"), ("c", "1")]
+    n_checked = 0
+    for e, evs in by_ent.items():
+        if not any(any(f) for _, _, f, _ in evs):
+            assert e not in got
+            continue
+        exp = _brute_pattern(evs, spec, within=300)
+        ts = lambda x: base + dt.timedelta(seconds=x) if x is not None else None
+        assert got[e] == (
+            exp["step_reached"], exp["completed"], ts(exp["t_a"]), ts(exp["t_b"]),
+            ts(exp["t_d"]), ts(exp["t_c"]), exp["n_b"], exp["sum_b"], exp["max_b"],
+        ), e
+        n_checked += 1
+    assert n_checked >= 40
+
+
+def test_pattern_plan_single_exchange(spark, sf_dir):
+    from kaskada_spark.operators.cep import PatternStep, match_pattern
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tl = Timeline.from_events(df, "ts", "user_id", "event_id")
+    out = match_pattern(
+        tl,
+        [
+            PatternStep("signup", F.col("event_type") == "signup"),
+            PatternStep("click", F.col("event_type") == "click", "+",
+                        aggs=[("v", "sum", "value")]),
+            PatternStep("error", F.col("event_type") == "error", "?"),
+            PatternStep("purchase", F.col("event_type") == "purchase"),
+        ],
+        within="48 hours",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_stream_pattern_equals_batch(spark, sf_dir, tmp_path):
+    """pattern_stream == match_pattern(completed) on ordered replay:
+    signup (click+ with sum/max aggregates) error? purchase, 48h."""
+    from kaskada_spark.operators.cep import PatternStep, match_pattern
+    from kaskada_spark.streaming.cep import pattern_stream
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "val_l", F.col("value").cast("long")
+    )
+    tl = Timeline.from_events(df, "ts", "user_id", "event_id")
+
+    def steps():
+        return [
+            PatternStep("signup", F.col("event_type") == "signup"),
+            PatternStep("click", F.col("event_type") == "click", "+",
+                        aggs=[("click_sum", "sum", "val_l"),
+                              ("click_max", "max", "val_l")]),
+            PatternStep("error", F.col("event_type") == "error", "?"),
+            PatternStep("purchase", F.col("event_type") == "purchase"),
+        ]
+
+    batch = match_pattern(tl, steps(), within="14 days")
+    expected = {
+        r["_key"]: (r["t_signup"], r["t_click"], r["t_error"], r["t_purchase"],
+                    r["n_click"], float(r["click_sum"]), float(r["click_max"]))
+        for r in batch.filter("completed").collect()
+    }
+    assert expected
+    # aggregates must be non-trivial somewhere: some entity consumes >1 click
+    assert any(v[4] > 1 for v in expected.values())
+    # and the observer must fire somewhere and stay null somewhere else
+    assert any(v[2] is not None for v in expected.values())
+    assert any(v[2] is None for v in expected.values())
+
+    in_dir = _write_time_split(tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 4)
+    stream = (
+        spark.readStream.schema(tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = pattern_stream(stream, steps(), within="14 days")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["_key"]: (r["t_signup"], r["t_click"], r["t_error"], r["t_purchase"],
+                    r["n_click"], r["click_sum"], r["click_max"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == expected
+
+
+def test_stream_pattern_trailing_plus_horizon(spark, tmp_path):
+    """A trailing-open pattern (a b+) emits when the watermark passes
+    the anchor horizon, with consumption bounded by it — equal to the
+    batch result."""
+    from kaskada_spark.operators.cep import PatternStep, match_pattern
+    from kaskada_spark.streaming.cep import pattern_stream
+
+    rows = [
+        ("e1", 0, 0, "a", 1), ("e1", 5, 1, "b", 10), ("e1", 9, 2, "b", 20),
+        ("e1", 30, 3, "b", 99),          # outside the 10s horizon
+        ("e2", 0, 0, "a", 1), ("e2", 50, 1, "b", 5),  # b outside horizon
+        ("e9", 1000, 0, "a", 0),          # watermark flush row
+    ]
+    tl = _tlv(spark, rows)
+
+    def steps():
+        return [
+            PatternStep("a", F.col("lbl") == "a"),
+            PatternStep("b", F.col("lbl") == "b", "+",
+                        aggs=[("b_sum", "sum", "val")]),
+        ]
+
+    batch = match_pattern(tl, steps(), within="10 seconds")
+    expected = {
+        r["_key"]: (r["t_a"], r["t_b"], r["n_b"], float(r["b_sum"]))
+        for r in batch.filter("completed").collect()
+    }
+    assert set(expected) == {"e1"}
+    assert expected["e1"][2:] == (2, 30.0)
+
+    in_dir = _write_time_split(tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 3)
+    stream = (
+        spark.readStream.schema(tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = pattern_stream(stream, steps(), within="10 seconds")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["_key"]: (r["t_a"], r["t_b"], r["n_b"], r["b_sum"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == expected
+
+
+def test_stream_pattern_requires_within_when_trailing(spark):
+    from kaskada_spark.operators.cep import PatternStep
+    from kaskada_spark.streaming.cep import pattern_stream
+
+    tl = _tlv(spark, [("e", 0, 0, "a", 1)])
+    with pytest.raises(ValueError, match="trailing-open"):
+        pattern_stream(
+            tl.df,
+            [PatternStep("a", F.col("lbl") == "a"),
+             PatternStep("b", F.col("lbl") == "b", "+")],
+        )
+
+
 def _write_rows_as_files(spark, schema, rows, path, n_files):
     import os
     import shutil

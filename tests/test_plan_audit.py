@@ -119,6 +119,49 @@ def test_scans_are_column_pruned(spark, sf_dir):
             )
 
 
+def test_pack_sequences_plan_is_segmented(spark, sf_dir):
+    """Pin the segmented pack_sequences shape (the r03 scale-killer was
+    an unsegmented per-source running window / per-group rank — any
+    reintroduction must fail here, not on the cluster):
+
+    - the running token sum is windowed by (__seg, source), never by
+      source alone ordering by _time (that window's sort is bounded by
+      the whole group's row count);
+    - the per-(segment, group) offsets come back via a BROADCAST hash
+      join keyed on __seg — the big side never re-shuffles for it;
+    - no rangepartitioning anywhere (a range exchange means a sampling
+      pass that re-executes the upstream plan) and no row_number rank.
+    """
+    import re
+
+    plan = _plan(entrymod.queries()["pack_sequences"](spark, sf_dir))
+    assert "windowspecdefinition(__seg" in plan, (
+        "running token sum is no longer segmented by __seg"
+    )
+    assert not re.search(r"windowspecdefinition\(source#\d+, _time", plan), (
+        "unsegmented per-source running window reintroduced (the r03 "
+        "scale-killer): a single task would scan a whole source's rows"
+    )
+    assert re.search(r"BroadcastHashJoin \[__seg", plan), (
+        "segment-offset join-back is no longer broadcast"
+    )
+    assert "rangepartitioning" not in plan
+    assert "row_number" not in plan
+
+
+def test_epoch_shuffle_plan_single_shard_exchange(spark, sf_dir):
+    """Pin epoch_shuffle's one-exchange shape: the ONLY exchange is the
+    hash partition on `shard` (per-shard sort bounded by rows/n_shards);
+    no rangepartitioning (no global sort, no sampling pass)."""
+    import re
+
+    plan = _plan(entrymod.queries()["epoch_shuffle"](spark, sf_dir))
+    exchanges = re.findall(r"\bExchange \w+", plan)
+    assert len(exchanges) == 1, f"expected exactly one exchange, got {exchanges}"
+    assert "Exchange hashpartitioning(shard" in plan
+    assert "rangepartitioning" not in plan
+
+
 def test_entry_contract_smoke(spark):
     # the driver smoke test: entry() plans and carries a stable schema
     df = entrymod.entry(spark)
