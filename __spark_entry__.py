@@ -135,6 +135,42 @@ def q_cep_funnel(spark, sf_dir):
     )
 
 
+def q_cep_pattern(spark, sf_dir):
+    """Quantified CEP pattern (MATCH_RECOGNIZE-style ``A B+ C? D``):
+    signup (click+ with consumed-event count / exact decimal value sum /
+    max) error-observer purchase within 14 days — same single-exchange
+    chained running-min lowering as the funnel, consumption windows as
+    full-partition-frame finals (operators/cep.py::match_pattern;
+    streaming twin pattern_stream, equivalence-tested)."""
+    from kaskada_spark.operators.cep import PatternStep, match_pattern
+
+    tl = _events(spark, sf_dir).extend(__dv=_dec())
+    out = match_pattern(
+        tl,
+        [
+            PatternStep("signup", F.col("event_type") == "signup"),
+            PatternStep(
+                "click",
+                F.col("event_type") == "click",
+                "+",
+                aggs=[("__sumdec", "sum", "__dv"), ("max_click", "max", "value")],
+            ),
+            PatternStep("error", F.col("event_type") == "error", "?"),
+            PatternStep("purchase", F.col("event_type") == "purchase"),
+        ],
+        within="14 days",
+    )
+    return out.select(
+        F.col(KEY).alias("user_id"),
+        "step_reached",
+        "t_signup", "t_click", "t_error", "t_purchase",
+        "n_click",
+        F.col("__sumdec").cast("double").alias("click_value"),
+        "max_click",
+        "completed",
+    )
+
+
 def q_lag(spark, sf_dir):
     pval = F.when(F.col("event_type") == "purchase", F.col("value"))
     tl = _events(spark, sf_dir).extend(__p=pval).lag("__p", 1, alias="prev_purchase")
@@ -1342,77 +1378,18 @@ def q_source_mix(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate samples the FIRST 50
-    # entries.  Positions 1-50 therefore carry one representative of EVERY
-    # operator family (the 16 LLM-pipeline ops that had no r03 driver row come
-    # first, led by the five that have never had a driver row in any round).
-    # Positions 51+ are redundant variants only: each one is driver-green in a
-    # prior round (CORRECTNESS_r03.json; cosine_near_dup_banded in r02) AND
-    # its family keeps an in-window sibling (e.g. select_when->fenl_when,
-    # merge_align->fenl_merge, fenl_nested->fenl_nested_windowed,
-    # cosine_near_dup_banded->cosine_near_dup, scalar_showcase->the sweeps).
-    # Every entry keeps its oracle regardless of position.
+    # entries. Round-5 rotation: positions 1-21 are the 21 entries that
+    # rode the r04 tail (each driver-green in r03 or earlier + local-mirror
+    # verified) so every queries() entry is driver-hard within rounds 4+5;
+    # then cep_pattern (new) and dup_spans (winnow kernel rewritten this
+    # round), then one r04-green representative of every operator family
+    # (CLAUDE.md invariant). Positions 51+ are redundant family variants,
+    # each driver-green in round 4 (CORRECTNESS_r04.json). Every entry
+    # keeps its oracle regardless of position.
     return {
-        # -- never driver-checked before round 4 --
-        "repetition": q_repetition,
-        "embed_knn_ivf": q_embed_knn_ivf,
-        "decontam": q_decontam,
-        "scrub_pii": q_scrub_pii,
-        "pack_sequences": q_pack_sequences,
-        "mixture_split": q_mixture_split,
-        # -- new in round 4: chunking + epoch shuffle + BPE pair counts --
-        "chunk_sequences": q_chunk_sequences,
-        "epoch_shuffle": q_epoch_shuffle,
-        "bpe_pairs": q_bpe_pairs,
-        # -- pipeline ops without an r03 driver row --
-        "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "embed_knn": q_embed_knn,
-        "embed_knn_lsh": q_embed_knn_lsh,
-        "cosine_near_dup": q_cosine_near_dup,
-        "lang_id": q_lang_id,
-        "quality": q_quality,
-        "token_counts": q_token_counts,
-        "fingerprint": q_fingerprint,
-        "media_features": q_media_features,
-        # -- dedup + token-analytics family representatives --
-        "exact_dedup": q_exact_dedup,
-        "minhash_lsh": q_minhash_lsh,
-        "dup_spans": q_dup_spans,
-        "dedup_clusters": q_dedup_clusters,
-        "tokens_windowed": q_tokens_windowed,
-        "len_quantiles": q_len_quantiles,
-        "vocab_drift": q_vocab_drift,
-        # -- temporal core --
-        "running_sum": q_running_sum,
-        "running_stats": q_running_stats,
-        "running_mean_var": q_running_mean_var,
-        "cep_funnel": q_cep_funnel,
-        "running_countif_stddev": q_running_countif_stddev,
-        "lag": q_lag,
-        "with_key": q_with_key,
-        "shift_by": q_shift_by,
-        "shift_until": q_shift_until,
-        "sliding_rows": q_sliding_rows,
-        "tick_daily": q_tick_daily,
-        "final_last": q_final_last,
-        "final_at": q_final_at,
-        "session_windows": q_session_windows,
-        "entity_slice": q_entity_slice,
-        # -- Fenl surface --
-        "fenl_when": q_fenl_when,
-        "fenl_since": q_fenl_since,
-        "fenl_nested_windowed": q_fenl_nested_windowed,
-        "fenl_lookup_rekey": q_fenl_lookup_rekey,
-        "fenl_lookup_spread": q_fenl_lookup_spread,
-        "fenl_finished": q_fenl_finished,
-        "fenl_merge": q_fenl_merge,
-        # -- scalar sweeps (all 49 scalar instructions) --
-        "scalar_sweep_arith": q_scalar_sweep_arith,
-        "scalar_sweep_logic": q_scalar_sweep_logic,
+        # -- rotated r04 tail: fresh driver evidence --
         "scalar_sweep_string_time": q_scalar_sweep_string_time,
         "scalar_sweep_record_json": q_scalar_sweep_record_json,
-        # ---- position 51+: redundant variants, all driver-green in a
-        # prior round (scalar_sweep_hash r03; cosine_near_dup_banded r02) ----
         "scalar_sweep_hash": q_scalar_sweep_hash,
         "cosine_near_dup_banded": q_cosine_near_dup_banded,
         "sliding_minmax": q_sliding_minmax,
@@ -1432,8 +1409,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": q_source_mix,
         "vocab_stats": q_vocab_stats,
         "pipeline_e2e": q_pipeline_e2e,
+        # -- new / changed this round --
+        "cep_pattern": q_cep_pattern,
+        "dup_spans": q_dup_spans,
+        # -- family representatives (r04 driver-green) --
+        "exact_dedup": q_exact_dedup,
+        "minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embed_knn": q_embed_knn,
+        "embed_knn_ivf": q_embed_knn_ivf,
+        "cosine_near_dup": q_cosine_near_dup,
+        "lang_id": q_lang_id,
+        "token_counts": q_token_counts,
+        "scrub_pii": q_scrub_pii,
+        "media_features": q_media_features,
+        "decontam": q_decontam,
+        "pack_sequences": q_pack_sequences,
+        "chunk_sequences": q_chunk_sequences,
+        "epoch_shuffle": q_epoch_shuffle,
+        "bpe_pairs": q_bpe_pairs,
+        "mixture_split": q_mixture_split,
+        "running_sum": q_running_sum,
+        "running_mean_var": q_running_mean_var,
+        "cep_funnel": q_cep_funnel,
+        "lag": q_lag,
+        "shift_until": q_shift_until,
+        "tick_daily": q_tick_daily,
+        "final_last": q_final_last,
+        "session_windows": q_session_windows,
+        "entity_slice": q_entity_slice,
+        # ---- position 51+: redundant family variants, all driver-green
+        # in round 4 (CORRECTNESS_r04.json) ----
+        "repetition": q_repetition,
+        "embed_knn_lsh": q_embed_knn_lsh,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "tokens_windowed": q_tokens_windowed,
+        "len_quantiles": q_len_quantiles,
+        "vocab_drift": q_vocab_drift,
+        "running_stats": q_running_stats,
+        "running_countif_stddev": q_running_countif_stddev,
+        "with_key": q_with_key,
+        "shift_by": q_shift_by,
+        "sliding_rows": q_sliding_rows,
+        "final_at": q_final_at,
+        "fenl_when": q_fenl_when,
+        "fenl_since": q_fenl_since,
+        "fenl_nested_windowed": q_fenl_nested_windowed,
+        "fenl_lookup_rekey": q_fenl_lookup_rekey,
+        "fenl_lookup_spread": q_fenl_lookup_spread,
+        "fenl_finished": q_fenl_finished,
+        "fenl_merge": q_fenl_merge,
+        "scalar_sweep_arith": q_scalar_sweep_arith,
+        "scalar_sweep_logic": q_scalar_sweep_logic,
     }
-
 
 def oracle_sql() -> dict[str, str]:
     dec = "CAST(value AS DECIMAL(18,2))"
@@ -1523,6 +1554,81 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN s1 ON b.user_id = s1.user_id
             LEFT JOIN s2 ON b.user_id = s2.user_id
             LEFT JOIN s3 ON b.user_id = s3.user_id
+        """,
+        "cep_pattern": """
+            WITH e AS (
+              SELECT user_id, ts, event_id, event_type, value,
+                     CAST(value AS DECIMAL(18,2)) AS dv
+              FROM events
+              WHERE event_type IN ('signup','click','error','purchase')
+            ),
+            s1 AS (
+              SELECT user_id, min(struct_pack(t := ts, s := event_id)) AS m1
+              FROM e WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(struct_pack(t := e.ts, s := e.event_id)) AS m2
+              FROM e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click'
+                AND struct_pack(t := e.ts, s := e.event_id) > s1.m1
+                AND e.ts <= (s1.m1).t + INTERVAL 14 DAY
+              GROUP BY e.user_id
+            ),
+            s3 AS (
+              SELECT e.user_id, min(struct_pack(t := e.ts, s := e.event_id)) AS m3
+              FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+              WHERE e.event_type = 'purchase'
+                AND struct_pack(t := e.ts, s := e.event_id) > s2.m2
+                AND e.ts <= (s1.m1).t + INTERVAL 14 DAY
+              GROUP BY e.user_id
+            ),
+            plus AS (
+              -- click+ consumption: from the click instant (inclusive)
+              -- to the purchase instant (exclusive), or the horizon
+              -- when purchase is unmatched
+              SELECT e.user_id, COUNT(*) AS n_click,
+                     SUM(e.dv) AS sum_dv, MAX(e.value) AS max_click
+              FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+              LEFT JOIN s3 USING (user_id)
+              WHERE e.event_type = 'click'
+                AND struct_pack(t := e.ts, s := e.event_id) >= s2.m2
+                AND CASE WHEN s3.m3 IS NOT NULL
+                         THEN struct_pack(t := e.ts, s := e.event_id) < s3.m3
+                         ELSE e.ts <= (s1.m1).t + INTERVAL 14 DAY END
+              GROUP BY e.user_id
+            ),
+            obs AS (
+              -- error? observer: strictly between click and purchase
+              SELECT e.user_id, min(struct_pack(t := e.ts, s := e.event_id)) AS mo
+              FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+              LEFT JOIN s3 USING (user_id)
+              WHERE e.event_type = 'error'
+                AND struct_pack(t := e.ts, s := e.event_id) > s2.m2
+                AND CASE WHEN s3.m3 IS NOT NULL
+                         THEN struct_pack(t := e.ts, s := e.event_id) < s3.m3
+                         ELSE e.ts <= (s1.m1).t + INTERVAL 14 DAY END
+              GROUP BY e.user_id
+            ),
+            base AS (SELECT DISTINCT user_id FROM e)
+            SELECT b.user_id,
+                   CAST(CASE WHEN m3 IS NOT NULL THEN 3
+                             WHEN m2 IS NOT NULL THEN 2
+                             WHEN m1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+                     AS step_reached,
+                   (s1.m1).t AS t_signup,
+                   (s2.m2).t AS t_click,
+                   (obs.mo).t AS t_error,
+                   (s3.m3).t AS t_purchase,
+                   CAST(COALESCE(plus.n_click, 0) AS BIGINT) AS n_click,
+                   CAST(plus.sum_dv AS DOUBLE) AS click_value,
+                   plus.max_click AS max_click,
+                   m3 IS NOT NULL AS completed
+            FROM base b
+            LEFT JOIN s1 ON b.user_id = s1.user_id
+            LEFT JOIN s2 ON b.user_id = s2.user_id
+            LEFT JOIN s3 ON b.user_id = s3.user_id
+            LEFT JOIN plus ON b.user_id = plus.user_id
+            LEFT JOIN obs ON b.user_id = obs.user_id
         """,
         "lag": """
             WITH nn AS (

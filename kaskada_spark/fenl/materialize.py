@@ -776,6 +776,18 @@ class MaterializePipeline:
             q.awaitTermination()
         return sink.read_output(self.spark)
 
+    def run_stage(self, name: str) -> None:
+        """Drain ONE stage (availableNow) and stop — a mid-pipeline
+        kill point for resume drills and partial backfills; later
+        stages pick the staged output up from their own checkpoints on
+        the next ``run_available_now()`` over the same work_dir."""
+        for n, build, sink in self._stages:
+            if n == name:
+                q = self._start_stage(n, build, sink, available_now=True)
+                q.awaitTermination()
+                return
+        raise KeyError(f"no stage named {name!r}")
+
     def start(self) -> list:
         return [
             self._start_stage(name, build, sink, available_now=False)

@@ -238,12 +238,33 @@ def read_avro(spark: SparkSession, path: str, **options) -> DataFrame:
     return _read_avro_pure(spark, path)
 
 
-def _read_avro_pure(spark: SparkSession, path: str) -> DataFrame:
-    """binaryFile scan + per-file pure-Python decode (no jars needed)."""
+def _read_avro_pure(
+    spark: SparkSession, path: str, target_split_bytes: int = 32 << 20
+) -> DataFrame:
+    """Jar-free Avro scan, SPLIT on sync markers so a few huge
+    container files don't serialize ingestion behind whole-file tasks:
+
+    1. a distributed index stage walks each file's per-block
+       (count, size) headers — seeks only, no payload decode — and
+       emits ``(path, offset, length)`` ranges of ~``target_split_bytes``
+       consecutive blocks (``avro_codec.index_container_blocks``);
+    2. the split rows are round-robin repartitioned and each task
+       decodes its byte range independently (a range starts at a block
+       boundary and is self-contained given the header triple).
+
+    Tasks open files with plain Python IO, so executors need the same
+    filesystem view as the driver (local/NFS/fuse-mounted object
+    storage — true in local mode and on mounted-storage clusters; with
+    raw HDFS/S3 URIs use the spark-avro jar path above instead)."""
+    import glob as _glob
+
+    import pandas as pd
     from pyspark.sql import types as T
 
     from .avro_codec import (
-        read_container,
+        decode_block_range,
+        index_container_blocks,
+        read_header_file,
         rows_to_pandas,
         schema_of_avro_path,
         to_spark_type,
@@ -254,24 +275,45 @@ def _read_avro_pure(spark: SparkSession, path: str) -> DataFrame:
     if not isinstance(spark_type, T.StructType):
         spark_type = T.StructType([T.StructField("value", spark_type)])
     out_schema = spark_type
+    out_names = [f.name for f in out_schema.fields]
+
+    if os.path.isdir(path):
+        file_list = sorted(_glob.glob(os.path.join(path, "*.avro")))
+    else:
+        file_list = [path]
+
+    def make_index(batches):
+        for pdf in batches:
+            out = {"path": [], "offset": [], "length": []}
+            for p in pdf["path"]:
+                _s, _c, _y, splits = index_container_blocks(p, target_split_bytes)
+                for off, ln in splits:
+                    out["path"].append(p)
+                    out["offset"].append(off)
+                    out["length"].append(ln)
+            yield pd.DataFrame(out)
+
+    files_df = spark.createDataFrame(
+        [(p,) for p in file_list], "path string"
+    ).repartition(max(1, min(len(file_list), 64)))
+    idx = files_df.mapInPandas(make_index, "path string, offset long, length long")
 
     def decode(batches):
+        headers: dict = {}  # path -> (schema, codec, sync), one read per task
         for pdf in batches:
-            for content in pdf["content"]:
-                schema, rows = read_container(bytes(content))
+            for p, off, ln in zip(pdf["path"], pdf["offset"], pdf["length"]):
+                if p not in headers:
+                    with open(p, "rb") as f:
+                        headers[p] = read_header_file(f)
+                schema, codec, sync = headers[p]
+                rows = decode_block_range(p, int(off), int(ln), schema, codec, sync)
                 out = rows_to_pandas(schema, rows)
-                if list(out.columns) != [f.name for f in out_schema.fields]:
-                    out.columns = [f.name for f in out_schema.fields]
+                if list(out.columns) != out_names:
+                    out.columns = out_names
                 yield out
 
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.avro")
-        .load(path)
-        if os.path.isdir(path)
-        else spark.read.format("binaryFile").load(path)
-    )
-    return files.select("content").mapInPandas(decode, schema=out_schema)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return idx.repartition(n_part).mapInPandas(decode, schema=out_schema)
 
 
 def decode_avro_messages(

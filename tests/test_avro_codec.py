@@ -214,3 +214,50 @@ if _HAS_HYP:
         schema, back = read_container(blob)
         assert schema == _FUZZ_SCHEMA
         assert back == rows
+
+
+def test_block_index_and_range_decode_equal_whole_file(tmp_path):
+    """index_container_blocks + decode_block_range over every split ==
+    read_container on the whole file (splitting on sync markers loses
+    and duplicates nothing, any codec, any block size)."""
+    from kaskada_spark.sources.avro_codec import (
+        decode_block_range,
+        index_container_blocks,
+    )
+
+    rows = [
+        {
+            "doc_id": f"d{i}", "tokens": [i] * (1 + i % 4), "n_tok": 1 + i % 4,
+            "source": None if i % 7 == 0 else "s", "score": i / 8.0,
+            "flag": i % 2 == 0, "payload": bytes([i % 251]),
+            "ts": 1_700_000_000_000_000 + i * 60_000_000,
+        }
+        for i in range(500)
+    ]
+    for codec in ("null", "deflate", "snappy"):
+        blob = write_container(REC, rows, codec=codec, block_rows=37)
+        p = tmp_path / f"f_{codec}.avro"
+        p.write_bytes(blob)
+        _, whole = read_container(blob)
+        schema, codec2, sync, splits = index_container_blocks(
+            str(p), target_split_bytes=512
+        )
+        assert codec2 == codec
+        assert len(splits) >= 2, "fixture must produce multiple splits"
+        # splits tile the post-header byte range without gap or overlap
+        for (o1, l1), (o2, _l2) in zip(splits, splits[1:]):
+            assert o1 + l1 == o2
+        got = []
+        for off, ln in splits:
+            got.extend(decode_block_range(str(p), off, ln, schema, codec, sync))
+        assert got == whole
+
+
+def test_block_index_single_block_file(tmp_path):
+    from kaskada_spark.sources.avro_codec import index_container_blocks
+
+    blob = write_container(REC, ROWS, codec="deflate", block_rows=10_000)
+    p = tmp_path / "one.avro"
+    p.write_bytes(blob)
+    _s, _c, _y, splits = index_container_blocks(str(p))
+    assert len(splits) == 1

@@ -1707,6 +1707,50 @@ def test_materialize_pipeline_resume(spark, tmp_path):
     assert got == ref, f"resume diverged: {len(got)} vs {len(ref)} rows"
 
 
+def test_materialize_pipeline_mid_kill_resume_deleted_input(spark, tmp_path):
+    """The resumeable_tests.rs drill at PIPELINE granularity: drain
+    stage 1 ONLY (the kill lands between stages, after stage 1's
+    snapshot), DELETE the earliest raw input file, add the final file,
+    then resume the FULL pipeline on the same work_dir. Output must
+    equal the single-pass run — stage 1's checkpoint state plus its
+    exactly-once staged output are sufficient; the deleted raw input is
+    never re-read, and stage 2 starts cold from the staged frames."""
+    import pandas as pd
+    from kaskada_spark.fenl.materialize import materialize_fenl_pipeline
+
+    rows = []
+    for ent in ("A", "B"):
+        for j, m in enumerate(range(0, 90, 10)):
+            rows.append((ent, pd.Timestamp(2024, 5, 1, 12, 0) + pd.Timedelta(minutes=m), j, float(j)))
+    tl = Timeline.from_events(
+        spark.createDataFrame(pd.DataFrame(rows, columns=["key", "time", "seq", "v"])),
+        "time", "key", "seq")
+    q = "sum(Input.v) | shift_by(seconds(60))"
+
+    full = _write_time_split(tl.df, ["_time", "_subsort"], str(tmp_path / "full"), 3)
+    files = sorted(os.listdir(full))
+
+    def pipe_over(in_dir, work):
+        stream = (spark.readStream.schema(tl.df.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(in_dir))
+        return materialize_fenl_pipeline(q, stream, work)
+
+    ref = {(r["_key"], r["_time"], r["_subsort"]): r["result"]
+           for r in pipe_over(full, str(tmp_path / "w1")).run_available_now().collect()}
+    assert ref
+
+    in_dir = str(tmp_path / "in"); os.makedirs(in_dir)
+    for f in files[:2]:
+        shutil.copy2(os.path.join(full, f), os.path.join(in_dir, f))
+    # stage 1 drains files 1-2, then the pipeline "dies" before stage 2
+    pipe_over(in_dir, str(tmp_path / "w2")).run_stage("inner")
+    os.remove(os.path.join(in_dir, files[0]))          # early input gone
+    shutil.copy2(os.path.join(full, files[2]), os.path.join(in_dir, files[2]))
+    out = pipe_over(in_dir, str(tmp_path / "w2")).run_available_now()
+    got = {(r["_key"], r["_time"], r["_subsort"]): r["result"] for r in out.collect()}
+    assert got == ref, f"mid-pipeline resume diverged: {len(got)} vs {len(ref)} rows"
+
+
 def test_materialize_fenl_when_tick_sampling_equals_batch(spark, tmp_path):
     """`sum(Input.v) | when(daily())` live: the tick machine injects
     boundary rows even though no field is tick-windowed (the batch
