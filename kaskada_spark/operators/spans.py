@@ -287,7 +287,10 @@ def dup_span_groups(
     fingerprint seen in >= 2 distinct documents, with its document
     count, total occurrence count, and first (min) document id.
 
-    One exchange: the fingerprint hash-agg (map-side partials)."""
+    The only shuffle key is ``fp``: `countDistinct` plans Spark's
+    standard two-phase aggregation (partial distinct on (fp, doc) then
+    the final fp agg), both phases hash-partitioned on the fingerprint
+    with map-side partials — no per-entity or per-document exchange."""
     fps = winnow_fingerprints(toks, w, window, id_col, tokens_col)
     return (
         fps.groupBy("fp")
