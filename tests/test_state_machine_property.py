@@ -617,3 +617,161 @@ def test_tick_machine_chained_split_invariance(events, cuts, inner_op, outer_op,
                 assert gb is None or pd.isna(gb), (i, col, ga, gb)
             else:
                 assert gb == pytest.approx(ga, rel=1e-9, abs=1e-9), (i, col, ga, gb)
+
+
+# ---------------------------------------------------------------------------
+# CEP pattern machine: Spark-free micro-batch fuzz vs the batch model
+# ---------------------------------------------------------------------------
+def _drive_pattern(spec_steps, within_s, events, cuts):
+    """Drive streaming/cep.py::_make_pattern_fn for ONE entity with a
+    fake GroupState across micro-batch `cuts`, watermark advancing to
+    the max fed event time after each batch, then a far-future flush.
+    events: sorted [(t_sec, s, label, val)]."""
+    from kaskada_spark.operators.cep import PatternStep
+    from kaskada_spark.prepare import KEY, SUBSORT, TIME
+    from kaskada_spark.streaming import cep as scep
+
+    labels = ["a", "b", "d", "c"]
+    quant = dict(spec_steps)
+    steps = [
+        PatternStep(n, None, quant[n],
+                    aggs=[("sum_b", "sum", "val")] if quant[n] == "+" else [])
+        for n in labels if n in quant
+    ]
+    names = [s.name for s in steps]
+    req = [i for i, s in enumerate(steps) if s.quant != "?"]
+    rank_of, r = {}, -1
+    for i, s in enumerate(steps):
+        if s.quant != "?":
+            r += 1
+        rank_of[i] = r
+    plus_steps = [i for i, s in enumerate(steps) if s.quant == "+"]
+    spec = {
+        "k": len(req), "n_steps": len(steps), "req": req, "rank_of": rank_of,
+        "names": names, "quants": [s.quant for s in steps],
+        "plus_steps": plus_steps,
+        "obs_steps": [i for i, s in enumerate(steps) if s.quant == "?"],
+        "n_v": 1, "acc_layout": [(pi, "sum", 0) for pi in range(len(plus_steps))],
+        "within_ns": within_s * 10**9 if within_s is not None else None,
+        "trailing_open": steps[req[-1]].quant == "+" or any(
+            s.quant == "?" and rank_of[i] == len(req) - 1
+            for i, s in enumerate(steps)
+        ),
+        "agg_outs": {i: [("sum_b", "sum", 0)] for i in plus_steps},
+    }
+    fn = scep._make_pattern_fn(spec)
+
+    class S:
+        _v, exists, wm = None, False, 0
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self._v, self.exists = v, True
+        def getCurrentWatermarkMs(self):
+            return self.wm
+        def setTimeoutTimestamp(self, ts):
+            pass
+
+    base = pd.Timestamp(2024, 1, 1)
+    def mk_pdf(evs):
+        return pd.DataFrame({
+            TIME: [base + pd.Timedelta(seconds=t) for t, _s, _l, _v in evs],
+            SUBSORT: [s for _t, s, _l, _v in evs],
+            KEY: ["e"] * len(evs),
+            **{f"__p{i}": [lbl == names[i] for _t, _s, lbl, _v in evs]
+               for i in range(len(steps))},
+            "__v0": [float(v) for _t, _s, _l, v in evs],
+        })
+
+    state, outs = S(), []
+    bounds = sorted({min(c, len(events)) for c in cuts} | {0, len(events)})
+    fed_max = 0
+    for a, b in zip(bounds, bounds[1:]):
+        chunk = events[a:b]
+        if not chunk:
+            continue
+        fed_max = max(fed_max, max(t for t, *_ in chunk))
+        state.wm = int((base + pd.Timedelta(seconds=fed_max)).value) // 10**6
+        outs.extend(fn(("e",), iter([mk_pdf(chunk)]), state))
+    state.wm = int((base + pd.Timedelta(days=365)).value) // 10**6
+    outs.extend(fn(("e",), iter([]), state))
+    if not outs:
+        return None
+    row = outs[0].iloc[0]
+    return row, base
+
+
+def test_pattern_machine_matches_batch_model_fuzz():
+    """pattern_stream's state machine == the batch reference model on
+    randomized per-entity event sets split at randomized micro-batch
+    boundaries (in-order feeding; the settle logic is exercised by the
+    Spark-level out-of-order tests)."""
+    import random
+
+    from tests.test_cep import _brute_pattern
+
+    rng = random.Random(23)
+    spec = [("a", "1"), ("b", "+"), ("d", "?"), ("c", "1")]
+    n_emitted = 0
+    for trial in range(300):
+        n = rng.randint(1, 25)
+        events = sorted(
+            (rng.randint(0, 500), s, rng.choice("abcdx"), rng.randint(1, 9))
+            for s in range(n)
+        )
+        flags = [(t, s, (l == "a", l == "b", l == "d", l == "c"), v)
+                 for t, s, l, v in events]
+        exp = _brute_pattern(flags, spec, within=300)
+        cuts = sorted(rng.randint(0, n) for _ in range(rng.randint(0, 4)))
+        got = _drive_pattern(dict(spec), 300, events, cuts)
+        if not exp["completed"]:
+            assert got is None, (trial, exp)
+            continue
+        assert got is not None, (trial, exp)
+        row, base = got
+        ts = lambda x: base + pd.Timedelta(seconds=x) if x is not None else None
+        for nm in ("a", "b", "c", "d"):
+            g = row[f"t_{nm}"]
+            e = ts(exp[f"t_{nm}"])
+            if e is None:
+                assert pd.isna(g), (trial, nm, g)
+            else:
+                assert g == e, (trial, nm, g, e)
+        assert row["n_b"] == exp["n_b"], (trial, row["n_b"], exp["n_b"])
+        assert row["sum_b"] == pytest.approx(float(exp["sum_b"])), trial
+        n_emitted += 1
+    assert n_emitted >= 40
+
+
+def test_pattern_machine_trailing_plus_fuzz():
+    """Trailing-open (`a b+`): emission at horizon close, consumption
+    horizon-bounded — vs the batch model."""
+    import random
+
+    from tests.test_cep import _brute_pattern
+
+    rng = random.Random(29)
+    spec = [("a", "1"), ("b", "+")]
+    n_emitted = 0
+    for trial in range(300):
+        n = rng.randint(1, 20)
+        events = sorted(
+            (rng.randint(0, 500), s, rng.choice("abx"), rng.randint(1, 9))
+            for s in range(n)
+        )
+        flags = [(t, s, (l == "a", l == "b"), v) for t, s, l, v in events]
+        exp = _brute_pattern(flags, spec, within=100)
+        cuts = sorted(rng.randint(0, n) for _ in range(rng.randint(0, 3)))
+        got = _drive_pattern(dict(spec), 100, events, cuts)
+        if not exp["completed"]:
+            assert got is None, (trial, exp)
+            continue
+        assert got is not None, (trial, exp)
+        row, base = got
+        assert row["t_a"] == base + pd.Timedelta(seconds=exp["t_a"]), trial
+        assert row["t_b"] == base + pd.Timedelta(seconds=exp["t_b"]), trial
+        assert row["n_b"] == exp["n_b"], (trial, row["n_b"], exp["n_b"])
+        assert row["sum_b"] == pytest.approx(float(exp["sum_b"])), trial
+        n_emitted += 1
+    assert n_emitted >= 60
