@@ -419,8 +419,23 @@ def main() -> None:
         else:
             detail = dict(result)
             detail["throughput"] = full_sweep
+            # provenance: BENCH_DETAIL.json always states which process
+            # produced these arrays and how the levels were sampled, so
+            # an outlier in a run array is attributable to its window
+            detail["provenance"] = {
+                "producer": "bench.py full run (this file is overwritten "
+                            "by every non --quick invocation)",
+                "sampling": "pair levels interleaved in alternating rounds "
+                            "(_paired_executor_levels, budget-exhausting); "
+                            "thread + max levels sequential best-of-N; "
+                            "per-query suite = best-of-2 pass-major",
+                "host_time_utc": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                ),
+            }
             with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
                 json.dump(detail, f, indent=2)
+                f.write("\n")
             result["throughput"] = _compact_throughput(full_sweep)
     # Contract: the FINAL stdout line is ONE compact JSON object small
     # enough for the driver's tail capture (run arrays + prose notes live
