@@ -155,6 +155,12 @@ def q_cep_pattern(spark, sf_dir):
                 "+",
                 aggs=[("__sumdec", "sum", "__dv"), ("max_click", "max", "value")],
             ),
+            PatternStep(
+                "view",
+                F.col("event_type") == "view",
+                "*",
+                aggs=[("__vsumdec", "sum", "__dv")],
+            ),
             PatternStep("error", F.col("event_type") == "error", "?"),
             PatternStep("purchase", F.col("event_type") == "purchase"),
         ],
@@ -163,10 +169,12 @@ def q_cep_pattern(spark, sf_dir):
     return out.select(
         F.col(KEY).alias("user_id"),
         "step_reached",
-        "t_signup", "t_click", "t_error", "t_purchase",
+        "t_signup", "t_click", "t_view", "t_error", "t_purchase",
         "n_click",
         F.col("__sumdec").cast("double").alias("click_value"),
         "max_click",
+        "n_view",
+        F.col("__vsumdec").cast("double").alias("view_value"),
         "completed",
     )
 
@@ -1560,7 +1568,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, ts, event_id, event_type, value,
                      CAST(value AS DECIMAL(18,2)) AS dv
               FROM events
-              WHERE event_type IN ('signup','click','error','purchase')
+              WHERE event_type IN ('signup','click','view','error','purchase')
             ),
             s1 AS (
               SELECT user_id, min(struct_pack(t := ts, s := event_id)) AS m1
@@ -1597,6 +1605,21 @@ def oracle_sql() -> dict[str, str]:
                          ELSE e.ts <= (s1.m1).t + INTERVAL 14 DAY END
               GROUP BY e.user_id
             ),
+            star AS (
+              -- view* zero-or-more consumer: strictly between click and
+              -- purchase (the window a '?' observes), count may be 0
+              SELECT e.user_id,
+                     min(struct_pack(t := e.ts, s := e.event_id)) AS mv,
+                     COUNT(*) AS n_view, SUM(e.dv) AS vsum
+              FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+              LEFT JOIN s3 USING (user_id)
+              WHERE e.event_type = 'view'
+                AND struct_pack(t := e.ts, s := e.event_id) > s2.m2
+                AND CASE WHEN s3.m3 IS NOT NULL
+                         THEN struct_pack(t := e.ts, s := e.event_id) < s3.m3
+                         ELSE e.ts <= (s1.m1).t + INTERVAL 14 DAY END
+              GROUP BY e.user_id
+            ),
             obs AS (
               -- error? observer: strictly between click and purchase
               SELECT e.user_id, min(struct_pack(t := e.ts, s := e.event_id)) AS mo
@@ -1617,17 +1640,21 @@ def oracle_sql() -> dict[str, str]:
                      AS step_reached,
                    (s1.m1).t AS t_signup,
                    (s2.m2).t AS t_click,
+                   (star.mv).t AS t_view,
                    (obs.mo).t AS t_error,
                    (s3.m3).t AS t_purchase,
                    CAST(COALESCE(plus.n_click, 0) AS BIGINT) AS n_click,
                    CAST(plus.sum_dv AS DOUBLE) AS click_value,
                    plus.max_click AS max_click,
+                   CAST(COALESCE(star.n_view, 0) AS BIGINT) AS n_view,
+                   CAST(star.vsum AS DOUBLE) AS view_value,
                    m3 IS NOT NULL AS completed
             FROM base b
             LEFT JOIN s1 ON b.user_id = s1.user_id
             LEFT JOIN s2 ON b.user_id = s2.user_id
             LEFT JOIN s3 ON b.user_id = s3.user_id
             LEFT JOIN plus ON b.user_id = plus.user_id
+            LEFT JOIN star ON b.user_id = star.user_id
             LEFT JOIN obs ON b.user_id = obs.user_id
         """,
         "lag": """

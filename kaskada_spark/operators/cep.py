@@ -62,12 +62,17 @@ class PatternStep:
     - ``"?"`` — optional observer (``B?``): never gates the required
       chain; records the first matching event strictly between the
       surrounding required steps' instants (or up to the horizon when
-      the following required step is unmatched / absent).
+      the following required step is unmatched / absent);
+    - ``"*"`` — zero-or-more (``B*``): never gates the chain either;
+      CONSUMES every matching event in the same strictly-between
+      window a ``?`` observes, emitting ``t_<name>`` (first consumed
+      instant, null when none), ``n_<name>`` (may be 0) and any
+      ``aggs`` over the consumed set.
 
     ``aggs`` — per-step aggregates over the step's consumed events,
     as ``(out_name, fn, col)`` with ``fn`` in {sum, min, max}; a
-    ``n_<name>`` consumed-event count is always emitted for ``+``
-    steps. Only ``+`` steps may carry aggregates (a ``"1"`` step
+    ``n_<name>`` consumed-event count is always emitted for ``+``/``*``
+    steps. Only ``+``/``*`` steps may carry aggregates (a ``"1"`` step
     consumes exactly its one matched row — project it upstream
     instead).
     """
@@ -220,16 +225,18 @@ def match_pattern(
     if len(set(names)) != len(names):
         raise ValueError(f"step names must be unique, got {names}")
     for s in steps:
-        if s.quant not in ("1", "+", "?"):
-            raise ValueError(f"step {s.name!r}: quant must be '1', '+' or '?'")
-        if s.aggs and s.quant != "+":
-            raise ValueError(f"step {s.name!r}: aggregates need quant '+'")
+        if s.quant not in ("1", "+", "?", "*"):
+            raise ValueError(
+                f"step {s.name!r}: quant must be '1', '+', '?' or '*'"
+            )
+        if s.aggs and s.quant not in ("+", "*"):
+            raise ValueError(f"step {s.name!r}: aggregates need quant '+' or '*'")
         for out, fn, _col in s.aggs:
             if fn not in ("sum", "min", "max"):
                 raise ValueError(f"step {s.name!r}: agg fn {fn!r} not in sum/min/max")
-    if steps[0].quant == "?":
+    if steps[0].quant in ("?", "*"):
         raise ValueError("a pattern cannot start with an optional step")
-    req = [i for i, s in enumerate(steps) if s.quant != "?"]
+    req = [i for i, s in enumerate(steps) if s.quant in ("1", "+")]
     k = len(req)
     if k < 1:
         raise ValueError("a pattern needs at least one required step")
@@ -238,7 +245,7 @@ def match_pattern(
     rank_of = {}
     r = -1
     for i, s in enumerate(steps):
-        if s.quant != "?":
+        if s.quant in ("1", "+"):
             r += 1
         rank_of[i] = r
 
@@ -293,10 +300,14 @@ def match_pattern(
             aggs.append(F.count(F.when(c, F.lit(1))).alias(f"n_{s.name}"))
             for out, fn, col in s.aggs:
                 aggs.append(getattr(F, fn)(F.when(c, F.col(col))).alias(out))
-        elif s.quant == "?":
+        elif s.quant in ("?", "*"):
             anchor = F.col(f"__f{rr}")
             c = flags[i] & anchor.isNotNull() & (ord_struct > anchor) & upper_bound(rr)
             aggs.append(F.min(F.when(c, ord_struct)).alias(f"__o{i}"))
+            if s.quant == "*":
+                aggs.append(F.count(F.when(c, F.lit(1))).alias(f"n_{s.name}"))
+                for out, fn, col in s.aggs:
+                    aggs.append(getattr(F, fn)(F.when(c, F.col(col))).alias(out))
 
     g = df.groupBy(KEY).agg(*aggs)
     step_reached = reduce(
@@ -305,10 +316,10 @@ def match_pattern(
     )
     out_cols = [KEY, step_reached.cast("int").alias("step_reached")]
     for i, s in enumerate(steps):
-        src = f"__o{i}" if s.quant == "?" else f"__m{rank_of[i]}"
+        src = f"__o{i}" if s.quant in ("?", "*") else f"__m{rank_of[i]}"
         out_cols.append(F.col(f"{src}.t").alias(f"t_{s.name}"))
     for s in steps:
-        if s.quant == "+":
+        if s.quant in ("+", "*"):
             out_cols.append(F.col(f"n_{s.name}"))
             out_cols.extend(F.col(out) for out, _fn, _c in s.aggs)
     out_cols.append(F.col(f"__m{k - 1}").isNotNull().alias("completed"))

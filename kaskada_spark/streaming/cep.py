@@ -237,6 +237,68 @@ def _make_funnel_fn(
     return update
 
 
+def _build_pattern_spec(steps, within: str | None):
+    """Validate a PatternStep list and derive the state-machine spec —
+    shared by pattern_stream and the Spark-free property-test harness
+    so the two can never drift."""
+    names = [s.name for s in steps]
+    req = [i for i, s in enumerate(steps) if s.quant in ("1", "+")]
+    k = len(req)
+    if k < 1 or steps[0].quant in ("?", "*"):
+        raise ValueError("pattern must start with a required step")
+    if len(steps) > 62:
+        raise ValueError("at most 62 steps (flag bitmask)")
+    rank_of, r = {}, -1
+    for i, s in enumerate(steps):
+        if s.quant in ("1", "+"):
+            r += 1
+        rank_of[i] = r
+    trailing_open = steps[req[-1]].quant == "+" or any(
+        s.quant in ("?", "*") and rank_of[i] == k - 1 for i, s in enumerate(steps)
+    )
+    if trailing_open and within is None:
+        raise ValueError(
+            "a trailing-open pattern (last required step '+', or an "
+            "observer after it) needs `within` to close in streaming"
+        )
+    within_ns = int(pd.Timedelta(within).value) if within is not None else None
+
+    # distinct aggregate input columns -> __v{j} slots (cast to double)
+    vcols: list[str] = []
+    for s in steps:
+        for _out, _fn, col in s.aggs:
+            if col not in vcols:
+                vcols.append(col)
+    vidx = {c: j for j, c in enumerate(vcols)}
+    plus_steps = [i for i, s in enumerate(steps) if s.quant in ("+", "*")]
+    obs_steps = [i for i, s in enumerate(steps) if s.quant in ("?", "*")]
+    # flattened accumulator layout: per consumer step, its aggs in order
+    acc_layout = []  # (consumer_idx, fn, vcol_idx)
+    for pi, i in enumerate(plus_steps):
+        for _out, fn, col in steps[i].aggs:
+            acc_layout.append((pi, fn, vidx[col]))
+    spec = {
+        "k": k,
+        "n_steps": len(steps),
+        "req": req,
+        "rank_of": rank_of,
+        "names": names,
+        "quants": [s.quant for s in steps],
+        "plus_steps": plus_steps,
+        "obs_steps": obs_steps,
+        "n_v": len(vcols),
+        "acc_layout": acc_layout,
+        "star_steps": [i for i, s in enumerate(steps) if s.quant == "*"],
+        "within_ns": within_ns,
+        "trailing_open": trailing_open,
+        "agg_outs": {
+            i: [(out, fn, vidx[col]) for out, fn, col in steps[i].aggs]
+            for i in plus_steps
+        },
+    }
+    return spec, vidx
+
+
 def pattern_stream(
     tdf: DataFrame,
     steps,
@@ -270,42 +332,8 @@ def pattern_stream(
     2^53); batch ``match_pattern`` keeps the column's own sum type.
     """
     steps = list(steps)
-    names = [s.name for s in steps]
-    req = [i for i, s in enumerate(steps) if s.quant != "?"]
-    k = len(req)
-    if k < 1 or steps[0].quant == "?":
-        raise ValueError("pattern must start with a required step")
-    if len(steps) > 62:
-        raise ValueError("at most 62 steps (flag bitmask)")
-    rank_of, r = {}, -1
-    for i, s in enumerate(steps):
-        if s.quant != "?":
-            r += 1
-        rank_of[i] = r
-    trailing_open = steps[req[-1]].quant == "+" or any(
-        s.quant == "?" and rank_of[i] == k - 1 for i, s in enumerate(steps)
-    )
-    if trailing_open and within is None:
-        raise ValueError(
-            "a trailing-open pattern (last required step '+', or an "
-            "observer after it) needs `within` to close in streaming"
-        )
-    within_ns = int(pd.Timedelta(within).value) if within is not None else None
-
-    # distinct aggregate input columns -> __v{j} slots (cast to double)
-    vcols: list[str] = []
-    for s in steps:
-        for _out, _fn, col in s.aggs:
-            if col not in vcols:
-                vcols.append(col)
-    vidx = {c: j for j, c in enumerate(vcols)}
-    plus_steps = [i for i, s in enumerate(steps) if s.quant == "+"]
-    obs_steps = [i for i, s in enumerate(steps) if s.quant == "?"]
-    # flattened accumulator layout: per '+' step, its aggs in order
-    acc_layout = []  # (plus_idx, fn, vcol_idx)
-    for pi, i in enumerate(plus_steps):
-        for _out, fn, col in steps[i].aggs:
-            acc_layout.append((pi, fn, vidx[col]))
+    spec, vidx = _build_pattern_spec(steps, within)
+    names, plus_steps = spec["names"], spec["plus_steps"]
 
     tdf = tdf.withWatermark(TIME, watermark)
     sel = [F.col(TIME), F.col(SUBSORT), F.col(KEY)]
@@ -345,24 +373,6 @@ def pattern_stream(
             T.StructField("settled_s", T.LongType()),
         ]
     )
-    spec = {
-        "k": k,
-        "n_steps": len(steps),
-        "req": req,
-        "rank_of": rank_of,
-        "names": names,
-        "quants": [s.quant for s in steps],
-        "plus_steps": plus_steps,
-        "obs_steps": obs_steps,
-        "n_v": len(vcols),
-        "acc_layout": acc_layout,
-        "within_ns": within_ns,
-        "trailing_open": trailing_open,
-        "agg_outs": {
-            i: [(out, fn, vidx[col]) for out, fn, col in steps[i].aggs]
-            for i in plus_steps
-        },
-    }
     func = _make_pattern_fn(spec)
     return pre.groupBy(KEY).applyInPandasWithState(
         func, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
@@ -379,6 +389,7 @@ def _make_pattern_fn(spec: dict):
     obs_steps = spec["obs_steps"]
     n_v = spec["n_v"]
     acc_layout = spec["acc_layout"]
+    star_set = set(spec.get("star_steps", ()))
     within_ns = spec["within_ns"]
     trailing_open = spec["trailing_open"]
     agg_outs = spec["agg_outs"]
@@ -469,14 +480,19 @@ def _make_pattern_fn(spec: dict):
                         return st_ <= hits_t[0] + within_ns
                     return np.ones(len(st_), dtype=bool)
 
-                # 2. '+' consumption for matched '+' steps
+                # 2. consumption for matched '+' / anchored '*' steps
                 for i in plus_steps:
                     rr = rank_of[i]
                     if rr >= stage:
                         continue
                     ht, hs = hits_t[rr], hits_s[rr]
                     m = ((sf_ >> i) & 1).astype(bool)
-                    m &= (st_ > ht) | ((st_ == ht) & (ss_ >= hs))
+                    if i in star_set:
+                        # anchored strictly after the previous required
+                        # hit (the window a '?' observes)
+                        m &= (st_ > ht) | ((st_ == ht) & (ss_ > hs))
+                    else:
+                        m &= (st_ > ht) | ((st_ == ht) & (ss_ >= hs))
                     m &= upper_mask(rr)
                     nsel = int(m.sum())
                     if nsel:
@@ -517,7 +533,7 @@ def _make_pattern_fn(spec: dict):
         def build_row():
             vals = {KEY: [key[0]]}
             for i, n in enumerate(names):
-                if quants[i] == "?":
+                if quants[i] in ("?", "*"):
                     ot = obs_t[obs_pos[i]]
                     vals[f"t_{n}"] = [pd.Timestamp(ot) if ot != _NEG else pd.NaT]
                 else:

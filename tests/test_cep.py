@@ -494,7 +494,7 @@ def _brute_pattern(events, steps, within=None):
     """Independent reference model. events: sorted [(t, s, flags, val)]
     for ONE entity; steps: [(name, quant)]; returns the match_pattern
     output tuple shape (times as seconds)."""
-    req = [i for i, (_n, q) in enumerate(steps) if q != "?"]
+    req = [i for i, (_n, q) in enumerate(steps) if q in ("1", "+")]
     hits = {}
     last = anchor_t = None
     for rr, i in enumerate(req):
@@ -525,7 +525,7 @@ def _brute_pattern(events, steps, within=None):
     out = {"step_reached": len(hits), "completed": req[-1] in hits}
     rank = -1
     for i, (name, q) in enumerate(steps):
-        if q != "?":
+        if q in ("1", "+"):
             rank += 1
             out[f"t_{name}"] = hits[i][0] if i in hits else None
             if q == "+":
@@ -541,11 +541,16 @@ def _brute_pattern(events, steps, within=None):
                 out[f"max_{name}"] = max(consumed) if consumed else None
         else:
             cand = [
-                (t, s) for t, s, fl, _v in events
+                (t, s, v) for t, s, fl, v in events
                 if fl[i] and req[rank] in hits and (t, s) > hits[req[rank]]
                 and upper_ok(rank, t, s)
             ]
             out[f"t_{name}"] = min(cand)[0] if cand else None
+            if q == "*":
+                vals = [v for _t, _s, v in cand]
+                out[f"n_{name}"] = len(vals)
+                out[f"sum_{name}"] = sum(vals) if vals else None
+                out[f"max_{name}"] = max(vals) if vals else None
     return out
 
 
@@ -620,22 +625,29 @@ def test_stream_pattern_equals_batch(spark, sf_dir, tmp_path):
             PatternStep("click", F.col("event_type") == "click", "+",
                         aggs=[("click_sum", "sum", "val_l"),
                               ("click_max", "max", "val_l")]),
+            PatternStep("view", F.col("event_type") == "view", "*",
+                        aggs=[("view_sum", "sum", "val_l")]),
             PatternStep("error", F.col("event_type") == "error", "?"),
             PatternStep("purchase", F.col("event_type") == "purchase"),
         ]
 
     batch = match_pattern(tl, steps(), within="14 days")
     expected = {
-        r["_key"]: (r["t_signup"], r["t_click"], r["t_error"], r["t_purchase"],
-                    r["n_click"], float(r["click_sum"]), float(r["click_max"]))
+        r["_key"]: (r["t_signup"], r["t_click"], r["t_view"], r["t_error"],
+                    r["t_purchase"], r["n_click"], float(r["click_sum"]),
+                    float(r["click_max"]), r["n_view"],
+                    None if r["view_sum"] is None else float(r["view_sum"]))
         for r in batch.filter("completed").collect()
     }
     assert expected
     # aggregates must be non-trivial somewhere: some entity consumes >1 click
-    assert any(v[4] > 1 for v in expected.values())
-    # and the observer must fire somewhere and stay null somewhere else
-    assert any(v[2] is not None for v in expected.values())
-    assert any(v[2] is None for v in expected.values())
+    assert any(v[5] > 1 for v in expected.values())
+    # the observer must fire somewhere and stay null somewhere else
+    assert any(v[3] is not None for v in expected.values())
+    assert any(v[3] is None for v in expected.values())
+    # star: consumed somewhere, zero somewhere (it must never gate)
+    assert any(v[8] > 0 for v in expected.values())
+    assert any(v[8] == 0 for v in expected.values())
 
     in_dir = _write_time_split(tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 4)
     stream = (
@@ -654,8 +666,9 @@ def test_stream_pattern_equals_batch(spark, sf_dir, tmp_path):
     )
     q.awaitTermination()
     got = {
-        r["_key"]: (r["t_signup"], r["t_click"], r["t_error"], r["t_purchase"],
-                    r["n_click"], r["click_sum"], r["click_max"])
+        r["_key"]: (r["t_signup"], r["t_click"], r["t_view"], r["t_error"],
+                    r["t_purchase"], r["n_click"], r["click_sum"],
+                    r["click_max"], r["n_view"], r["view_sum"])
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     }
     assert got == expected
@@ -745,3 +758,88 @@ def _write_rows_as_files(spark, schema, rows, path, n_files):
         shutil.move(os.path.join(fp + ".dir", src), fp)
         shutil.rmtree(fp + ".dir")
         os.utime(fp, (time.time() + i, time.time() + i))
+
+
+# ----------------------------------------------------------------------
+# '*' quantifier: zero-or-more non-gating consumer
+# ----------------------------------------------------------------------
+def test_pattern_star_consumption(spark):
+    """`a b* c`: b* never gates (c completes with zero b's), consumes
+    strictly between t_a and t_c, and carries count/sum aggregates."""
+    from kaskada_spark.operators.cep import PatternStep, match_pattern
+
+    base = dt.datetime(2024, 1, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)
+    rows = [
+        # e1: two b's between a and c (the post-c b is not consumed)
+        ("e1", 0, 0, "a", 0), ("e1", 1, 1, "b", 5), ("e1", 2, 2, "b", 7),
+        ("e1", 3, 3, "c", 0), ("e1", 4, 4, "b", 99),
+        # e2: completes with ZERO b's — '*' must not gate
+        ("e2", 0, 0, "a", 0), ("e2", 1, 1, "c", 0),
+        # e3: b before a is outside the window
+        ("e3", 0, 0, "b", 3), ("e3", 1, 1, "a", 0), ("e3", 2, 2, "c", 0),
+    ]
+    out = match_pattern(
+        _tlv(spark, rows),
+        [
+            PatternStep("a", F.col("lbl") == "a"),
+            PatternStep("b", F.col("lbl") == "b", "*",
+                        aggs=[("b_sum", "sum", "val")]),
+            PatternStep("c", F.col("lbl") == "c"),
+        ],
+    )
+    got = {r["_key"]: (r["completed"], r["t_a"], r["t_b"], r["t_c"],
+                       r["n_b"], r["b_sum"]) for r in out.collect()}
+    assert got["e1"] == (True, t(0), t(1), t(3), 2, 12)
+    assert got["e2"] == (True, t(0), None, t(1), 0, None)
+    assert got["e3"] == (True, t(1), None, t(2), 0, None)
+
+
+def test_pattern_star_matches_bruteforce_random(spark):
+    from kaskada_spark.operators.cep import PatternStep, match_pattern
+
+    rng = random.Random(31)
+    rows = []
+    for e in range(50):
+        for s in range(rng.randint(1, 35)):
+            rows.append((f"e{e}", rng.randint(0, 1000), s, rng.choice("abcex"),
+                         rng.randint(1, 100)))
+    out = match_pattern(
+        _tlv(spark, rows),
+        [
+            PatternStep("a", F.col("lbl") == "a"),
+            PatternStep("b", F.col("lbl") == "b", "+",
+                        aggs=[("sum_b", "sum", "val")]),
+            PatternStep("e", F.col("lbl") == "e", "*",
+                        aggs=[("sum_e", "sum", "val"), ("max_e", "max", "val")]),
+            PatternStep("c", F.col("lbl") == "c"),
+        ],
+        within="300 seconds",
+    )
+    got = {r["_key"]: r for r in out.collect()}
+    base = dt.datetime(2024, 1, 1)
+    by_ent = {}
+    for e, t, s, lbl, v in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_ent.setdefault(e, []).append(
+            (t, s, (lbl == "a", lbl == "b", lbl == "e", lbl == "c"), v)
+        )
+    spec = [("a", "1"), ("b", "+"), ("e", "*"), ("c", "1")]
+    n_checked = n_star = 0
+    for e, evs in by_ent.items():
+        if not any(any(f) for _, _, f, _ in evs):
+            assert e not in got
+            continue
+        exp = _brute_pattern(evs, spec, within=300)
+        r = got[e]
+        ts = lambda x: base + dt.timedelta(seconds=x) if x is not None else None
+        assert (r["step_reached"], r["completed"]) == (
+            exp["step_reached"], exp["completed"]), e
+        for nm in ("a", "b", "e", "c"):
+            assert r[f"t_{nm}"] == ts(exp[f"t_{nm}"]), (e, nm)
+        assert (r["n_b"], r["sum_b"]) == (exp["n_b"], exp["sum_b"]), e
+        assert (r["n_e"], r["sum_e"], r["max_e"]) == (
+            exp["n_e"], exp["sum_e"], exp["max_e"]), e
+        if exp["n_e"]:
+            n_star += 1
+        n_checked += 1
+    assert n_checked >= 40 and n_star >= 3

@@ -631,34 +631,17 @@ def _drive_pattern(spec_steps, within_s, events, cuts):
     from kaskada_spark.prepare import KEY, SUBSORT, TIME
     from kaskada_spark.streaming import cep as scep
 
-    labels = ["a", "b", "d", "c"]
+    labels = ["a", "b", "e", "d", "c"]
     quant = dict(spec_steps)
     steps = [
         PatternStep(n, None, quant[n],
-                    aggs=[("sum_b", "sum", "val")] if quant[n] == "+" else [])
+                    aggs=[(f"sum_{n}", "sum", "val")] if quant[n] in ("+", "*") else [])
         for n in labels if n in quant
     ]
     names = [s.name for s in steps]
-    req = [i for i, s in enumerate(steps) if s.quant != "?"]
-    rank_of, r = {}, -1
-    for i, s in enumerate(steps):
-        if s.quant != "?":
-            r += 1
-        rank_of[i] = r
-    plus_steps = [i for i, s in enumerate(steps) if s.quant == "+"]
-    spec = {
-        "k": len(req), "n_steps": len(steps), "req": req, "rank_of": rank_of,
-        "names": names, "quants": [s.quant for s in steps],
-        "plus_steps": plus_steps,
-        "obs_steps": [i for i, s in enumerate(steps) if s.quant == "?"],
-        "n_v": 1, "acc_layout": [(pi, "sum", 0) for pi in range(len(plus_steps))],
-        "within_ns": within_s * 10**9 if within_s is not None else None,
-        "trailing_open": steps[req[-1]].quant == "+" or any(
-            s.quant == "?" and rank_of[i] == len(req) - 1
-            for i, s in enumerate(steps)
-        ),
-        "agg_outs": {i: [("sum_b", "sum", 0)] for i in plus_steps},
-    }
+    spec, _vidx = scep._build_pattern_spec(
+        steps, f"{within_s} seconds" if within_s is not None else None
+    )
     fn = scep._make_pattern_fn(spec)
 
     class S:
@@ -775,3 +758,48 @@ def test_pattern_machine_trailing_plus_fuzz():
         assert row["sum_b"] == pytest.approx(float(exp["sum_b"])), trial
         n_emitted += 1
     assert n_emitted >= 60
+
+
+def test_pattern_machine_star_fuzz():
+    """`a b+ e* c` with a zero-or-more consumer: machine == batch model
+    (star consumption window, zero-count completion, aggregates)."""
+    import random
+
+    from tests.test_cep import _brute_pattern
+
+    rng = random.Random(37)
+    spec = [("a", "1"), ("b", "+"), ("e", "*"), ("c", "1")]
+    n_emitted = n_star = 0
+    for trial in range(300):
+        n = rng.randint(1, 25)
+        events = sorted(
+            (rng.randint(0, 500), s, rng.choice("abcex"), rng.randint(1, 9))
+            for s in range(n)
+        )
+        flags = [(t, s, (l == "a", l == "b", l == "e", l == "c"), v)
+                 for t, s, l, v in events]
+        exp = _brute_pattern(flags, spec, within=300)
+        cuts = sorted(rng.randint(0, n) for _ in range(rng.randint(0, 4)))
+        got = _drive_pattern(dict(spec), 300, events, cuts)
+        if not exp["completed"]:
+            assert got is None, (trial, exp)
+            continue
+        assert got is not None, (trial, exp)
+        row, base = got
+        ts = lambda x: base + pd.Timedelta(seconds=x) if x is not None else None
+        for nm in ("a", "b", "e", "c"):
+            g, e = row[f"t_{nm}"], ts(exp[f"t_{nm}"])
+            if e is None:
+                assert pd.isna(g), (trial, nm, g)
+            else:
+                assert g == e, (trial, nm, g, e)
+        assert row["n_b"] == exp["n_b"], trial
+        assert row["sum_b"] == pytest.approx(float(exp["sum_b"])), trial
+        assert row["n_e"] == exp["n_e"], (trial, row["n_e"], exp["n_e"])
+        if exp["n_e"]:
+            assert row["sum_e"] == pytest.approx(float(exp["sum_e"])), trial
+            n_star += 1
+        else:
+            assert row["sum_e"] is None or pd.isna(row["sum_e"]), trial
+        n_emitted += 1
+    assert n_emitted >= 40 and n_star >= 5
