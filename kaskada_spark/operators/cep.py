@@ -81,6 +81,13 @@ class PatternStep:
     pred: Column
     quant: str = "1"
     aggs: Sequence[tuple[str, str, str]] = field(default_factory=tuple)
+    #: bounded repetition (MATCH_RECOGNIZE ``B{m,}``), ``"+"`` only:
+    #: the step matches at its ``min_count``-th qualifying occurrence
+    #: (each strictly after the previous, all inside the horizon); the
+    #: next required step anchors after that instant, while consumption
+    #: still starts at the FIRST occurrence — so ``n_<name> >=
+    #: min_count`` whenever matched.
+    min_count: int = 1
 
 
 def match_funnel(
@@ -234,6 +241,10 @@ def match_pattern(
         for out, fn, _col in s.aggs:
             if fn not in ("sum", "min", "max"):
                 raise ValueError(f"step {s.name!r}: agg fn {fn!r} not in sum/min/max")
+        if s.min_count < 1:
+            raise ValueError(f"step {s.name!r}: min_count must be >= 1")
+        if s.min_count > 1 and s.quant != "+":
+            raise ValueError(f"step {s.name!r}: min_count needs quant '+'")
     if steps[0].quant in ("?", "*"):
         raise ValueError("a pattern cannot start with an optional step")
     req = [i for i, s in enumerate(steps) if s.quant in ("1", "+")]
@@ -263,21 +274,41 @@ def match_pattern(
         .orderBy(TIME, SUBSORT)
         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     )
+    # per required rank: the MATCH column (min_count-th occurrence, the
+    # chain instant) and the FIRST-occurrence column (where consumption
+    # begins); identical for min_count == 1. The horizon anchors at the
+    # match START — rank 0's first occurrence.
+    rname = {rr: f"__r{rr}" for rr in range(k)}
+    fname = {}
     for rr, i in enumerate(req):
-        cond = flags[i]
-        if rr > 0:
-            prev = F.col(f"__r{rr - 1}")
-            cond = cond & prev.isNotNull() & (ord_struct > prev)
-            if within is not None:
+        need = steps[i].min_count
+        fname[rr] = f"__q{rr}_0" if need > 1 else rname[rr]
+        for j in range(need):
+            cond = flags[i]
+            if j > 0:
+                prev = F.col(f"__q{rr}_{j - 1}")
+                cond = cond & prev.isNotNull() & (ord_struct > prev)
+            elif rr > 0:
+                prev = F.col(rname[rr - 1])
+                cond = cond & prev.isNotNull() & (ord_struct > prev)
+            if within is not None and (rr > 0 or j > 0):
                 cond = cond & (
-                    F.col(TIME) <= F.col("__r0.t") + F.expr(f"INTERVAL {within}")
+                    F.col(f"{fname[0]}.t") + F.expr(f"INTERVAL {within}")
+                    >= F.col(TIME)
                 )
-        df = df.withColumn(f"__r{rr}", F.min(F.when(cond, ord_struct)).over(w_run))
+            col = rname[rr] if j == need - 1 else f"__q{rr}_{j}"
+            df = df.withColumn(col, F.min(F.when(cond, ord_struct)).over(w_run))
+    ffname = {}
     for rr in range(k):
-        df = df.withColumn(f"__f{rr}", F.max(F.col(f"__r{rr}")).over(w_all))
+        df = df.withColumn(f"__f{rr}", F.max(F.col(rname[rr])).over(w_all))
+        if fname[rr] == rname[rr]:
+            ffname[rr] = f"__f{rr}"
+        else:
+            ffname[rr] = f"__ff{rr}"
+            df = df.withColumn(ffname[rr], F.max(F.col(fname[rr])).over(w_all))
 
     horizon_ok = (
-        F.col(TIME) <= F.col("__f0.t") + F.expr(f"INTERVAL {within}")
+        F.col(TIME) <= F.col(f"{ffname[0]}.t") + F.expr(f"INTERVAL {within}")
         if within is not None
         else F.lit(True)
     )
@@ -295,7 +326,11 @@ def match_pattern(
     for i, s in enumerate(steps):
         rr = rank_of[i]
         if s.quant == "+":
-            lower = F.col(f"__f{rr}").isNotNull() & (ord_struct >= F.col(f"__f{rr}"))
+            # gate on the MATCH (min_count-th occurrence); consume from
+            # the FIRST occurrence
+            lower = F.col(f"__f{rr}").isNotNull() & (
+                ord_struct >= F.col(ffname[rr])
+            )
             c = flags[i] & lower & upper_bound(rr)
             aggs.append(F.count(F.when(c, F.lit(1))).alias(f"n_{s.name}"))
             for out, fn, col in s.aggs:

@@ -246,6 +246,11 @@ def _build_pattern_spec(steps, within: str | None):
     k = len(req)
     if k < 1 or steps[0].quant in ("?", "*"):
         raise ValueError("pattern must start with a required step")
+    for s in steps:
+        if getattr(s, "min_count", 1) < 1:
+            raise ValueError(f"step {s.name!r}: min_count must be >= 1")
+        if getattr(s, "min_count", 1) > 1 and s.quant != "+":
+            raise ValueError(f"step {s.name!r}: min_count needs quant '+'")
     if len(steps) > 62:
         raise ValueError("at most 62 steps (flag bitmask)")
     rank_of, r = {}, -1
@@ -289,6 +294,7 @@ def _build_pattern_spec(steps, within: str | None):
         "n_v": len(vcols),
         "acc_layout": acc_layout,
         "star_steps": [i for i, s in enumerate(steps) if s.quant == "*"],
+        "min_counts": [getattr(steps[i], "min_count", 1) for i in req],
         "within_ns": within_ns,
         "trailing_open": trailing_open,
         "agg_outs": {
@@ -361,6 +367,13 @@ def pattern_stream(
             T.StructField("emitted", T.BooleanType()),
             T.StructField("hits_t", T.ArrayType(T.LongType())),
             T.StructField("hits_s", T.ArrayType(T.LongType())),
+            T.StructField("firsts_t", T.ArrayType(T.LongType())),
+            T.StructField("firsts_s", T.ArrayType(T.LongType())),
+            T.StructField("cur_sub", T.IntegerType()),
+            T.StructField("cur_ft", T.LongType()),
+            T.StructField("cur_fs", T.LongType()),
+            T.StructField("cur_lt", T.LongType()),
+            T.StructField("cur_ls", T.LongType()),
             T.StructField("obs_t", T.ArrayType(T.LongType())),
             T.StructField("obs_s", T.ArrayType(T.LongType())),
             T.StructField("plus_cnt", T.ArrayType(T.LongType())),
@@ -390,6 +403,7 @@ def _make_pattern_fn(spec: dict):
     n_v = spec["n_v"]
     acc_layout = spec["acc_layout"]
     star_set = set(spec.get("star_steps", ()))
+    min_counts = spec.get("min_counts") or [1] * k
     within_ns = spec["within_ns"]
     trailing_open = spec["trailing_open"]
     agg_outs = spec["agg_outs"]
@@ -403,9 +417,11 @@ def _make_pattern_fn(spec: dict):
 
     def update(key, pdfs, state: GroupState):
         if state.exists:
-            (stage, done, emitted, hits_t, hits_s, obs_t, obs_s, plus_cnt,
-             plus_acc, bt, bs, bf, bv, settled_t, settled_s) = state.get
+            (stage, done, emitted, hits_t, hits_s, firsts_t, firsts_s,
+             cur_sub, cur_ft, cur_fs, cur_lt, cur_ls, obs_t, obs_s,
+             plus_cnt, plus_acc, bt, bs, bf, bv, settled_t, settled_s) = state.get
             hits_t, hits_s = list(hits_t), list(hits_s)
+            firsts_t, firsts_s = list(firsts_t), list(firsts_s)
             obs_t, obs_s = list(obs_t), list(obs_s)
             plus_cnt, plus_acc = list(plus_cnt), list(plus_acc)
             bt = np.asarray(bt, dtype=np.int64)
@@ -415,6 +431,8 @@ def _make_pattern_fn(spec: dict):
         else:
             stage, done, emitted = 0, False, False
             hits_t, hits_s = [], []
+            firsts_t, firsts_s = [], []
+            cur_sub, cur_ft, cur_fs, cur_lt, cur_ls = 0, _NEG, _NEG, _NEG, _NEG
             obs_t = [_NEG] * len(obs_steps)
             obs_s = [_NEG] * len(obs_steps)
             plus_cnt = [0] * len(plus_steps)
@@ -453,20 +471,41 @@ def _make_pattern_fn(spec: dict):
             if n_settled:
                 st_, ss_, sf_ = bt[:n_settled], bs[:n_settled], bf[:n_settled]
                 sv_ = bv[:n_settled]
-                # 1. advance the required chain (vectorized per stage)
+                # 1. advance the required chain (vectorized per stage;
+                #    min_count sub-occurrences may span micro-batches
+                #    via the cur_* partial-progress state)
                 while stage < k:
                     i = req[stage]
+                    need = min_counts[stage]
                     cand = ((sf_ >> i) & 1).astype(bool)
-                    if stage > 0:
+                    if cur_sub > 0:
+                        cand &= (st_ > cur_lt) | ((st_ == cur_lt) & (ss_ > cur_ls))
+                    elif stage > 0:
                         pt, ps = hits_t[-1], hits_s[-1]
                         cand &= (st_ > pt) | ((st_ == pt) & (ss_ > ps))
-                        if within_ns is not None:
-                            cand &= st_ <= hits_t[0] + within_ns
+                    if within_ns is not None and (stage > 0 or cur_sub > 0):
+                        # horizon anchored at the match START: rank 0's
+                        # FIRST occurrence
+                        anchor_t = firsts_t[0] if stage > 0 else cur_ft
+                        cand &= st_ <= anchor_t + within_ns
                     idx = np.flatnonzero(cand)
-                    if not len(idx):
+                    take = need - cur_sub
+                    if len(idx) < take:
+                        if len(idx):
+                            if cur_sub == 0:
+                                cur_ft = int(st_[idx[0]])
+                                cur_fs = int(ss_[idx[0]])
+                            cur_sub += len(idx)
+                            cur_lt = int(st_[idx[-1]])
+                            cur_ls = int(ss_[idx[-1]])
                         break
-                    hits_t.append(int(st_[idx[0]]))
-                    hits_s.append(int(ss_[idx[0]]))
+                    first_t = cur_ft if cur_sub > 0 else int(st_[idx[0]])
+                    first_s = cur_fs if cur_sub > 0 else int(ss_[idx[0]])
+                    firsts_t.append(first_t)
+                    firsts_s.append(first_s)
+                    hits_t.append(int(st_[idx[take - 1]]))
+                    hits_s.append(int(ss_[idx[take - 1]]))
+                    cur_sub, cur_ft, cur_fs, cur_lt, cur_ls = 0, _NEG, _NEG, _NEG, _NEG
                     stage += 1
 
                 def upper_mask(rr):
@@ -477,21 +516,35 @@ def _make_pattern_fn(spec: dict):
                         nt, ns_ = hits_t[rr + 1], hits_s[rr + 1]
                         return (st_ < nt) | ((st_ == nt) & (ss_ < ns_))
                     if within_ns is not None:
-                        return st_ <= hits_t[0] + within_ns
+                        anchor = firsts_t[0] if stage > 0 else cur_ft
+                        return st_ <= anchor + within_ns
                     return np.ones(len(st_), dtype=bool)
 
                 # 2. consumption for matched '+' / anchored '*' steps
                 for i in plus_steps:
                     rr = rank_of[i]
-                    if rr >= stage:
+                    if rr > stage:
                         continue
-                    ht, hs = hits_t[rr], hits_s[rr]
                     m = ((sf_ >> i) & 1).astype(bool)
-                    if i in star_set:
+                    if rr == stage:
+                        # the IN-PROGRESS '+' step: its min_count
+                        # sub-matches may span passes, and rows between
+                        # the first sub-occurrence and the eventual
+                        # match must be consumed as they settle (they
+                        # are discarded after this pass). Harmless if
+                        # the step never matches — nothing emits then.
+                        if i in star_set or cur_sub == 0:
+                            continue
+                        ht, hs = cur_ft, cur_fs
+                        m &= (st_ > ht) | ((st_ == ht) & (ss_ >= hs))
+                    elif i in star_set:
                         # anchored strictly after the previous required
-                        # hit (the window a '?' observes)
+                        # MATCH instant (the window a '?' observes)
+                        ht, hs = hits_t[rr], hits_s[rr]
                         m &= (st_ > ht) | ((st_ == ht) & (ss_ > hs))
                     else:
+                        # '+' consumes from its FIRST occurrence
+                        ht, hs = firsts_t[rr], firsts_s[rr]
                         m &= (st_ > ht) | ((st_ == ht) & (ss_ >= hs))
                     m &= upper_mask(rr)
                     nsel = int(m.sum())
@@ -555,18 +608,22 @@ def _make_pattern_fn(spec: dict):
                 done, rows = True, build_row()
                 bt = bs = bf = np.empty(0, dtype=np.int64)
                 bv = np.empty((0, n_v))
-            elif wm_ns > hits_t[0] + within_ns:
+            elif wm_ns > firsts_t[0] + within_ns:
                 # horizon closed: every in-window row has settled
                 done, rows = True, build_row()
                 bt = bs = bf = np.empty(0, dtype=np.int64)
                 bv = np.empty((0, n_v))
-        # dead entity: horizon passed without completing
+        # dead entity: horizon passed without completing (a partial
+        # rank-0 sub-match anchors the horizon too)
+        anchor_t0 = (
+            firsts_t[0] if stage >= 1 else (cur_ft if cur_sub > 0 else None)
+        )
         if (
             not done
             and within_ns is not None
-            and stage >= 1
+            and anchor_t0 is not None
             and stage < k
-            and wm_ns > hits_t[0] + within_ns
+            and wm_ns > anchor_t0 + within_ns
         ):
             done = True
             bt = bs = bf = np.empty(0, dtype=np.int64)
@@ -576,6 +633,8 @@ def _make_pattern_fn(spec: dict):
             (
                 int(stage), bool(done), bool(rows is not None or emitted),
                 [int(x) for x in hits_t], [int(x) for x in hits_s],
+                [int(x) for x in firsts_t], [int(x) for x in firsts_s],
+                int(cur_sub), int(cur_ft), int(cur_fs), int(cur_lt), int(cur_ls),
                 [int(x) for x in obs_t], [int(x) for x in obs_s],
                 [int(x) for x in plus_cnt], [float(x) for x in plus_acc],
                 [int(x) for x in bt], [int(x) for x in bs],
@@ -588,9 +647,10 @@ def _make_pattern_fn(spec: dict):
             if len(bt):
                 cands.append(int(bt.min()) // 10**6 - 1)
             if stage == k and trailing_open:
-                cands.append((hits_t[0] + within_ns) // 10**6)
-            elif stage >= 1 and within_ns is not None:
-                cands.append((hits_t[0] + within_ns) // 10**6)
+                cands.append((firsts_t[0] + within_ns) // 10**6)
+            elif within_ns is not None and (stage >= 1 or cur_sub > 0):
+                a = firsts_t[0] if stage >= 1 else cur_ft
+                cands.append((a + within_ns) // 10**6)
             if cands:
                 state.setTimeoutTimestamp(
                     max(min(cands), state.getCurrentWatermarkMs() + 1)

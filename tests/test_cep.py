@@ -492,29 +492,33 @@ def test_pattern_validation(spark):
 
 def _brute_pattern(events, steps, within=None):
     """Independent reference model. events: sorted [(t, s, flags, val)]
-    for ONE entity; steps: [(name, quant)]; returns the match_pattern
-    output tuple shape (times as seconds)."""
-    req = [i for i, (_n, q) in enumerate(steps) if q in ("1", "+")]
-    hits = {}
-    last = anchor_t = None
+    for ONE entity; steps: [(name, quant)] or [(name, quant, min_count)];
+    returns the match_pattern output tuple shape (times as seconds)."""
+    steps = [(s[0], s[1], s[2] if len(s) > 2 else 1) for s in steps]
+    req = [i for i, (_n, q, _m) in enumerate(steps) if q in ("1", "+")]
+    hits, firsts = {}, {}
+    last_req = None
+    anchor_t = None  # match START: rank 0's FIRST occurrence
     for rr, i in enumerate(req):
-        found = None
+        need = steps[i][2]
+        subs = []
         for t, s, fl, _v in events:
             if not fl[i]:
                 continue
-            if rr > 0:
-                if (t, s) <= last:
-                    continue
-                if within is not None and t > anchor_t + within:
-                    continue
-            found = (t, s)
+            lower = subs[-1] if subs else last_req
+            if lower is not None and (t, s) <= lower:
+                continue
+            if (rr > 0 or subs) and within is not None and t > anchor_t + within:
+                continue
+            if rr == 0 and not subs:
+                anchor_t = t
+            subs.append((t, s))
+            if len(subs) == need:
+                break
+        if len(subs) < need:
             break
-        if found is None:
-            break
-        hits[i] = found
-        last = found
-        if rr == 0:
-            anchor_t = found[0]
+        hits[i], firsts[i] = subs[-1], subs[0]
+        last_req = subs[-1]
 
     def upper_ok(rr, t, s):
         nxt = req[rr + 1] if rr + 1 < len(req) else None
@@ -524,7 +528,7 @@ def _brute_pattern(events, steps, within=None):
 
     out = {"step_reached": len(hits), "completed": req[-1] in hits}
     rank = -1
-    for i, (name, q) in enumerate(steps):
+    for i, (name, q, _m) in enumerate(steps):
         if q in ("1", "+"):
             rank += 1
             out[f"t_{name}"] = hits[i][0] if i in hits else None
@@ -532,7 +536,7 @@ def _brute_pattern(events, steps, within=None):
                 if i in hits:
                     consumed = [
                         v for t, s, fl, v in events
-                        if fl[i] and (t, s) >= hits[i] and upper_ok(rank, t, s)
+                        if fl[i] and (t, s) >= firsts[i] and upper_ok(rank, t, s)
                     ]
                 else:
                     consumed = []
@@ -843,3 +847,85 @@ def test_pattern_star_matches_bruteforce_random(spark):
             n_star += 1
         n_checked += 1
     assert n_checked >= 40 and n_star >= 3
+
+
+# ----------------------------------------------------------------------
+# bounded repetition: '+' with min_count (MATCH_RECOGNIZE B{m,})
+# ----------------------------------------------------------------------
+def test_pattern_min_count(spark):
+    """`a b{2,} c`: b matches at its 2nd occurrence; c anchors after it;
+    consumption still starts at the FIRST b."""
+    from kaskada_spark.operators.cep import PatternStep, match_pattern
+
+    base = dt.datetime(2024, 1, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)
+    rows = [
+        # e1: b at 1,2 -> match at 2; c at 1.5 does NOT count (before
+        # the 2nd b); c at 3 completes; both b's consumed
+        ("e1", 0, 0, "a", 0), ("e1", 1, 1, "b", 5),
+        ("e1", 2, 3, "c", 0),  # subsort puts this before the 2nd b? no: t=2,s=3
+        ("e1", 2, 2, "b", 7), ("e1", 3, 4, "c", 0),
+        # e2: only one b -> step_reached stalls at 1, not completed
+        ("e2", 0, 0, "a", 0), ("e2", 1, 1, "b", 9), ("e2", 2, 2, "c", 0),
+    ]
+    out = match_pattern(
+        _tlv(spark, rows),
+        [
+            PatternStep("a", F.col("lbl") == "a"),
+            PatternStep("b", F.col("lbl") == "b", "+",
+                        aggs=[("b_sum", "sum", "val")], min_count=2),
+            PatternStep("c", F.col("lbl") == "c"),
+        ],
+    )
+    got = {r["_key"]: (r["step_reached"], r["completed"], r["t_a"], r["t_b"],
+                       r["t_c"], r["n_b"], r["b_sum"]) for r in out.collect()}
+    # e1: 2nd b at (t=2,s=2); first c strictly after it is (t=2,s=3)
+    assert got["e1"] == (3, True, t(0), t(2), t(2), 2, 12)
+    assert got["e2"] == (1, False, t(0), None, None, 0, None)
+
+
+def test_pattern_min_count_matches_bruteforce_random(spark):
+    from kaskada_spark.operators.cep import PatternStep, match_pattern
+
+    rng = random.Random(41)
+    rows = []
+    for e in range(50):
+        for s in range(rng.randint(1, 35)):
+            rows.append((f"e{e}", rng.randint(0, 1000), s, rng.choice("abcx"),
+                         rng.randint(1, 100)))
+    out = match_pattern(
+        _tlv(spark, rows),
+        [
+            PatternStep("a", F.col("lbl") == "a"),
+            PatternStep("b", F.col("lbl") == "b", "+",
+                        aggs=[("sum_b", "sum", "val")], min_count=3),
+            PatternStep("c", F.col("lbl") == "c"),
+        ],
+        within="400 seconds",
+    )
+    got = {r["_key"]: r for r in out.collect()}
+    base = dt.datetime(2024, 1, 1)
+    by_ent = {}
+    for e, t, s, lbl, v in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_ent.setdefault(e, []).append(
+            (t, s, (lbl == "a", lbl == "b", lbl == "c"), v)
+        )
+    spec = [("a", "1"), ("b", "+", 3), ("c", "1")]
+    n_checked = n_completed = 0
+    for e, evs in by_ent.items():
+        if not any(any(f) for _, _, f, _ in evs):
+            assert e not in got
+            continue
+        exp = _brute_pattern(evs, spec, within=400)
+        r = got[e]
+        ts = lambda x: base + dt.timedelta(seconds=x) if x is not None else None
+        assert (r["step_reached"], r["completed"]) == (
+            exp["step_reached"], exp["completed"]), e
+        for nm in ("a", "b", "c"):
+            assert r[f"t_{nm}"] == ts(exp[f"t_{nm}"]), (e, nm)
+        assert (r["n_b"], r["sum_b"]) == (exp["n_b"], exp["sum_b"]), e
+        if exp["completed"]:
+            assert r["n_b"] >= 3
+            n_completed += 1
+        n_checked += 1
+    assert n_checked >= 40 and n_completed >= 5

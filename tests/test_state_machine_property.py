@@ -632,10 +632,13 @@ def _drive_pattern(spec_steps, within_s, events, cuts):
     from kaskada_spark.streaming import cep as scep
 
     labels = ["a", "b", "e", "d", "c"]
-    quant = dict(spec_steps)
+    spec_steps = [(s[0], s[1], s[2] if len(s) > 2 else 1) for s in spec_steps]
+    quant = {n: (q, m) for n, q, m in spec_steps}
     steps = [
-        PatternStep(n, None, quant[n],
-                    aggs=[(f"sum_{n}", "sum", "val")] if quant[n] in ("+", "*") else [])
+        PatternStep(n, None, quant[n][0],
+                    aggs=[(f"sum_{n}", "sum", "val")]
+                    if quant[n][0] in ("+", "*") else [],
+                    min_count=quant[n][1])
         for n in labels if n in quant
     ]
     names = [s.name for s in steps]
@@ -707,7 +710,7 @@ def test_pattern_machine_matches_batch_model_fuzz():
                  for t, s, l, v in events]
         exp = _brute_pattern(flags, spec, within=300)
         cuts = sorted(rng.randint(0, n) for _ in range(rng.randint(0, 4)))
-        got = _drive_pattern(dict(spec), 300, events, cuts)
+        got = _drive_pattern(spec, 300, events, cuts)
         if not exp["completed"]:
             assert got is None, (trial, exp)
             continue
@@ -746,7 +749,7 @@ def test_pattern_machine_trailing_plus_fuzz():
         flags = [(t, s, (l == "a", l == "b"), v) for t, s, l, v in events]
         exp = _brute_pattern(flags, spec, within=100)
         cuts = sorted(rng.randint(0, n) for _ in range(rng.randint(0, 3)))
-        got = _drive_pattern(dict(spec), 100, events, cuts)
+        got = _drive_pattern(spec, 100, events, cuts)
         if not exp["completed"]:
             assert got is None, (trial, exp)
             continue
@@ -780,7 +783,7 @@ def test_pattern_machine_star_fuzz():
                  for t, s, l, v in events]
         exp = _brute_pattern(flags, spec, within=300)
         cuts = sorted(rng.randint(0, n) for _ in range(rng.randint(0, 4)))
-        got = _drive_pattern(dict(spec), 300, events, cuts)
+        got = _drive_pattern(spec, 300, events, cuts)
         if not exp["completed"]:
             assert got is None, (trial, exp)
             continue
@@ -803,3 +806,41 @@ def test_pattern_machine_star_fuzz():
             assert row["sum_e"] is None or pd.isna(row["sum_e"]), trial
         n_emitted += 1
     assert n_emitted >= 40 and n_star >= 5
+
+
+def test_pattern_machine_min_count_fuzz():
+    """`a b{3,} c` with sub-occurrences spanning micro-batch splits:
+    the cur_* partial-progress state must carry 1-of-3 / 2-of-3
+    sub-matches across invocations — vs the batch model."""
+    import random
+
+    from tests.test_cep import _brute_pattern
+
+    rng = random.Random(43)
+    spec = [("a", "1"), ("b", "+", 3), ("c", "1")]
+    n_emitted = 0
+    for trial in range(300):
+        n = rng.randint(3, 30)
+        events = sorted(
+            (rng.randint(0, 500), s, rng.choice("abbcx"), rng.randint(1, 9))
+            for s in range(n)
+        )
+        flags = [(t, s, (l == "a", l == "b", l == "c"), v)
+                 for t, s, l, v in events]
+        exp = _brute_pattern(flags, spec, within=400)
+        # many cuts -> sub-matches split across invocations often
+        cuts = sorted(rng.randint(0, n) for _ in range(rng.randint(2, 8)))
+        got = _drive_pattern(spec, 400, events, cuts)
+        if not exp["completed"]:
+            assert got is None, (trial, exp)
+            continue
+        assert got is not None, (trial, exp)
+        row, base = got
+        ts = lambda x: base + pd.Timedelta(seconds=x)
+        assert row["t_a"] == ts(exp["t_a"]), trial
+        assert row["t_b"] == ts(exp["t_b"]), trial
+        assert row["t_c"] == ts(exp["t_c"]), trial
+        assert row["n_b"] == exp["n_b"] and row["n_b"] >= 3, trial
+        assert row["sum_b"] == pytest.approx(float(exp["sum_b"])), trial
+        n_emitted += 1
+    assert n_emitted >= 40
