@@ -600,13 +600,16 @@ def test_pattern_plan_single_exchange(spark, sf_dir):
         [
             PatternStep("signup", F.col("event_type") == "signup"),
             PatternStep("click", F.col("event_type") == "click", "+",
-                        aggs=[("v", "sum", "value")]),
+                        aggs=[("v", "sum", "value")], min_count=2),
+            PatternStep("view", F.col("event_type") == "view", "*"),
             PatternStep("error", F.col("event_type") == "error", "?"),
             PatternStep("purchase", F.col("event_type") == "purchase"),
         ],
         within="48 hours",
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
+    # min_count's extra chained running-min and the '*' consumer masks
+    # all ride the same entity exchange
     assert plan.count("Exchange") <= 1, plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
