@@ -177,6 +177,7 @@ def match_pattern(
     tl: Timeline,
     steps: Sequence[PatternStep],
     within: str | None = None,
+    unless: Column | None = None,
 ) -> DataFrame:
     """Quantified per-entity pattern matching — MATCH_RECOGNIZE-style
     ``A B+ C?`` sequences with per-step aggregates, generalizing
@@ -206,6 +207,15 @@ def match_pattern(
       that is unmatched / absent). Observers never gate the chain and
       may be null on completed entities. A pattern cannot START with an
       observer (the anchor must be a required step).
+
+    ``unless`` is the abort predicate ("... with no X in between", the
+    funnel's rule generalized): the FIRST event matching it strictly
+    after the match anchor (the first required step's first occurrence;
+    an anchor row matching ``unless`` does not kill its own match)
+    voids every required (sub-)hit at-or-after it — abort wins ties —
+    and bounds every consumption/observation window strictly before
+    it. Exact without backtracking for the same greedy-minimal reason
+    as the funnel.
 
     Returns one row per entity having >= 1 event matching any step:
     ``(_key, step_reached, t_<name> per step, n_<name> + aggs per "+"
@@ -262,7 +272,11 @@ def match_pattern(
 
     flags = [F.coalesce(s.pred.cast("boolean"), F.lit(False)) for s in steps]
     ord_struct = F.struct(F.col(TIME).alias("t"), F.col(SUBSORT).alias("s"))
-    df = tl.df.filter(reduce(lambda a, b: a | b, flags))
+    keep = reduce(lambda a, b: a | b, flags)
+    if unless is not None:
+        unless = F.coalesce(unless.cast("boolean"), F.lit(False))
+        keep = keep | unless
+    df = tl.df.filter(keep)
 
     w_run = (
         W.partitionBy(KEY)
@@ -296,8 +310,17 @@ def match_pattern(
                     F.col(f"{fname[0]}.t") + F.expr(f"INTERVAL {within}")
                     >= F.col(TIME)
                 )
+            if unless is not None and (rr > 0 or j > 0):
+                u = F.col("__u")
+                cond = cond & (u.isNull() | (ord_struct < u))
             col = rname[rr] if j == need - 1 else f"__q{rr}_{j}"
             df = df.withColumn(col, F.min(F.when(cond, ord_struct)).over(w_run))
+            if rr == 0 and j == 0 and unless is not None:
+                # first abort row strictly after the anchor (an anchor
+                # row matching ``unless`` doesn't kill its own match)
+                anchor = F.col(fname[0])
+                ucond = unless & anchor.isNotNull() & (ord_struct > anchor)
+                df = df.withColumn("__u", F.min(F.when(ucond, ord_struct)).over(w_run))
     ffname = {}
     for rr in range(k):
         df = df.withColumn(f"__f{rr}", F.max(F.col(rname[rr])).over(w_all))
@@ -313,14 +336,23 @@ def match_pattern(
         else F.lit(True)
     )
 
+    if unless is not None:
+        df = df.withColumn("__fu", F.max(F.col("__u")).over(w_all))
+
     def upper_bound(rr: int) -> Column:
         """Consumption/observation upper bound after required rank rr:
         strictly before the next required instant; to the horizon when
-        that is unmatched or absent."""
+        that is unmatched or absent; always strictly before the abort
+        instant when an ``unless`` abort exists."""
         if rr + 1 < k:
             nxt = F.col(f"__f{rr + 1}")
-            return F.when(nxt.isNotNull(), ord_struct < nxt).otherwise(horizon_ok)
-        return horizon_ok
+            ub = F.when(nxt.isNotNull(), ord_struct < nxt).otherwise(horizon_ok)
+        else:
+            ub = horizon_ok
+        if unless is not None:
+            fu = F.col("__fu")
+            ub = ub & (fu.isNull() | (ord_struct < fu))
+        return ub
 
     aggs = [F.max(F.col(f"__r{rr}")).alias(f"__m{rr}") for rr in range(k)]
     for i, s in enumerate(steps):

@@ -310,6 +310,7 @@ def pattern_stream(
     steps,
     within: str | None = None,
     watermark: str = "0 seconds",
+    unless: Column | None = None,
 ) -> DataFrame:
     """Streaming twin of operators/cep.py::match_pattern — quantified
     ``A B+ C?`` patterns with per-step aggregates.
@@ -339,6 +340,7 @@ def pattern_stream(
     """
     steps = list(steps)
     spec, vidx = _build_pattern_spec(steps, within)
+    spec["has_unless"] = unless is not None
     names, plus_steps = spec["names"], spec["plus_steps"]
 
     tdf = tdf.withWatermark(TIME, watermark)
@@ -347,9 +349,15 @@ def pattern_stream(
         F.coalesce(s.pred.cast("boolean"), F.lit(False)).alias(f"__p{i}")
         for i, s in enumerate(steps)
     ]
+    n_flags = len(steps)
+    if unless is not None:
+        sel.append(
+            F.coalesce(unless.cast("boolean"), F.lit(False)).alias(f"__p{len(steps)}")
+        )
+        n_flags += 1
     sel += [F.col(c).cast("double").alias(f"__v{j}") for c, j in vidx.items()]
     pre = tdf.select(*sel).filter(
-        reduce(lambda a, b: a | b, [F.col(f"__p{i}") for i in range(len(steps))])
+        reduce(lambda a, b: a | b, [F.col(f"__p{i}") for i in range(n_flags)])
     )
 
     out_fields = [T.StructField(KEY, tdf.schema[KEY].dataType)]
@@ -404,6 +412,7 @@ def _make_pattern_fn(spec: dict):
     acc_layout = spec["acc_layout"]
     star_set = set(spec.get("star_steps", ()))
     min_counts = spec.get("min_counts") or [1] * k
+    has_unless = bool(spec.get("has_unless"))
     within_ns = spec["within_ns"]
     trailing_open = spec["trailing_open"]
     agg_outs = spec["agg_outs"]
@@ -450,7 +459,7 @@ def _make_pattern_fn(spec: dict):
             if not fresh.any():
                 continue
             flags = np.zeros(len(pdf), dtype=np.int64)
-            for i in range(n_steps):
+            for i in range(n_steps + (1 if has_unless else 0)):
                 flags |= pdf[f"__p{i}"].to_numpy(dtype=np.int64) << i
             v = (
                 np.column_stack([pdf[f"__v{j}"].to_numpy(dtype=np.float64) for j in range(n_v)])
@@ -462,6 +471,7 @@ def _make_pattern_fn(spec: dict):
             bv = np.concatenate([bv, v[fresh]])
 
         rows = None
+        abort_now = False
         wm_ns = state.getCurrentWatermarkMs() * 10**6
         if not done and len(bt):
             order = np.lexsort((bs, bt))
@@ -471,6 +481,37 @@ def _make_pattern_fn(spec: dict):
             if n_settled:
                 st_, ss_, sf_ = bt[:n_settled], bs[:n_settled], bf[:n_settled]
                 sv_ = bv[:n_settled]
+                # 0. pass-local abort instant (funnel rule): first
+                #    abort row strictly after the match anchor. Rows
+                #    settle in order, so by the end of this pass the
+                #    match has completed, its trailing window closed at
+                #    the abort, or it can never complete.
+                u_t = u_s = None
+
+                def find_abort():
+                    nonlocal u_t, u_s
+                    if not has_unless or u_t is not None:
+                        return
+                    if stage >= 1:
+                        at, as_ = firsts_t[0], firsts_s[0]
+                    elif cur_sub > 0:
+                        at, as_ = cur_ft, cur_fs
+                    else:
+                        # tentative anchor: the first rank-0 candidate
+                        # in this pass (nothing constrains it)
+                        a0 = np.flatnonzero((sf_ >> req[0]) & 1)
+                        if not len(a0):
+                            return
+                        at, as_ = int(st_[a0[0]]), int(ss_[a0[0]])
+                    au = ((sf_ >> n_steps) & 1).astype(bool)
+                    au &= (st_ > at) | ((st_ == at) & (ss_ > as_))
+                    aidx = np.flatnonzero(au)
+                    if len(aidx):
+                        u_t = int(st_[aidx[0]])
+                        u_s = int(ss_[aidx[0]])
+
+                find_abort()
+
                 # 1. advance the required chain (vectorized per stage;
                 #    min_count sub-occurrences may span micro-batches
                 #    via the cur_* partial-progress state)
@@ -478,6 +519,10 @@ def _make_pattern_fn(spec: dict):
                     i = req[stage]
                     need = min_counts[stage]
                     cand = ((sf_ >> i) & 1).astype(bool)
+                    if u_t is not None:
+                        # abort wins ties; the anchor itself precedes
+                        # the abort by construction
+                        cand &= (st_ < u_t) | ((st_ == u_t) & (ss_ < u_s))
                     if cur_sub > 0:
                         cand &= (st_ > cur_lt) | ((st_ == cur_lt) & (ss_ > cur_ls))
                     elif stage > 0:
@@ -507,6 +552,7 @@ def _make_pattern_fn(spec: dict):
                     hits_s.append(int(ss_[idx[take - 1]]))
                     cur_sub, cur_ft, cur_fs, cur_lt, cur_ls = 0, _NEG, _NEG, _NEG, _NEG
                     stage += 1
+                    find_abort()  # the anchor may just have formed
 
                 def upper_mask(rr):
                     # strictly before the next required hit when known;
@@ -547,6 +593,8 @@ def _make_pattern_fn(spec: dict):
                         ht, hs = firsts_t[rr], firsts_s[rr]
                         m &= (st_ > ht) | ((st_ == ht) & (ss_ >= hs))
                     m &= upper_mask(rr)
+                    if u_t is not None:
+                        m &= (st_ < u_t) | ((st_ == u_t) & (ss_ < u_s))
                     nsel = int(m.sum())
                     if nsel:
                         pi = plus_pos[i]
@@ -573,6 +621,8 @@ def _make_pattern_fn(spec: dict):
                     m = ((sf_ >> i) & 1).astype(bool)
                     m &= (st_ > ht) | ((st_ == ht) & (ss_ > hs))
                     m &= upper_mask(rr)
+                    if u_t is not None:
+                        m &= (st_ < u_t) | ((st_ == u_t) & (ss_ < u_s))
                     idx = np.flatnonzero(m)
                     if len(idx):
                         obs_t[oi] = int(st_[idx[0]])
@@ -582,6 +632,10 @@ def _make_pattern_fn(spec: dict):
                 bt, bs, bf, bv = (
                     bt[n_settled:], bs[n_settled:], bf[n_settled:], bv[n_settled:],
                 )
+                # every future row follows a settled abort: the match
+                # is done (its trailing window closed at the abort) or
+                # dead — resolve within this invocation
+                abort_now = u_t is not None
 
         def build_row():
             vals = {KEY: [key[0]]}
@@ -608,22 +662,27 @@ def _make_pattern_fn(spec: dict):
                 done, rows = True, build_row()
                 bt = bs = bf = np.empty(0, dtype=np.int64)
                 bv = np.empty((0, n_v))
-            elif wm_ns > firsts_t[0] + within_ns:
-                # horizon closed: every in-window row has settled
+            elif abort_now or (
+                within_ns is not None and wm_ns > firsts_t[0] + within_ns
+            ):
+                # window closed: at the abort (all in-window rows
+                # settled before it) or at the horizon
                 done, rows = True, build_row()
                 bt = bs = bf = np.empty(0, dtype=np.int64)
                 bv = np.empty((0, n_v))
-        # dead entity: horizon passed without completing (a partial
-        # rank-0 sub-match anchors the horizon too)
+        # dead entity: a settled abort (no later row can advance the
+        # chain) or horizon passed without completing (a partial rank-0
+        # sub-match anchors the horizon too)
         anchor_t0 = (
             firsts_t[0] if stage >= 1 else (cur_ft if cur_sub > 0 else None)
         )
-        if (
-            not done
-            and within_ns is not None
-            and anchor_t0 is not None
-            and stage < k
-            and wm_ns > anchor_t0 + within_ns
+        if not done and stage < k and (
+            abort_now
+            or (
+                within_ns is not None
+                and anchor_t0 is not None
+                and wm_ns > anchor_t0 + within_ns
+            )
         ):
             done = True
             bt = bs = bf = np.empty(0, dtype=np.int64)

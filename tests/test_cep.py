@@ -492,17 +492,27 @@ def test_pattern_validation(spark):
 
 def _brute_pattern(events, steps, within=None):
     """Independent reference model. events: sorted [(t, s, flags, val)]
-    for ONE entity; steps: [(name, quant)] or [(name, quant, min_count)];
-    returns the match_pattern output tuple shape (times as seconds)."""
+    or [(t, s, flags, val, abort)] for ONE entity; steps: [(name,
+    quant)] or [(name, quant, min_count)]; returns the match_pattern
+    output tuple shape (times as seconds)."""
     steps = [(s[0], s[1], s[2] if len(s) > 2 else 1) for s in steps]
+    events = [(e[0], e[1], e[2], e[3], e[4] if len(e) > 4 else False)
+              for e in events]
     req = [i for i, (_n, q, _m) in enumerate(steps) if q in ("1", "+")]
+    # abort instant: first abort row strictly after the anchor (the
+    # rank-0 first occurrence, which nothing constrains)
+    anchor = next(((t, s) for t, s, fl, _v, _a in events if fl[req[0]]), None)
+    u = None
+    if anchor is not None:
+        u = next(((t, s) for t, s, _fl, _v, a in events
+                  if a and (t, s) > anchor), None)
     hits, firsts = {}, {}
     last_req = None
     anchor_t = None  # match START: rank 0's FIRST occurrence
     for rr, i in enumerate(req):
         need = steps[i][2]
         subs = []
-        for t, s, fl, _v in events:
+        for t, s, fl, _v, _a in events:
             if not fl[i]:
                 continue
             lower = subs[-1] if subs else last_req
@@ -510,6 +520,8 @@ def _brute_pattern(events, steps, within=None):
                 continue
             if (rr > 0 or subs) and within is not None and t > anchor_t + within:
                 continue
+            if (rr > 0 or subs) and u is not None and (t, s) >= u:
+                continue  # abort wins ties
             if rr == 0 and not subs:
                 anchor_t = t
             subs.append((t, s))
@@ -521,6 +533,8 @@ def _brute_pattern(events, steps, within=None):
         last_req = subs[-1]
 
     def upper_ok(rr, t, s):
+        if u is not None and (t, s) >= u:
+            return False
         nxt = req[rr + 1] if rr + 1 < len(req) else None
         if nxt is not None and nxt in hits:
             return (t, s) < hits[nxt]
@@ -535,7 +549,7 @@ def _brute_pattern(events, steps, within=None):
             if q == "+":
                 if i in hits:
                     consumed = [
-                        v for t, s, fl, v in events
+                        v for t, s, fl, v, _a in events
                         if fl[i] and (t, s) >= firsts[i] and upper_ok(rank, t, s)
                     ]
                 else:
@@ -545,7 +559,7 @@ def _brute_pattern(events, steps, within=None):
                 out[f"max_{name}"] = max(consumed) if consumed else None
         else:
             cand = [
-                (t, s, v) for t, s, fl, v in events
+                (t, s, v) for t, s, fl, v, _a in events
                 if fl[i] and req[rank] in hits and (t, s) > hits[req[rank]]
                 and upper_ok(rank, t, s)
             ]
@@ -932,3 +946,151 @@ def test_pattern_min_count_matches_bruteforce_random(spark):
             n_completed += 1
         n_checked += 1
     assert n_checked >= 40 and n_completed >= 5
+
+
+# ----------------------------------------------------------------------
+# unless (abort) on quantified patterns
+# ----------------------------------------------------------------------
+def test_pattern_unless(spark):
+    """`a b+ c UNLESS x`: an x after the anchor voids later hits AND
+    bounds consumption strictly before it."""
+    from kaskada_spark.operators.cep import PatternStep, match_pattern
+
+    base = dt.datetime(2024, 1, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)
+    rows = [
+        # e1: x between the b's — b matches (first b precedes x) but c
+        # after x doesn't count; consumption stops before x
+        ("e1", 0, 0, "a", 0), ("e1", 1, 1, "b", 5), ("e1", 2, 2, "x", 0),
+        ("e1", 3, 3, "b", 7), ("e1", 4, 4, "c", 0),
+        # e2: x after completion is irrelevant; but it still bounds the
+        # (already-closed) consumption window — no effect
+        ("e2", 0, 0, "a", 0), ("e2", 1, 1, "b", 9), ("e2", 2, 2, "c", 0),
+        ("e2", 3, 3, "x", 0),
+        # e3: x before the anchor is irrelevant
+        ("e3", 0, 0, "x", 0), ("e3", 1, 1, "a", 0), ("e3", 2, 2, "b", 4),
+        ("e3", 3, 3, "c", 0),
+    ]
+    out = match_pattern(
+        _tlv(spark, rows),
+        [
+            PatternStep("a", F.col("lbl") == "a"),
+            PatternStep("b", F.col("lbl") == "b", "+",
+                        aggs=[("b_sum", "sum", "val")]),
+            PatternStep("c", F.col("lbl") == "c"),
+        ],
+        unless=F.col("lbl") == "x",
+    )
+    got = {r["_key"]: (r["step_reached"], r["completed"], r["n_b"], r["b_sum"])
+           for r in out.collect()}
+    assert got["e1"] == (2, False, 1, 5)     # second b and c are post-abort
+    assert got["e2"] == (3, True, 1, 9)
+    assert got["e3"] == (3, True, 1, 4)
+
+
+def test_pattern_unless_matches_bruteforce_random(spark):
+    from kaskada_spark.operators.cep import PatternStep, match_pattern
+
+    rng = random.Random(47)
+    rows = []
+    for e in range(50):
+        for s in range(rng.randint(1, 35)):
+            rows.append((f"e{e}", rng.randint(0, 1000), s, rng.choice("abcdxy"),
+                         rng.randint(1, 100)))
+    out = match_pattern(
+        _tlv(spark, rows),
+        [
+            PatternStep("a", F.col("lbl") == "a"),
+            PatternStep("b", F.col("lbl") == "b", "+",
+                        aggs=[("sum_b", "sum", "val")]),
+            PatternStep("d", F.col("lbl") == "d", "?"),
+            PatternStep("c", F.col("lbl") == "c"),
+        ],
+        within="300 seconds",
+        unless=F.col("lbl") == "x",
+    )
+    got = {r["_key"]: r for r in out.collect()}
+    base = dt.datetime(2024, 1, 1)
+    by_ent = {}
+    for e, t, s, lbl, v in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_ent.setdefault(e, []).append(
+            (t, s, (lbl == "a", lbl == "b", lbl == "d", lbl == "c"), v,
+             lbl == "x")
+        )
+    spec = [("a", "1"), ("b", "+"), ("d", "?"), ("c", "1")]
+    n_checked = n_aborted = 0
+    for e, evs in by_ent.items():
+        if not any(any(f) for _, _, f, _, _ in evs):
+            assert e not in got
+            continue
+        exp = _brute_pattern(evs, spec, within=300)
+        r = got[e]
+        ts = lambda x: base + dt.timedelta(seconds=x) if x is not None else None
+        assert (r["step_reached"], r["completed"]) == (
+            exp["step_reached"], exp["completed"]), e
+        for nm in ("a", "b", "d", "c"):
+            assert r[f"t_{nm}"] == ts(exp[f"t_{nm}"]), (e, nm)
+        assert (r["n_b"], r["sum_b"]) == (exp["n_b"], exp["sum_b"]), e
+        if any(a for _t, _s, _f, _v, a in evs):
+            n_aborted += 1
+        n_checked += 1
+    assert n_checked >= 40 and n_aborted >= 20
+
+
+def test_stream_pattern_unless_equals_batch(spark, tmp_path):
+    """pattern_stream(unless=...) == match_pattern(completed) — covers
+    the abort-flag projection and the abort-closes-trailing-window
+    emission on a real stream."""
+    from kaskada_spark.operators.cep import PatternStep, match_pattern
+    from kaskada_spark.streaming.cep import pattern_stream
+
+    rows = [
+        # e1: abort between the b's: trailing window closes at x
+        ("e1", 0, 0, "a", 1), ("e1", 2, 1, "b", 10), ("e1", 4, 2, "x", 0),
+        ("e1", 6, 3, "b", 99),
+        # e2: no abort: window closes at the horizon
+        ("e2", 0, 0, "a", 1), ("e2", 2, 1, "b", 5), ("e2", 8, 2, "b", 6),
+        # e3: abort before any b: dead, no emission
+        ("e3", 0, 0, "a", 1), ("e3", 1, 1, "x", 0), ("e3", 2, 2, "b", 7),
+        ("e9", 1000, 0, "a", 0),  # watermark flush
+    ]
+    tl = _tlv(spark, rows)
+
+    def steps():
+        return [
+            PatternStep("a", F.col("lbl") == "a"),
+            PatternStep("b", F.col("lbl") == "b", "+",
+                        aggs=[("b_sum", "sum", "val")]),
+        ]
+
+    unless = lambda: F.col("lbl") == "x"
+    batch = match_pattern(tl, steps(), within="20 seconds", unless=unless())
+    expected = {
+        r["_key"]: (r["t_a"], r["t_b"], r["n_b"], float(r["b_sum"]))
+        for r in batch.filter("completed").collect()
+    }
+    assert set(expected) == {"e1", "e2"}
+    assert expected["e1"][2:] == (1, 10.0)   # post-abort b not consumed
+    assert expected["e2"][2:] == (2, 11.0)
+
+    in_dir = _write_time_split(tl.df, ["_time", "_subsort"], str(tmp_path / "in"), 3)
+    stream = (
+        spark.readStream.schema(tl.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = pattern_stream(stream, steps(), within="20 seconds", unless=unless())
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["_key"]: (r["t_a"], r["t_b"], r["n_b"], r["b_sum"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == expected

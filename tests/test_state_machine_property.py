@@ -622,11 +622,12 @@ def test_tick_machine_chained_split_invariance(events, cuts, inner_op, outer_op,
 # ---------------------------------------------------------------------------
 # CEP pattern machine: Spark-free micro-batch fuzz vs the batch model
 # ---------------------------------------------------------------------------
-def _drive_pattern(spec_steps, within_s, events, cuts):
+def _drive_pattern(spec_steps, within_s, events, cuts, unless_label=None):
     """Drive streaming/cep.py::_make_pattern_fn for ONE entity with a
     fake GroupState across micro-batch `cuts`, watermark advancing to
     the max fed event time after each batch, then a far-future flush.
-    events: sorted [(t_sec, s, label, val)]."""
+    events: sorted [(t_sec, s, label, val)]; ``unless_label`` marks
+    abort rows."""
     from kaskada_spark.operators.cep import PatternStep
     from kaskada_spark.prepare import KEY, SUBSORT, TIME
     from kaskada_spark.streaming import cep as scep
@@ -645,6 +646,7 @@ def _drive_pattern(spec_steps, within_s, events, cuts):
     spec, _vidx = scep._build_pattern_spec(
         steps, f"{within_s} seconds" if within_s is not None else None
     )
+    spec["has_unless"] = unless_label is not None
     fn = scep._make_pattern_fn(spec)
 
     class S:
@@ -661,14 +663,17 @@ def _drive_pattern(spec_steps, within_s, events, cuts):
 
     base = pd.Timestamp(2024, 1, 1)
     def mk_pdf(evs):
-        return pd.DataFrame({
+        cols = {
             TIME: [base + pd.Timedelta(seconds=t) for t, _s, _l, _v in evs],
             SUBSORT: [s for _t, s, _l, _v in evs],
             KEY: ["e"] * len(evs),
             **{f"__p{i}": [lbl == names[i] for _t, _s, lbl, _v in evs]
                for i in range(len(steps))},
-            "__v0": [float(v) for _t, _s, _l, v in evs],
-        })
+        }
+        if unless_label is not None:
+            cols[f"__p{len(steps)}"] = [lbl == unless_label for _t, _s, lbl, _v in evs]
+        cols["__v0"] = [float(v) for _t, _s, _l, v in evs]
+        return pd.DataFrame(cols)
 
     state, outs = S(), []
     bounds = sorted({min(c, len(events)) for c in cuts} | {0, len(events)})
@@ -844,3 +849,81 @@ def test_pattern_machine_min_count_fuzz():
         assert row["sum_b"] == pytest.approx(float(exp["sum_b"])), trial
         n_emitted += 1
     assert n_emitted >= 40
+
+
+def test_pattern_machine_unless_fuzz():
+    """`a b+ d? c UNLESS x` across micro-batch splits: abort voids later
+    hits, bounds consumption/observation, kills or closes within the
+    abort's settle pass — vs the batch model."""
+    import random
+
+    from tests.test_cep import _brute_pattern
+
+    rng = random.Random(53)
+    spec = [("a", "1"), ("b", "+"), ("d", "?"), ("c", "1")]
+    n_emitted = n_aborted_effect = 0
+    for trial in range(300):
+        n = rng.randint(1, 30)
+        events = sorted(
+            (rng.randint(0, 500), s, rng.choice("abcdxy"), rng.randint(1, 9))
+            for s in range(n)
+        )
+        flags = [(t, s, (l == "a", l == "b", l == "d", l == "c"), v, l == "x")
+                 for t, s, l, v in events]
+        exp = _brute_pattern(flags, spec, within=300)
+        cuts = sorted(rng.randint(0, n) for _ in range(rng.randint(0, 5)))
+        got = _drive_pattern(spec, 300, events, cuts, unless_label="x")
+        if not exp["completed"]:
+            assert got is None, (trial, exp)
+            if any(a for *_x, a in flags):
+                n_aborted_effect += 1
+            continue
+        assert got is not None, (trial, exp)
+        row, base = got
+        ts = lambda x: base + pd.Timedelta(seconds=x) if x is not None else None
+        for nm in ("a", "b", "d", "c"):
+            g, e = row[f"t_{nm}"], ts(exp[f"t_{nm}"])
+            if e is None:
+                assert pd.isna(g), (trial, nm, g)
+            else:
+                assert g == e, (trial, nm, g, e)
+        assert row["n_b"] == exp["n_b"], (trial, row["n_b"], exp["n_b"])
+        assert row["sum_b"] == pytest.approx(float(exp["sum_b"])), trial
+        n_emitted += 1
+    assert n_emitted >= 20 and n_aborted_effect >= 20
+
+
+def test_pattern_machine_unless_trailing_fuzz():
+    """Trailing-open `a b+ UNLESS x`: the abort CLOSES the trailing
+    window early (emission at the abort's settle pass, consumption
+    strictly before it) — vs the batch model."""
+    import random
+
+    from tests.test_cep import _brute_pattern
+
+    rng = random.Random(59)
+    spec = [("a", "1"), ("b", "+")]
+    n_emitted = n_closed_by_abort = 0
+    for trial in range(300):
+        n = rng.randint(1, 20)
+        events = sorted(
+            (rng.randint(0, 500), s, rng.choice("abbx"), rng.randint(1, 9))
+            for s in range(n)
+        )
+        flags = [(t, s, (l == "a", l == "b"), v, l == "x") for t, s, l, v in events]
+        exp = _brute_pattern(flags, spec, within=150)
+        cuts = sorted(rng.randint(0, n) for _ in range(rng.randint(0, 4)))
+        got = _drive_pattern(spec, 150, events, cuts, unless_label="x")
+        if not exp["completed"]:
+            assert got is None, (trial, exp)
+            continue
+        assert got is not None, (trial, exp)
+        row, base = got
+        assert row["t_a"] == base + pd.Timedelta(seconds=exp["t_a"]), trial
+        assert row["t_b"] == base + pd.Timedelta(seconds=exp["t_b"]), trial
+        assert row["n_b"] == exp["n_b"], (trial, row["n_b"], exp["n_b"])
+        assert row["sum_b"] == pytest.approx(float(exp["sum_b"])), trial
+        n_emitted += 1
+        if any(a for *_x, a in flags):
+            n_closed_by_abort += 1
+    assert n_emitted >= 40 and n_closed_by_abort >= 10
